@@ -1,0 +1,123 @@
+"""Vectorized IR metrics over padded relevance matrices.
+
+Replaces ranx.evaluate (used at meerqat/ir/search.py:497, ir/fuse.py:233).
+Default metric set follows meerqat/ir/search.py:397:
+mrr@100, precision@1, precision@20, hit_rate@20.
+
+Core representation: for Q queries and a rank cutoff K, ``rel[(Q, K)]`` holds
+the relevance grade of the document at each rank (0 for non-relevant or
+padding). All metrics are closed-form numpy reductions over that matrix.
+"""
+from __future__ import annotations
+
+import re
+from typing import Dict, Iterable, List, Optional, Sequence, Union
+
+import numpy as np
+
+from viquae_tpu.rankeval.data import Qrels, Run
+
+DEFAULT_METRICS = ("mrr@100", "precision@1", "precision@20", "hit_rate@20")
+
+_METRIC_RE = re.compile(r"^(?P<name>[a-z_]+)(?:@(?P<k>\d+))?$")
+
+
+def parse_metric(metric: str):
+    m = _METRIC_RE.match(metric)
+    if m is None:
+        raise ValueError(f"Cannot parse metric {metric!r}")
+    k = m.group("k")
+    if k is not None and int(k) < 1:
+        raise ValueError(f"Metric cutoff must be >= 1, got {metric!r}")
+    return m.group("name"), (int(k) if k else None)
+
+
+def relevance_matrix(qrels: Qrels, run: Run, k: int,
+                     q_ids: Optional[Sequence[str]] = None):
+    """(Q, k) graded relevance at each rank + per-query total relevant count."""
+    if q_ids is None:
+        q_ids = list(qrels.keys())
+    _, doc_mat, _ = run.to_padded(q_ids, k=k)
+    rel = np.zeros(doc_mat.shape, dtype=np.float64)
+    n_rel = np.zeros(len(q_ids), dtype=np.float64)
+    for row, q in enumerate(q_ids):
+        judgments = qrels.to_dict().get(str(q), {})
+        n_rel[row] = sum(1 for g in judgments.values() if g > 0)
+        if judgments:
+            for col in range(doc_mat.shape[1]):
+                d = doc_mat[row, col]
+                if d != "":
+                    rel[row, col] = judgments.get(d, 0.0)
+    return rel, n_rel
+
+
+def _scores_from_rel(name: str, rel: np.ndarray, n_rel: np.ndarray, k: int) -> np.ndarray:
+    binary = (rel > 0).astype(np.float64)
+    hits = binary.sum(axis=1)
+    if name in ("hits",):
+        return hits
+    if name in ("hit_rate", "success"):
+        return (hits > 0).astype(np.float64)
+    if name in ("precision", "p"):
+        return hits / k
+    if name in ("recall", "r"):
+        return np.where(n_rel > 0, hits / np.maximum(n_rel, 1), 0.0)
+    if name == "f1":
+        p = hits / k
+        r = np.where(n_rel > 0, hits / np.maximum(n_rel, 1), 0.0)
+        return np.where(p + r > 0, 2 * p * r / np.maximum(p + r, 1e-12), 0.0)
+    ranks = np.arange(1, rel.shape[1] + 1, dtype=np.float64)
+    if name in ("mrr", "reciprocal_rank"):
+        first = np.where(binary.any(axis=1), binary.argmax(axis=1) + 1, np.inf)
+        return np.where(np.isfinite(first), 1.0 / first, 0.0)
+    if name in ("map", "average_precision", "ap"):
+        cum_prec = np.cumsum(binary, axis=1) / ranks
+        ap = (cum_prec * binary).sum(axis=1) / np.maximum(
+            np.minimum(n_rel, k), 1
+        )
+        return np.where(n_rel > 0, ap, 0.0)
+    if name == "ndcg":
+        # Jarvelin formulation (ranx default): gain/log2(rank+1)
+        discounts = 1.0 / np.log2(ranks + 1)
+        dcg = (rel * discounts).sum(axis=1)
+        ideal = -np.sort(-rel, axis=1)
+        # ideal ranking uses ALL relevant docs, graded, capped at k
+        idcg = np.zeros(len(rel))
+        for row in range(len(rel)):
+            grades = ideal[row]
+            idcg[row] = (grades * discounts).sum()
+        # note: ideal computed from retrieved grades only is wrong when not all
+        # relevant docs were retrieved; caller provides n_rel for binary case
+        binary_ideal = np.minimum(n_rel, k)
+        idcg_binary = np.array([
+            discounts[: int(m)].sum() for m in binary_ideal
+        ])
+        use_binary = np.all((rel == 0) | (rel == 1))
+        idcg = idcg_binary if use_binary else idcg
+        return np.where(idcg > 0, dcg / np.maximum(idcg, 1e-12), 0.0)
+    raise ValueError(f"Unknown metric {name!r}")
+
+
+def per_query_scores(qrels: Qrels, run: Run, metric: str,
+                     q_ids: Optional[Sequence[str]] = None) -> np.ndarray:
+    name, k = parse_metric(metric)
+    if k is None:
+        k = max((len(r) for r in run.values()), default=0) or 1
+    rel, n_rel = relevance_matrix(qrels, run, k, q_ids=q_ids)
+    return _scores_from_rel(name, rel, n_rel, k)
+
+
+def evaluate(
+    qrels: Qrels,
+    run: Run,
+    metrics: Union[str, Iterable[str]] = DEFAULT_METRICS,
+    q_ids: Optional[Sequence[str]] = None,
+) -> Union[float, Dict[str, float]]:
+    """Mean metric value(s) over the qrels' queries (ranx.evaluate parity)."""
+    single = isinstance(metrics, str)
+    metric_list: List[str] = [metrics] if single else list(metrics)
+    out = {
+        m: float(per_query_scores(qrels, run, m, q_ids=q_ids).mean())
+        for m in metric_list
+    }
+    return out[metric_list[0]] if single else out
