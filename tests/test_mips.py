@@ -1,0 +1,113 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from viquae_tpu.core import mesh as meshlib
+from viquae_tpu.ops import mips
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(0)
+    kb = rng.standard_normal((10_037, 64)).astype(np.float32)
+    queries = rng.standard_normal((33, 64)).astype(np.float32)
+    return queries, kb
+
+
+def test_single_device_parity(data):
+    queries, kb = data
+    ref_scores, ref_idx = mips.exact_topk_numpy(queries, kb, 20)
+    scores, idx = mips.topk_single(
+        jnp.asarray(queries), jnp.asarray(kb), 20, chunk_size=1024
+    )
+    np.testing.assert_array_equal(np.asarray(idx), ref_idx)
+    np.testing.assert_allclose(np.asarray(scores), ref_scores, rtol=2e-5, atol=2e-5)
+
+
+def test_tie_breaking_by_index():
+    # duplicate rows => tied scores; FAISS contract: ascending index
+    kb = np.tile(np.eye(4, dtype=np.float32), (5, 1))  # rows 0..19, dup every 4
+    q = np.eye(4, dtype=np.float32)[:1]  # matches rows 0,4,8,12,16 equally
+    scores, idx = mips.topk_single(jnp.asarray(q), jnp.asarray(kb), 5, chunk_size=4)
+    np.testing.assert_array_equal(np.asarray(idx)[0], [0, 4, 8, 12, 16])
+    assert np.all(np.asarray(scores)[0] == 1.0)
+
+
+def test_valid_rows_masking(data):
+    queries, kb = data
+    padded = np.concatenate([kb, 100 * np.ones((11, kb.shape[1]), np.float32)])
+    scores, idx = mips.topk_single(
+        jnp.asarray(queries), jnp.asarray(padded), 10,
+        chunk_size=2048, valid_rows=jnp.int32(len(kb)),
+    )
+    assert np.asarray(idx).max() < len(kb)
+    ref_scores, ref_idx = mips.exact_topk_numpy(queries, kb, 10)
+    np.testing.assert_array_equal(np.asarray(idx), ref_idx)
+
+
+def test_sharded_matches_single(data, devices):
+    queries, kb = data
+    ctx = meshlib.make_kb_mesh()
+    with meshlib.use(ctx):
+        n_pad = meshlib.pad_to_multiple(len(kb), 8 * 8)
+        kb_pad = np.zeros((n_pad, kb.shape[1]), np.float32)
+        kb_pad[: len(kb)] = kb
+        import jax
+        kb_sharded = jax.device_put(jnp.asarray(kb_pad), ctx.kb_sharded)
+        scores, idx = mips.topk_sharded(
+            jnp.asarray(queries), kb_sharded, 20,
+            mesh_ctx=ctx, chunk_size=512, valid_rows=len(kb),
+        )
+    ref_scores, ref_idx = mips.exact_topk_numpy(queries, kb, 20)
+    np.testing.assert_array_equal(np.asarray(idx), ref_idx)
+    np.testing.assert_allclose(np.asarray(scores), ref_scores, rtol=2e-5, atol=2e-5)
+
+
+def test_dense_index_l2norm_and_roundtrip(tmp_path, data, devices):
+    queries, kb = data
+    ctx = meshlib.make_kb_mesh()
+    with meshlib.use(ctx):
+        index = mips.DenseIndex(kb, do_l2norm=True, mesh_ctx=ctx, chunk_size=512)
+        scores, idx = index.search_batch(queries, k=20)
+        # reference: cosine via normalized ip
+        kbn = kb / np.linalg.norm(kb, axis=1, keepdims=True)
+        qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+        ref_scores, ref_idx = mips.exact_topk_numpy(qn, kbn, 20)
+        np.testing.assert_array_equal(idx, ref_idx)
+        np.testing.assert_allclose(scores, ref_scores, rtol=2e-5, atol=2e-5)
+
+        index.save(tmp_path / "index.npz")
+        loaded = mips.DenseIndex.load(tmp_path / "index.npz", mesh_ctx=ctx, chunk_size=512)
+        s2, i2 = loaded.search_batch(queries, k=20)
+        np.testing.assert_array_equal(i2, idx)
+
+
+def test_k_larger_than_chunk(data):
+    queries, kb = data
+    scores, idx = mips.topk_single(jnp.asarray(queries), jnp.asarray(kb), 150, chunk_size=100)
+    ref_scores, ref_idx = mips.exact_topk_numpy(queries, kb, 150)
+    np.testing.assert_array_equal(np.asarray(idx), ref_idx)
+
+
+def test_fast_mode_segmented_parity(data):
+    # chunk 4096 -> 32 segments > k=20: exercises the two-level path
+    queries, kb = data
+    kb = kb[:8192]
+    ref_scores, ref_idx = mips.exact_topk_numpy(queries, kb, 20)
+    scores, idx = mips.topk_single(
+        jnp.asarray(queries), jnp.asarray(kb), 20, chunk_size=4096, mode="fast"
+    )
+    np.testing.assert_array_equal(np.asarray(idx), ref_idx)
+
+
+def test_approx_mode_high_recall(data):
+    queries, kb = data
+    _, ref_idx = mips.exact_topk_numpy(queries, kb, 20)
+    _, idx = mips.topk_single(
+        jnp.asarray(queries), jnp.asarray(kb), 20, chunk_size=2048, mode="approx"
+    )
+    idx = np.asarray(idx)
+    recall = np.mean([
+        len(set(idx[i]) & set(ref_idx[i])) / 20 for i in range(len(idx))
+    ])
+    assert recall > 0.8, recall

@@ -111,7 +111,7 @@ def make_kb_mesh(kb: Optional[int] = None, devices=None) -> MeshContext:
 def use(ctx: MeshContext):
     _ACTIVE.append(ctx)
     try:
-        with jax.sharding.use_mesh(ctx.mesh):
+        with jax.sharding.set_mesh(ctx.mesh):
             yield ctx
     finally:
         _ACTIVE.pop()

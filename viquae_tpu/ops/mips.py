@@ -1,0 +1,305 @@
+"""Sharded maximum-inner-product search (the FAISS replacement).
+
+The reference delegates KNN to FAISS flat IP indexes built over dataset
+columns (meerqat/ir/search.py:207-249, string_factory "Flat"/"L2norm,Flat",
+metric_type=0) and searches them in query batches of 256
+(ir/search.py:135-146). Here the KB embedding matrix lives ON DEVICE:
+
+- single chip: `lax.scan` over KB chunks; each step is a (Q, d) x (d, C)
+  MXU matmul + running top-k merge, so HBM traffic is one streaming read of
+  the KB and the working set stays in VMEM-sized tiles chosen by XLA.
+- multi chip: the KB is row-sharded over the mesh's `kb` axis
+  (`shard_map`); each device computes local top-k over its shard with
+  global ids, then a `jax.lax.all_gather` over ICI merges candidates.
+
+Tie-breaking contract (FAISS-flat parity, SURVEY.md §7 "hard parts"):
+equal scores rank by ascending KB index. Chunk-local `lax.top_k` already
+breaks ties by lowest index; cross-chunk/cross-shard merges re-sort with a
+two-key lexicographic `lax.sort` on (-score, index), so the merged ranking
+is deterministic and identical to a full argsort.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from viquae_tpu.core import mesh as meshlib
+
+NEG_INF = jnp.float32(-jnp.inf)
+
+
+# --------------------------------------------------------------------------
+# reference implementation (host, exact) — used by parity tests
+# --------------------------------------------------------------------------
+def exact_topk_numpy(queries: np.ndarray, kb: np.ndarray, k: int
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact top-k by full argsort; ties broken by ascending index
+    (FAISS IndexFlatIP contract)."""
+    scores = queries.astype(np.float32) @ kb.astype(np.float32).T
+    # stable sort on -scores => ties keep ascending index order
+    idx = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+    return np.take_along_axis(scores, idx, axis=1), idx
+
+
+# --------------------------------------------------------------------------
+# device-side building blocks
+# --------------------------------------------------------------------------
+def l2_normalize(x: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    """Row-L2 norm (reference `L2norm`, ir/search.py:43-46)."""
+    norm = jnp.sqrt(jnp.sum(jnp.square(x), axis=-1, keepdims=True))
+    return x / jnp.maximum(norm, eps)
+
+
+def _merge_topk(scores_a, idx_a, scores_b, idx_b, k: int):
+    """Merge two candidate sets into top-k, ties by ascending global index."""
+    scores = jnp.concatenate([scores_a, scores_b], axis=-1)
+    idx = jnp.concatenate([idx_a, idx_b], axis=-1)
+    neg, idx_sorted = jax.lax.sort((-scores, idx), dimension=-1, num_keys=2)
+    return -neg[..., :k], idx_sorted[..., :k]
+
+
+_SEG = 128  # VPU lane width; segment size for two-level selection
+
+
+def _select_topk(scores: jnp.ndarray, k: int, mode: str):
+    """Top-k over the last axis of (Q, C) scores.
+
+    mode="exact": `lax.top_k` — XLA lowers this to a full sort, ~O(C log^2 C)
+        VPU passes; guaranteed FAISS-flat tie order, slow for wide C.
+    mode="fast" (default): two-level segmented selection. Split the row into
+        C/128 lane-width segments, take each segment's max (cheap VPU
+        reduce), keep the top-k segments, then top-k over the k*128 gathered
+        candidates. Any global top-k element lives in a segment whose max is
+        >= the k-th score, and at most k segments can hold such elements, so
+        the candidate set provably contains the true top-k. The selected k
+        are then re-sorted by (-score, index) to restore global tie order.
+        Only failure vs "exact": exact score TIES straddling the k-th
+        segment/candidate boundary may swap which tied duplicate is kept —
+        impossible for distinct scores.
+    mode="approx": `lax.approx_max_k` (TPU PartialReduce), recall ~0.95.
+    """
+    q_count, width = scores.shape
+    if mode == "exact" or width % _SEG or width // _SEG < 2:
+        return jax.lax.top_k(scores, k)
+    if mode == "approx":
+        return jax.lax.approx_max_k(scores, k, aggregate_to_topk=True)
+    if mode != "fast":
+        raise ValueError(f"Unknown top-k mode {mode!r}")
+    n_seg = width // _SEG
+    seg = scores.reshape(q_count, n_seg, _SEG)
+    seg_max = seg.max(axis=2)
+    p = min(n_seg, k)
+    _, seg_idx = jax.lax.top_k(seg_max, p)  # (Q, p)
+    cand = jnp.take_along_axis(seg, seg_idx[:, :, None], axis=1)
+    cand = cand.reshape(q_count, p * _SEG)
+    cand_idx = (
+        seg_idx[:, :, None] * _SEG
+        + jax.lax.broadcasted_iota(jnp.int32, (q_count, p, _SEG), 2)
+    ).reshape(q_count, p * _SEG)
+    top_scores, pos = jax.lax.top_k(cand, k)
+    top_idx = jnp.take_along_axis(cand_idx, pos, axis=1)
+    # candidates were ordered by segment rank, not index: restore tie order
+    neg, top_idx = jax.lax.sort((-top_scores, top_idx), dimension=-1, num_keys=2)
+    return -neg, top_idx
+
+
+def _chunk_topk(q, chunk, base_index: jnp.ndarray, k: int, valid_rows: int,
+                compute_dtype, mode: str):
+    """Top-k of q @ chunk.T with global indices; padded rows masked out."""
+    scores = jnp.dot(
+        q.astype(compute_dtype),
+        chunk.astype(compute_dtype).T,
+        preferred_element_type=jnp.float32,
+    )
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    scores = jnp.where(row_ids < valid_rows, scores, NEG_INF)
+    top_scores, top_idx = _select_topk(scores, k, mode)
+    return top_scores, top_idx + base_index
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "chunk_size", "compute_dtype", "mode")
+)
+def topk_single(
+    queries: jnp.ndarray,
+    kb: jnp.ndarray,
+    k: int,
+    chunk_size: int = 131072,
+    valid_rows: Optional[jnp.ndarray] = None,
+    compute_dtype=jnp.float32,
+    mode: str = "fast",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Single-device streaming MIPS.
+
+    Parameters
+    ----------
+    queries: (Q, d); kb: (N, d) — N may include padding rows.
+    valid_rows: scalar count of real KB rows (defaults to N).
+    compute_dtype: jnp.float32 for bit-parity tests, jnp.bfloat16 for speed
+        (accumulation is always fp32 via preferred_element_type).
+    """
+    n = kb.shape[0]
+    nv = jnp.int32(n if valid_rows is None else valid_rows)
+    chunk_size = min(chunk_size, n)
+    n_chunks = -(-n // chunk_size)
+    pad = n_chunks * chunk_size - n
+    if pad:
+        kb = jnp.concatenate([kb, jnp.zeros((pad, kb.shape[1]), kb.dtype)])
+    kb_chunks = kb.reshape(n_chunks, chunk_size, kb.shape[1])
+
+    q_count = queries.shape[0]
+    init = (
+        jnp.full((q_count, k), NEG_INF, jnp.float32),
+        jnp.full((q_count, k), jnp.iinfo(jnp.int32).max, jnp.int32),
+    )
+
+    def step(carry, args):
+        chunk_i, chunk = args
+        base = chunk_i * chunk_size
+        c_scores, c_idx = _chunk_topk(
+            queries, chunk, base, min(k, chunk_size), nv - base,
+            compute_dtype, mode,
+        )
+        return _merge_topk(*carry, c_scores, c_idx, k), None
+
+    (scores, idx), _ = jax.lax.scan(
+        step, init, (jnp.arange(n_chunks, dtype=jnp.int32), kb_chunks)
+    )
+    return scores, idx
+
+
+def topk_sharded(
+    queries: jnp.ndarray,
+    kb_shards: jnp.ndarray,
+    k: int,
+    mesh_ctx: Optional[meshlib.MeshContext] = None,
+    chunk_size: int = 131072,
+    valid_rows: Optional[int] = None,
+    compute_dtype=jnp.float32,
+    mode: str = "fast",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Multi-chip MIPS: per-shard streaming top-k + all-gather merge over ICI.
+
+    `kb_shards` is (N_padded, d) row-sharded over the `kb` mesh axis
+    (N_padded a multiple of the axis size). Queries are replicated. Returns
+    replicated (Q, k) scores/global indices identical to `topk_single` on the
+    unsharded matrix.
+    """
+    ctx = mesh_ctx or meshlib.current()
+    n_pad = kb_shards.shape[0]
+    n_dev = ctx.kb_size
+    assert n_pad % n_dev == 0, (n_pad, n_dev)
+    rows_per_shard = n_pad // n_dev
+    nv = n_pad if valid_rows is None else valid_rows
+
+    def shard_fn(q, kb_local):
+        shard_i = jax.lax.axis_index(meshlib.KB_AXIS)
+        base = shard_i * rows_per_shard
+        local_valid = jnp.clip(jnp.int32(nv) - base, 0, rows_per_shard)
+        s, i = topk_single(
+            q, kb_local, k, chunk_size=chunk_size,
+            valid_rows=local_valid, compute_dtype=compute_dtype, mode=mode,
+        )
+        i = i + base
+        # gather candidates from every shard: (n_dev, Q, k) -> merge
+        all_s = jax.lax.all_gather(s, meshlib.KB_AXIS)
+        all_i = jax.lax.all_gather(i, meshlib.KB_AXIS)
+        all_s = jnp.moveaxis(all_s, 0, -1).reshape(q.shape[0], n_dev * k)
+        all_i = jnp.moveaxis(all_i, 0, -1).reshape(q.shape[0], n_dev * k)
+        neg, idx = jax.lax.sort((-all_s, all_i), dimension=-1, num_keys=2)
+        return -neg[:, :k], idx[:, :k]
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=ctx.mesh,
+        in_specs=(P(), P(meshlib.KB_AXIS)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return fn(queries, kb_shards)
+
+
+# --------------------------------------------------------------------------
+# index object — the on-device "FAISS index"
+# --------------------------------------------------------------------------
+class DenseIndex:
+    """A device-resident flat MIPS index over one embedding column.
+
+    Mirrors the role of `datasets.Dataset.add_faiss_index` +
+    `search_batch` (meerqat/ir/search.py:135-146, 207-249): built from an
+    (N, d) array, optionally L2-normalizing both sides (the reference's
+    "L2norm,Flat" factory), searched in batches, save/load-able.
+    """
+
+    def __init__(
+        self,
+        vectors: np.ndarray,
+        do_l2norm: bool = False,
+        mesh_ctx: Optional[meshlib.MeshContext] = None,
+        dtype=jnp.float32,
+        chunk_size: int = 131072,
+        mode: str = "fast",
+    ):
+        self.mesh_ctx = mesh_ctx or meshlib.current()
+        self.do_l2norm = do_l2norm
+        self.chunk_size = chunk_size
+        self.mode = mode
+        self.n, self.d = vectors.shape
+        self.dtype = dtype
+
+        n_dev = self.mesh_ctx.kb_size
+        # pad rows so the matrix shards evenly; search masks the padding
+        block = n_dev * 8  # fp32 sublane tile
+        n_pad = meshlib.pad_to_multiple(self.n, block)
+        mat = np.zeros((n_pad, self.d), dtype=np.float32)
+        mat[: self.n] = vectors
+        if do_l2norm:
+            norms = np.linalg.norm(mat[: self.n], axis=1, keepdims=True)
+            mat[: self.n] /= np.maximum(norms, 1e-12)
+        device_mat = jnp.asarray(mat, dtype=dtype)
+        if n_dev > 1:
+            device_mat = jax.device_put(device_mat, self.mesh_ctx.kb_sharded)
+        self.matrix = device_mat
+
+    def search_batch(self, queries: np.ndarray, k: int = 100
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+        """(scores, indices) of the top-k KB rows per query."""
+        q = jnp.asarray(np.asarray(queries), dtype=jnp.float32)
+        if self.do_l2norm:
+            q = l2_normalize(q)
+        k = min(k, self.n)
+        if self.mesh_ctx.kb_size > 1:
+            scores, idx = topk_sharded(
+                q, self.matrix, k, mesh_ctx=self.mesh_ctx,
+                chunk_size=self.chunk_size, valid_rows=self.n,
+                compute_dtype=self.dtype, mode=self.mode,
+            )
+        else:
+            scores, idx = topk_single(
+                q, self.matrix, k, chunk_size=self.chunk_size,
+                valid_rows=jnp.int32(self.n), compute_dtype=self.dtype,
+                mode=self.mode,
+            )
+        return np.asarray(scores), np.asarray(idx)
+
+    # ---- persistence (parity with faiss index save/load,
+    #      ir/search.py:246-248) -------------------------------------------
+    def save(self, path):
+        np.savez(
+            path,
+            vectors=np.asarray(self.matrix)[: self.n].astype(np.float32),
+            do_l2norm=self.do_l2norm,
+        )
+
+    @classmethod
+    def load(cls, path, **kwargs):
+        data = np.load(path if str(path).endswith(".npz") else f"{path}.npz")
+        # saved vectors are already normalized if do_l2norm was set
+        idx = cls(data["vectors"], do_l2norm=False, **kwargs)
+        idx.do_l2norm = bool(data["do_l2norm"])
+        return idx
