@@ -1,0 +1,227 @@
+"""BERT encoder (post-LN), TPU-functional.
+
+Replaces the reference's vendored HF BERT internals
+(meerqat/models/bert.py:12-327, "copied from transformers because not
+accessible otherwise"): here the encoder is a from-scratch functional JAX
+stack reused by DPR towers, the ECA/ILF multimodal encoders and the
+multi-passage reader. Weight-port from HF `BertModel` checkpoints via
+:func:`params_from_hf`.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from viquae_tpu.models import layers as L
+
+
+@dataclasses.dataclass(frozen=True)
+class BertConfig:
+    vocab_size: int = 30522
+    hidden_size: int = 768
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    intermediate_size: int = 3072
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    hidden_act: str = "gelu"
+    layer_norm_eps: float = 1e-12
+    hidden_dropout_prob: float = 0.1
+    attention_probs_dropout_prob: float = 0.1
+    add_pooler: bool = True
+
+    @classmethod
+    def from_hf(cls, hf_config, add_pooler: bool = True) -> "BertConfig":
+        return cls(
+            vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.hidden_size,
+            num_hidden_layers=hf_config.num_hidden_layers,
+            num_attention_heads=hf_config.num_attention_heads,
+            intermediate_size=hf_config.intermediate_size,
+            max_position_embeddings=hf_config.max_position_embeddings,
+            type_vocab_size=hf_config.type_vocab_size,
+            hidden_act=hf_config.hidden_act,
+            layer_norm_eps=hf_config.layer_norm_eps,
+            hidden_dropout_prob=hf_config.hidden_dropout_prob,
+            attention_probs_dropout_prob=hf_config.attention_probs_dropout_prob,
+            add_pooler=add_pooler,
+        )
+
+
+def init(key, cfg: BertConfig) -> Dict[str, Any]:
+    keys = jax.random.split(key, cfg.num_hidden_layers + 3)
+    params = {
+        "embeddings": {
+            "word": L.truncated_normal_init(
+                keys[0], (cfg.vocab_size, cfg.hidden_size)
+            ),
+            "position": L.truncated_normal_init(
+                keys[1], (cfg.max_position_embeddings, cfg.hidden_size)
+            ),
+            "token_type": L.truncated_normal_init(
+                keys[2], (cfg.type_vocab_size, cfg.hidden_size)
+            ),
+            "ln": L.layer_norm_init(cfg.hidden_size),
+        },
+        "layers": [
+            _layer_init(keys[3 + i], cfg) for i in range(cfg.num_hidden_layers)
+        ],
+    }
+    if cfg.add_pooler:
+        params["pooler"] = L.dense_init(
+            jax.random.fold_in(key, 999), cfg.hidden_size, cfg.hidden_size
+        )
+    return params
+
+
+def _layer_init(key, cfg: BertConfig):
+    k_attn, k_mlp = jax.random.split(key)
+    return {
+        "attention": L.mha_init(k_attn, cfg.hidden_size, cfg.num_attention_heads),
+        "attention_ln": L.layer_norm_init(cfg.hidden_size),
+        "mlp": L.mlp_init(k_mlp, cfg.hidden_size, cfg.intermediate_size),
+        "output_ln": L.layer_norm_init(cfg.hidden_size),
+    }
+
+
+def param_spec(cfg: BertConfig):
+    """PartitionSpec pytree for tensor parallelism over the `model` axis."""
+    spec = {
+        "embeddings": {
+            "word": P(None, None),
+            "position": P(None, None),
+            "token_type": P(None, None),
+            "ln": L.layer_norm_spec(),
+        },
+        "layers": [
+            {
+                "attention": L.mha_spec(),
+                "attention_ln": L.layer_norm_spec(),
+                "mlp": L.mlp_spec(),
+                "output_ln": L.layer_norm_spec(),
+            }
+            for _ in range(cfg.num_hidden_layers)
+        ],
+    }
+    if cfg.add_pooler:
+        spec["pooler"] = L.dense_spec()
+    return spec
+
+
+def apply(
+    params,
+    cfg: BertConfig,
+    input_ids: jnp.ndarray,
+    attention_mask: Optional[jnp.ndarray] = None,
+    token_type_ids: Optional[jnp.ndarray] = None,
+    position_ids: Optional[jnp.ndarray] = None,
+    inputs_embeds: Optional[jnp.ndarray] = None,
+    deterministic: bool = True,
+    rng=None,
+    compute_dtype=jnp.float32,
+) -> Dict[str, jnp.ndarray]:
+    """Forward pass.
+
+    Returns {"last_hidden_state": (B, L, D), "pooler_output": (B, D)?}.
+    `inputs_embeds` (B, L, D) bypasses word-embedding lookup — the seam the
+    multimodal ECA encoder uses to prepend face/image tokens (parity with
+    meerqat/models/mm.py:557-754 feeding embeddings into BertModel).
+    """
+    emb = params["embeddings"]
+    if inputs_embeds is None:
+        inputs_embeds = emb["word"][input_ids]
+    b, l = inputs_embeds.shape[:2]
+    if position_ids is None:
+        position_ids = jnp.arange(l)[None, :]
+    x = inputs_embeds + emb["position"][position_ids]
+    if token_type_ids is None:
+        token_type_ids = jnp.zeros((b, l), jnp.int32)
+    x = x + emb["token_type"][token_type_ids]
+    x = L.layer_norm(emb["ln"], x, cfg.layer_norm_eps)
+    rngs = (
+        jax.random.split(rng, 2 * cfg.num_hidden_layers + 1)
+        if rng is not None
+        else [None] * (2 * cfg.num_hidden_layers + 1)
+    )
+    x = L.dropout(x, cfg.hidden_dropout_prob, deterministic, rngs[-1])
+
+    if attention_mask is None:
+        attention_mask = jnp.ones((b, l), jnp.int32)
+    bias = L.attention_bias_from_mask(attention_mask)
+
+    for i, layer in enumerate(params["layers"]):
+        attn = L.mha(
+            layer["attention"], x, bias=bias,
+            n_heads=cfg.num_attention_heads,
+            deterministic=deterministic,
+            dropout_rate=cfg.attention_probs_dropout_prob,
+            rng=rngs[2 * i],
+            compute_dtype=compute_dtype,
+        )
+        attn = L.dropout(attn, cfg.hidden_dropout_prob, deterministic, rngs[2 * i])
+        x = L.layer_norm(layer["attention_ln"], x + attn, cfg.layer_norm_eps)
+        ff = L.mlp(layer["mlp"], x, cfg.hidden_act, compute_dtype)
+        ff = L.dropout(ff, cfg.hidden_dropout_prob, deterministic, rngs[2 * i + 1])
+        x = L.layer_norm(layer["output_ln"], x + ff, cfg.layer_norm_eps)
+
+    out = {"last_hidden_state": x}
+    if cfg.add_pooler and "pooler" in params:
+        out["pooler_output"] = jnp.tanh(L.dense(params["pooler"], x[:, 0]))
+    return out
+
+
+# --------------------------------------------------------------------------
+# HF weight port
+# --------------------------------------------------------------------------
+def params_from_hf(state_dict, cfg: BertConfig, prefix: str = "") -> Dict[str, Any]:
+    """Convert a torch `BertModel` state_dict to our param pytree.
+
+    `prefix` strips a wrapper path (e.g. "question_encoder.bert_model." for
+    DPR checkpoints). Verified numerically against torch in tests.
+    """
+    import numpy as np
+
+    def get(name):
+        t = state_dict[prefix + name]
+        return jnp.asarray(np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t))
+
+    def lin(name):
+        return {"kernel": get(f"{name}.weight").T, "bias": get(f"{name}.bias")}
+
+    def ln(name):
+        return {"scale": get(f"{name}.weight"), "bias": get(f"{name}.bias")}
+
+    params = {
+        "embeddings": {
+            "word": get("embeddings.word_embeddings.weight"),
+            "position": get("embeddings.position_embeddings.weight"),
+            "token_type": get("embeddings.token_type_embeddings.weight"),
+            "ln": ln("embeddings.LayerNorm"),
+        },
+        "layers": [],
+    }
+    for i in range(cfg.num_hidden_layers):
+        base = f"encoder.layer.{i}"
+        params["layers"].append(
+            {
+                "attention": {
+                    "q": lin(f"{base}.attention.self.query"),
+                    "k": lin(f"{base}.attention.self.key"),
+                    "v": lin(f"{base}.attention.self.value"),
+                    "o": lin(f"{base}.attention.output.dense"),
+                },
+                "attention_ln": ln(f"{base}.attention.output.LayerNorm"),
+                "mlp": {
+                    "in": lin(f"{base}.intermediate.dense"),
+                    "out": lin(f"{base}.output.dense"),
+                },
+                "output_ln": ln(f"{base}.output.LayerNorm"),
+            }
+        )
+    if cfg.add_pooler and (prefix + "pooler.dense.weight") in state_dict:
+        params["pooler"] = lin("pooler.dense")
+    return params

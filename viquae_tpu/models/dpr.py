@@ -1,0 +1,107 @@
+"""DPR question/context towers.
+
+The reference's retrieval encoders are HF `DPRQuestionEncoder` /
+`DPRContextEncoder` (meerqat/train/trainee.py:376-420, data/loading.py:176).
+A DPR tower is a BERT encoder whose embedding is the CLS-token hidden state
+(projection_dim=0 in all ViQuAE checkpoints), so here it is a thin wrapper
+over :mod:`viquae_tpu.models.bert`.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from viquae_tpu.core.config import register
+from viquae_tpu.models import bert
+
+
+@dataclasses.dataclass(frozen=True)
+class DPRConfig:
+    bert: bert.BertConfig = dataclasses.field(
+        default_factory=lambda: bert.BertConfig(add_pooler=False)
+    )
+
+
+def init(key, cfg: DPRConfig):
+    return bert.init(key, cfg.bert)
+
+
+def param_spec(cfg: DPRConfig):
+    return bert.param_spec(cfg.bert)
+
+
+def apply(
+    params,
+    cfg: DPRConfig,
+    input_ids: jnp.ndarray,
+    attention_mask: Optional[jnp.ndarray] = None,
+    token_type_ids: Optional[jnp.ndarray] = None,
+    deterministic: bool = True,
+    rng=None,
+    compute_dtype=jnp.float32,
+) -> Dict[str, jnp.ndarray]:
+    """Returns {"pooler_output": (B, D) CLS embedding, "last_hidden_state"}."""
+    out = bert.apply(
+        params, cfg.bert, input_ids,
+        attention_mask=attention_mask,
+        token_type_ids=token_type_ids,
+        deterministic=deterministic,
+        rng=rng,
+        compute_dtype=compute_dtype,
+    )
+    # DPR embedding = CLS hidden state (no tanh pooler)
+    out["pooler_output"] = out["last_hidden_state"][:, 0]
+    return out
+
+
+def params_from_hf_dpr(state_dict, cfg: DPRConfig) -> Dict[str, Any]:
+    """Port HF DPRQuestionEncoder/DPRContextEncoder weights.
+
+    HF layouts: "question_encoder.bert_model.*" / "ctx_encoder.bert_model.*"
+    (or bare "bert_model.*"). Detects the prefix automatically.
+    """
+    for prefix in (
+        "question_encoder.bert_model.",
+        "ctx_encoder.bert_model.",
+        "bert_model.",
+        "",
+    ):
+        if (prefix + "embeddings.word_embeddings.weight") in state_dict:
+            return bert.params_from_hf(state_dict, cfg.bert, prefix=prefix)
+    raise ValueError("Unrecognized DPR state_dict layout")
+
+
+@register("DPREncoder")
+class DPREncoder:
+    """Config-registry entry: a loaded DPR tower bundling (cfg, params).
+
+    Mirrors get_pretrained('DPRQuestionEncoder'/...) usage in the reference
+    configs; `from_pretrained` accepts an HF model dir/name.
+    """
+
+    def __init__(self, cfg: Optional[DPRConfig] = None, params=None, seed: int = 0):
+        self.cfg = cfg or DPRConfig()
+        self.params = (
+            params if params is not None else init(jax.random.key(seed), self.cfg)
+        )
+
+    @classmethod
+    def from_pretrained(cls, path, **kwargs):
+        import torch  # cpu-only, host-side weight loading
+        from transformers import AutoConfig
+
+        hf_cfg = AutoConfig.from_pretrained(path)
+        if hasattr(hf_cfg, "hidden_size"):
+            bcfg = bert.BertConfig.from_hf(hf_cfg, add_pooler=False)
+        cfg = DPRConfig(bert=bcfg)
+        from transformers import AutoModel
+
+        model = AutoModel.from_pretrained(path, torch_dtype=torch.float32)
+        params = params_from_hf_dpr(model.state_dict(), cfg)
+        return cls(cfg=cfg, params=params)
+
+    def __call__(self, input_ids, attention_mask=None, **kw):
+        return apply(self.params, self.cfg, input_ids, attention_mask, **kw)
