@@ -1,0 +1,69 @@
+import numpy as np
+import pytest
+
+from viquae_tpu.ops import bm25
+
+DOCS = [
+    "the quick brown fox jumps over the lazy dog",
+    "a fast auburn fox leaped over a sleepy canine",
+    "python is a programming language",
+    "the dog chased the cat around the garden",
+    "quantum computing with superconducting qubits",
+]
+
+
+@pytest.fixture(scope="module")
+def index():
+    return bm25.BM25Index.build(DOCS, k1=1.2, b=0.75)
+
+
+def test_basic_relevance(index):
+    scores, docs = index.search("quick brown fox", k=3)
+    assert docs[0] == 0
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_rare_term_beats_common(index):
+    _, docs = index.search("python programming", k=5)
+    assert docs[0] == 2
+
+
+def test_zero_hits_dropped(index):
+    scores, docs = index.search("zebra spaceship", k=5)
+    assert docs == [] and scores == []
+
+
+def test_matches_reference_formula(index):
+    # manual BM25 for doc 2, query "python"
+    tokens = [bm25.analyze(d) for d in DOCS]
+    df = sum("python" in t for t in tokens)
+    n = len(DOCS)
+    idf = np.log(1 + (n - df + 0.5) / (df + 0.5))
+    dl = len(tokens[2])
+    avgdl = np.mean([len(t) for t in tokens])
+    tf = tokens[2].count("python")
+    expected = idf * tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+    scores, docs = index.search("python", k=1)
+    assert docs == [2]
+    assert scores[0] == pytest.approx(expected, rel=1e-5)
+
+
+def test_retune_hyperparameters(index):
+    s1, _ = index.search("fox dog", k=5)
+    index.set_hyperparameters(k1=0.5, b=0.3)
+    s2, _ = index.search("fox dog", k=5)
+    assert s1 != s2
+    index.set_hyperparameters(k1=1.2, b=0.75)  # restore for other tests
+
+
+def test_save_load_roundtrip(tmp_path, index):
+    index.save(tmp_path / "bm25")
+    loaded = bm25.BM25Index.load(tmp_path / "bm25")
+    q = "lazy dog in the garden"
+    assert loaded.search(q, k=4) == index.search(q, k=4)
+
+
+def test_tie_break_by_doc_id():
+    idx = bm25.BM25Index.build(["apple pie", "apple pie", "banana"])
+    _, docs = idx.search("apple", k=2)
+    assert docs == [0, 1]

@@ -1,0 +1,181 @@
+"""End-to-end vertical slice: embed -> search -> judge -> metrics -> fuse."""
+import numpy as np
+import pytest
+
+from viquae_tpu.ir import metrics as ir_metrics
+from viquae_tpu.ir import search as ir_search
+from viquae_tpu.rankeval import Qrels, Run
+
+
+def make_kb(n=50, d=16, seed=0):
+    rng = np.random.default_rng(seed)
+    vectors = rng.standard_normal((n, d)).astype(np.float32)
+    passages = [f"passage about entity{i} with answer{i} inside" for i in range(n)]
+    return vectors, passages
+
+
+class DictDataset:
+    """Minimal stand-in for an HF dataset (column + int indexing)."""
+
+    def __init__(self, columns):
+        self.columns = columns
+        self.column_names = list(columns)
+
+    def __getitem__(self, key):
+        if isinstance(key, str):
+            return self.columns[key]
+        return {c: v[key] for c, v in self.columns.items()}
+
+    def remove_columns(self, cols):
+        return DictDataset(
+            {c: v for c, v in self.columns.items() if c not in cols}
+        )
+
+    def __len__(self):
+        return len(next(iter(self.columns.values())))
+
+
+@pytest.fixture
+def setup(devices):
+    vectors, passages = make_kb()
+    kb = DictDataset({"embedding": list(vectors), "passage": passages})
+    # queries: question i looks for entity i -> its vector is close to row i
+    q_vec = vectors[:10] + 0.01 * np.random.default_rng(1).standard_normal((10, 16)).astype(np.float32)
+    batch = {
+        "id": [f"q{i}" for i in range(10)],
+        "dense_query": [q_vec[i] for i in range(10)],
+        "output": [
+            {"original_answer": f"answer{i}", "answer": [f"answer{i}"]}
+            for i in range(10)
+        ],
+    }
+    return kb, batch
+
+
+def test_find_relevant():
+    kb = [{"passage": "the sky is blue"}, {"passage": "grass is green"}]
+    orig, rel = ir_metrics.find_relevant([0, 1], "Blue", ["green!"], kb)
+    assert orig == [0]
+    assert rel == [0, 1]
+
+
+def test_find_relevant_word_boundary():
+    kb = [{"passage": "bluebird is a bird"}]
+    orig, rel = ir_metrics.find_relevant([0], "blue", [], kb)
+    assert rel == []  # 'blue' must match as a whole word
+
+
+def test_searcher_end_to_end(setup, tmp_path):
+    kb, batch = setup
+    report, runs, qrels = ir_search.dataset_search(
+        dict(batch),
+        k=5,
+        metric_save_path=tmp_path / "out",
+        kb_kwargs={
+            "kb0": dict(
+                kb_path=kb,
+                index_kwargs={
+                    "dense": dict(column="embedding", key="dense_query",
+                                  chunk_size=512)
+                },
+            )
+        },
+        reference_kb_path=kb,
+        do_fusion=False,
+    )
+    # every query should retrieve its matching passage at rank 1
+    assert report.scores["dense"]["precision@1"] == 1.0
+    assert report.scores["dense"]["mrr@100"] == 1.0
+    # artifacts persisted
+    assert (tmp_path / "out" / "dense.json").exists()
+    assert (tmp_path / "out" / "qrels.json").exists()
+    assert (tmp_path / "out" / "metrics.json").exists()
+    # qrels built on the fly from answer matching
+    assert qrels["q0"]["0"] == 1
+
+
+def test_searcher_none_queries(setup):
+    kb, batch = setup
+    batch["dense_query"][3] = None
+    report, runs, _ = ir_search.dataset_search(
+        dict(batch), k=5,
+        kb_kwargs={"kb0": dict(kb_path=kb, index_kwargs={
+            "dense": dict(column="embedding", key="dense_query", chunk_size=512)
+        })},
+        reference_kb_path=kb, do_fusion=False,
+    )
+    assert "q3" not in runs["dense"] or runs["dense"]["q3"] == {}
+    assert report.scores["dense"]["precision@1"] == pytest.approx(0.9)
+
+
+def test_article_passage_mapping_one2many(setup, tmp_path):
+    """Search an article-level index, expand to passages with 1e-8 penalty."""
+    import json
+
+    kb, batch = setup
+    mapping = {i: [2 * i, 2 * i + 1] for i in range(50)}
+    mpath = tmp_path / "mapping.json"
+    mpath.write_text(json.dumps(mapping))
+    passages = DictDataset({
+        "passage": [
+            f"text with answer{i // 2} inside" for i in range(100)
+        ]
+    })
+    report, runs, _ = ir_search.dataset_search(
+        dict(batch), k=6,
+        kb_kwargs={"kb0": dict(
+            kb_path=kb,
+            index_mapping_path=str(mpath),
+            index_kwargs={"dense": dict(column="embedding", key="dense_query",
+                                        chunk_size=512)},
+        )},
+        reference_kb_path=passages, do_fusion=False,
+    )
+    run_q0 = runs["dense"]["q0"]
+    # article 0 expanded to passages 0 and 1, second has the penalty
+    assert "0" in run_q0 and "1" in run_q0
+    assert run_q0["0"] > run_q0["1"]
+    assert run_q0["0"] - run_q0["1"] == pytest.approx(1e-8)
+
+
+def test_many2one_max(setup, tmp_path):
+    """Passage-level index mapped back to articles, keeping max score."""
+    import json
+
+    kb, batch = setup
+    # two passages per article: passage p -> article p // 2
+    mapping = {i: [i // 2] for i in range(50)}
+    mpath = tmp_path / "mapping.json"
+    mpath.write_text(json.dumps(mapping))
+    articles = DictDataset({
+        "passage": [f"article with answer{i} inside" for i in range(25)]
+    })
+    report, runs, _ = ir_search.dataset_search(
+        dict(batch), k=5,
+        kb_kwargs={"kb0": dict(
+            kb_path=kb,
+            index_mapping_path=str(mpath),
+            many2one="max",
+            index_kwargs={"dense": dict(column="embedding", key="dense_query",
+                                        chunk_size=512)},
+        )},
+        reference_kb_path=articles, do_fusion=False,
+    )
+    assert len(runs["dense"]["q0"]) <= 5
+
+
+def test_hybrid_dense_plus_bm25(setup, tmp_path):
+    kb, batch = setup
+    batch["text_query"] = [f"tell me about entity{i}" for i in range(10)]
+    report, runs, qrels = ir_search.dataset_search(
+        dict(batch), k=5,
+        metric_save_path=tmp_path / "out",
+        kb_kwargs={"kb0": dict(kb_path=kb, index_kwargs={
+            "dense": dict(column="embedding", key="dense_query", chunk_size=512),
+            "bm25": dict(column="passage", key="text_query", kind="BM25"),
+        })},
+        reference_kb_path=kb,
+        fusion_kwargs={"subcommand": "fit", "norm": "min-max"},
+    )
+    assert report.scores["bm25"]["precision@1"] == 1.0
+    assert (tmp_path / "out" / "min-max_wsum_best_params.yaml").exists()

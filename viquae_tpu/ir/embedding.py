@@ -1,0 +1,199 @@
+"""Dataset -> embedding columns (parity with meerqat/ir/embedding.py).
+
+The reference maps a torch no-grad forward over the dataset
+(ir/embedding.py:197-272), wrapping the model in `nn.DataParallel` on
+multi-GPU (:287-288). Here the forward is one jitted, data-sharded JAX
+function: every batch is padded to a fixed (batch_size, max_length) so XLA
+compiles once, the tokenizer runs on host, and the mesh's `data` axis
+provides the DataParallel equivalent via sharding annotations.
+
+Multimodal seams kept from the reference: `map_passage_to_kb` joins
+precomputed image features from the article KB through `batch['index']`
+(:110-125) and `expand_query` appends the top-1 entity name of a visual run
+to the text query (:128-144).
+"""
+from __future__ import annotations
+
+import functools
+from pathlib import Path
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from viquae_tpu.core import mesh as meshlib
+
+
+def pad_batch(arrays: Dict[str, np.ndarray], batch_size: int
+              ) -> tuple[Dict[str, np.ndarray], int]:
+    """Pad leading dim to batch_size; returns (padded, n_real)."""
+    n = len(next(iter(arrays.values())))
+    if n == batch_size:
+        return arrays, n
+    out = {}
+    for k, v in arrays.items():
+        pad_width = [(0, batch_size - n)] + [(0, 0)] * (v.ndim - 1)
+        out[k] = np.pad(v, pad_width)
+    return out, n
+
+
+class TextEmbedder:
+    """Embeds a text column with a (params, cfg, apply) tower.
+
+    apply_fn(params, input_ids, attention_mask, token_type_ids) must return
+    a dict; `output_key` selects the embedding (default "pooler_output").
+    """
+
+    def __init__(
+        self,
+        apply_fn: Callable,
+        params,
+        tokenizer,
+        key: str = "passage",
+        save_as: str = "embedding",
+        output_key: str = "pooler_output",
+        max_length: int = 256,
+        batch_size: int = 128,
+        mesh_ctx: Optional[meshlib.MeshContext] = None,
+        compute_dtype=jnp.float32,
+        extra_input_fn: Optional[Callable] = None,
+    ):
+        self.tokenizer = tokenizer
+        self.key = key
+        self.save_as = save_as
+        self.output_key = output_key
+        self.max_length = max_length
+        self.batch_size = batch_size
+        self.mesh_ctx = mesh_ctx or meshlib.current()
+        self.extra_input_fn = extra_input_fn
+        self.params = params
+
+        data_sharding = self.mesh_ctx.batch_sharded
+        replicated = self.mesh_ctx.replicated
+
+        @functools.partial(
+            jax.jit,
+            out_shardings=replicated,
+            static_argnames=(),
+        )
+        def _forward(params, input_ids, attention_mask, token_type_ids):
+            input_ids = jax.lax.with_sharding_constraint(
+                input_ids, data_sharding
+            )
+            out = apply_fn(
+                params,
+                input_ids=input_ids,
+                attention_mask=attention_mask,
+                token_type_ids=token_type_ids,
+                deterministic=True,
+                compute_dtype=compute_dtype,
+            )
+            return out[self.output_key]
+
+        self._forward = _forward
+
+    def tokenize(self, texts) -> Dict[str, np.ndarray]:
+        enc = self.tokenizer(
+            list(texts),
+            padding="max_length",
+            truncation=True,
+            max_length=self.max_length,
+            return_tensors="np",
+        )
+        out = {
+            "input_ids": enc["input_ids"].astype(np.int32),
+            "attention_mask": enc["attention_mask"].astype(np.int32),
+            "token_type_ids": enc.get(
+                "token_type_ids",
+                np.zeros_like(enc["input_ids"]),
+            ).astype(np.int32),
+        }
+        return out
+
+    def __call__(self, batch: dict) -> dict:
+        """dataset.map(batched=True) entry — writes the `save_as` column."""
+        texts = batch[self.key]
+        if self.extra_input_fn is not None:
+            texts = self.extra_input_fn(batch, texts)
+        embeddings = self.embed_texts(texts)
+        batch[self.save_as] = embeddings
+        return batch
+
+    def embed_texts(self, texts) -> np.ndarray:
+        chunks = []
+        for start in range(0, len(texts), self.batch_size):
+            sub = texts[start: start + self.batch_size]
+            enc = self.tokenize(sub)
+            enc, n_real = pad_batch(enc, self.batch_size)
+            out = self._forward(
+                self.params,
+                jnp.asarray(enc["input_ids"]),
+                jnp.asarray(enc["attention_mask"]),
+                jnp.asarray(enc["token_type_ids"]),
+            )
+            chunks.append(np.asarray(out)[:n_real])
+        return np.concatenate(chunks, axis=0)
+
+
+def map_passage_to_kb(batch: dict, kb, features) -> Dict[str, list]:
+    """Join per-article `features` columns onto a passage batch via
+    batch['index'] (parity ir/embedding.py:110-125)."""
+    out: Dict[str, list] = {f: [] for f in features}
+    for article_index in batch["index"]:
+        article = kb[int(article_index)]
+        for f in features:
+            out[f].append(article[f])
+    return out
+
+
+def expand_query(batch: dict, visual_run, kb, key: str = "input",
+                 reference_key: str = "wikipedia_title") -> list:
+    """Append the top-1 entity name from a visual run to each query
+    (parity ir/embedding.py:128-144)."""
+    expanded = []
+    for q_id, text in zip(batch["id"], batch[key]):
+        results = visual_run[q_id] if q_id in visual_run else {}
+        if results:
+            top = max(results.items(), key=lambda kv: kv[1])[0]
+            entity = kb[int(top)][reference_key]
+            expanded.append(f"{text} {entity}")
+        else:
+            expanded.append(text)
+    return expanded
+
+
+def dataset_embed(dataset_path, embedder, output_path=None,
+                  map_kwargs: Optional[dict] = None):
+    """Load dataset, map the embedder over it, save back
+    (parity ir/embedding.py:249-272)."""
+    from datasets import load_from_disk
+
+    if isinstance(dataset_path, (str, Path)):
+        dataset = load_from_disk(str(dataset_path))
+    else:
+        dataset = dataset_path
+    dataset = dataset.map(
+        embedder, batched=True,
+        batch_size=embedder.batch_size,
+        **(map_kwargs or {}),
+    )
+    if output_path is not None:
+        dataset.save_to_disk(str(output_path))
+    elif isinstance(dataset_path, (str, Path)):
+        save_in_place(dataset, dataset_path)
+    return dataset
+
+
+def save_in_place(dataset, path):
+    """Overwrite a dataset with itself: Arrow forbids writing onto the
+    memory-mapped source dir, so write next to it and atomically swap."""
+    import shutil
+
+    path = Path(path)
+    tmp = path.with_name(path.name + ".tmp_save")
+    dataset.save_to_disk(str(tmp))
+    old = path.with_name(path.name + ".tmp_old")
+    path.rename(old)
+    tmp.rename(path)
+    shutil.rmtree(old)

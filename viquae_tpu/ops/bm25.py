@@ -1,0 +1,166 @@
+"""In-repo BM25 sparse retrieval (the Elasticsearch / pyserini replacement).
+
+The reference delegates sparse passage retrieval to an Elasticsearch server
+(meerqat/ir/search.py:268-293) or pyserini/Lucene (:251-266), with tuned
+hyperparameters b=0.3, k1=0.5 (EXPERIMENTS.rst:437). Neither Java stack is
+part of this framework: BM25 becomes an in-repo component with the same
+`search_batch` contract behind the `IndexKind` seam (SURVEY.md §2.3
+explicitly allows a CPU-side inverted index here; scoring is vectorized
+numpy over CSR postings, no per-doc Python loops).
+
+Scoring follows Lucene's BM25Similarity:
+    idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+    s(t, d) = idf(t) * tf / (tf + k1 * (1 - b + b * dl/avgdl))
+(Lucene folds the (k1+1) numerator constant away since 8.0; it does not
+change ranking. We keep it out for Lucene parity.)
+
+Analyzer: lowercase + Unicode word pieces (\\w+), approximating ES's
+`standard` analyzer (no stemming, no stopwords — matching the reference's
+index config in experiments/ir/viquae/bm25/config.json).
+"""
+from __future__ import annotations
+
+import json
+import re
+from pathlib import Path
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+_WORD = re.compile(r"\w+", re.UNICODE)
+
+
+def analyze(text: str) -> List[str]:
+    return _WORD.findall(text.lower())
+
+
+class BM25Index:
+    """CSR inverted index: postings grouped by term."""
+
+    def __init__(self, vocab: Dict[str, int], offsets, docs, tfs, doc_len,
+                 n_docs: int, k1: float = 1.2, b: float = 0.75):
+        self.vocab = vocab
+        self.offsets = offsets      # (V+1,) int64 — postings slice per term
+        self.docs = docs            # (nnz,)  int32 — doc ids
+        self.tfs = tfs              # (nnz,)  float32 — term frequencies
+        self.doc_len = doc_len      # (N,)    float32
+        self.n_docs = n_docs
+        self.k1 = k1
+        self.b = b
+        self._refresh()
+
+    def _refresh(self):
+        df = np.diff(self.offsets).astype(np.float64)
+        self.idf = np.log(
+            1.0 + (self.n_docs - df + 0.5) / (df + 0.5)
+        ).astype(np.float32)
+        avgdl = self.doc_len.mean() if len(self.doc_len) else 1.0
+        self.norm = (
+            self.k1 * (1.0 - self.b + self.b * self.doc_len / max(avgdl, 1e-9))
+        ).astype(np.float32)
+
+    def set_hyperparameters(self, k1: float = None, b: float = None):
+        """Retune b/k1 without rebuilding postings (replaces the reference's
+        ES close-index/put-settings/reopen dance, ir/hp.py:125-220)."""
+        if k1 is not None:
+            self.k1 = k1
+        if b is not None:
+            self.b = b
+        self._refresh()
+
+    # ---- construction --------------------------------------------------
+    @classmethod
+    def build(cls, texts: Sequence[str], k1: float = 1.2, b: float = 0.75
+              ) -> "BM25Index":
+        vocab: Dict[str, int] = {}
+        term_ids: List[np.ndarray] = []
+        term_tfs: List[np.ndarray] = []
+        doc_len = np.zeros(len(texts), np.float32)
+        for d, text in enumerate(texts):
+            tokens = analyze(text)
+            doc_len[d] = len(tokens)
+            counts: Dict[int, int] = {}
+            for tok in tokens:
+                tid = vocab.setdefault(tok, len(vocab))
+                counts[tid] = counts.get(tid, 0) + 1
+            term_ids.append(np.fromiter(counts.keys(), np.int64, len(counts)))
+            term_tfs.append(
+                np.fromiter(counts.values(), np.float32, len(counts))
+            )
+        # flatten (doc-major) then convert to term-major CSR via argsort
+        doc_of = np.concatenate(
+            [np.full(len(t), d, np.int32) for d, t in enumerate(term_ids)]
+        ) if term_ids else np.zeros(0, np.int32)
+        tid_flat = (
+            np.concatenate(term_ids) if term_ids else np.zeros(0, np.int64)
+        )
+        tf_flat = (
+            np.concatenate(term_tfs) if term_tfs else np.zeros(0, np.float32)
+        )
+        order = np.argsort(tid_flat, kind="stable")
+        docs = doc_of[order]
+        tfs = tf_flat[order]
+        counts_per_term = np.bincount(tid_flat, minlength=len(vocab))
+        offsets = np.zeros(len(vocab) + 1, np.int64)
+        np.cumsum(counts_per_term, out=offsets[1:])
+        return cls(vocab, offsets, docs, tfs, doc_len, len(texts), k1, b)
+
+    # ---- search --------------------------------------------------------
+    def search(self, query: str, k: int = 100) -> Tuple[List[float], List[int]]:
+        scores = np.zeros(self.n_docs, np.float32)
+        q_counts: Dict[int, int] = {}
+        for tok in analyze(query):
+            tid = self.vocab.get(tok)
+            if tid is not None:
+                q_counts[tid] = q_counts.get(tid, 0) + 1
+        for tid, qtf in q_counts.items():
+            lo, hi = self.offsets[tid], self.offsets[tid + 1]
+            docs = self.docs[lo:hi]
+            tf = self.tfs[lo:hi]
+            contrib = self.idf[tid] * qtf * tf / (tf + self.norm[docs])
+            scores[docs] += contrib
+        k = min(k, self.n_docs)
+        # ties broken by ascending doc id (FAISS/rankeval contract)
+        cand = np.argpartition(-scores, kth=k - 1)[: max(k * 4, k)]
+        cand = cand[np.lexsort((cand, -scores[cand]))][:k]
+        # drop zero-score docs (not retrieved)
+        keep = scores[cand] > 0
+        cand = cand[keep]
+        return scores[cand].tolist(), cand.tolist()
+
+    def search_batch(self, queries: Sequence[str], k: int = 100
+                     ) -> Tuple[List[List[float]], List[List[int]]]:
+        scores_batch, indices_batch = [], []
+        for q in queries:
+            s, i = self.search(q, k=k)
+            scores_batch.append(s)
+            indices_batch.append(i)
+        return scores_batch, indices_batch
+
+    # ---- persistence ---------------------------------------------------
+    def save(self, path):
+        path = Path(path)
+        path.mkdir(parents=True, exist_ok=True)
+        np.savez_compressed(
+            path / "postings.npz",
+            offsets=self.offsets, docs=self.docs, tfs=self.tfs,
+            doc_len=self.doc_len,
+            meta=np.array([self.n_docs, self.k1, self.b], np.float64),
+        )
+        with open(path / "vocab.json", "w") as f:
+            json.dump(self.vocab, f)
+
+    @classmethod
+    def load(cls, path, **hyper) -> "BM25Index":
+        path = Path(path)
+        data = np.load(path / "postings.npz")
+        with open(path / "vocab.json") as f:
+            vocab = json.load(f)
+        n_docs, k1, b = data["meta"]
+        idx = cls(
+            vocab, data["offsets"], data["docs"], data["tfs"],
+            data["doc_len"], int(n_docs), k1=float(k1), b=float(b),
+        )
+        if hyper:
+            idx.set_hyperparameters(**hyper)
+        return idx
