@@ -1,0 +1,193 @@
+"""Training harness: optimizer, objectives, loop, checkpoint/resume."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from viquae_tpu.core import mesh as meshlib
+from viquae_tpu.models import bert, dpr
+from viquae_tpu.train import checkpoint as ckpt_lib
+from viquae_tpu.train import metrics as tmetrics
+from viquae_tpu.train import objectives, optim
+from viquae_tpu.train.trainer import Trainer, TrainerConfig
+
+TINY = dict(
+    vocab_size=50, hidden_size=16, num_hidden_layers=2,
+    num_attention_heads=2, intermediate_size=32,
+    max_position_embeddings=32, add_pooler=False,
+)
+
+
+def test_linear_warmup_schedule():
+    sched = optim.linear_warmup_schedule(1.0, warmup_steps=10, total_steps=100)
+    assert float(sched(0)) == 0.0
+    assert float(sched(5)) == pytest.approx(0.5)
+    assert float(sched(10)) == pytest.approx(1.0)
+    assert float(sched(55)) == pytest.approx(0.5)
+    assert float(sched(100)) == pytest.approx(0.0)
+
+
+def test_multi_passage_rc_loss_matches_torch_reference():
+    """Parity with the reference formula (meerqat/train/optim.py:42-87),
+    re-implemented here in torch as the oracle."""
+    import torch
+
+    n, m, L, A = 2, 3, 12, 2
+    rng = np.random.default_rng(0)
+    start_logits = rng.standard_normal((n * m, L)).astype(np.float32)
+    end_logits = rng.standard_normal((n * m, L)).astype(np.float32)
+    start_pos = rng.integers(0, L, (n * m, A))
+    end_pos = rng.integers(0, L, (n * m, A))
+    mask = rng.integers(0, 2, (n * m, A))
+
+    # ---- torch oracle (reference formula) ----
+    t_sl = torch.tensor(start_logits).view(n, m * L)
+    t_el = torch.tensor(end_logits).view(n, m * L)
+    slp = torch.log_softmax(t_sl, 1).view(n * m, L)
+    elp = torch.log_softmax(t_el, 1).view(n * m, L)
+    loss_fct = torch.nn.NLLLoss(reduction="none", ignore_index=L)
+    sp = torch.tensor(start_pos).clamp(0, L)
+    ep = torch.tensor(end_pos).clamp(0, L)
+    am = torch.tensor(mask, dtype=torch.float32)
+    start_losses = [
+        loss_fct(slp, sp[:, a]) * am[:, a] for a in range(A)
+    ]
+    end_losses = [loss_fct(elp, ep[:, a]) * am[:, a] for a in range(A)]
+    loss_tensor = torch.stack(start_losses, 1) + torch.stack(end_losses, 1)
+    loss_tensor = loss_tensor.view(n, -1)
+    marginal = torch.sum(
+        torch.exp(-loss_tensor - 1e10 * (loss_tensor == 0).float()), 1
+    )
+    expected = -torch.mean(
+        torch.log(marginal + (marginal == 0).float())
+    ).item()
+
+    loss, _, _ = optim.multi_passage_rc_loss(
+        jnp.asarray(start_logits), jnp.asarray(end_logits),
+        jnp.asarray(start_pos), jnp.asarray(end_pos), jnp.asarray(mask),
+        m_passages=m,
+    )
+    assert float(loss) == pytest.approx(expected, rel=1e-5)
+
+
+def test_biencoder_loss_and_ignore_index():
+    q = jnp.eye(4, 8)
+    ctx = jnp.concatenate([jnp.eye(4, 8), 0.1 * jnp.ones((4, 8))])
+    labels = jnp.array([0, 1, 2, objectives.IGNORE_INDEX])
+    loss, aux = objectives.biencoder_loss(q, ctx, labels)
+    assert np.isfinite(float(loss))
+    m = tmetrics.batch_retrieval(np.asarray(aux["log_probs"]), np.asarray(labels))
+    assert m["ignored_predictions"] == 1
+    acc = tmetrics.accumulate_batch_metrics([m])
+    assert acc["hits@1"] == 1.0  # identity similarities rank correct first
+
+
+def test_squad_metrics():
+    out = tmetrics.squad(["the Cat", "dog"], [["cat!", "kitten"], ["bird"]])
+    assert out["exact_match"] == pytest.approx(0.5)
+    # note: 'a' is an article and is stripped by answer_preprocess
+    per_q = tmetrics.squad_per_question(["x b c"], [["x b d"]])
+    assert per_q["f1"][0] == pytest.approx(2 / 3)
+
+
+def test_freeze_mask():
+    params = {"encoder": {"kernel": jnp.ones((2, 2))}, "head": {"kernel": jnp.ones(2)}}
+    mask = optim.freeze_mask(params, r"encoder\.")
+    assert mask["encoder"]["kernel"] is False
+    assert mask["head"]["kernel"] is True
+
+
+@pytest.fixture(scope="module")
+def biencoder_setup():
+    cfg = dpr.DPRConfig(bert=bert.BertConfig(**TINY))
+    key = jax.random.key(0)
+    params = {
+        "question": dpr.init(jax.random.fold_in(key, 0), cfg),
+        "context": dpr.init(jax.random.fold_in(key, 1), cfg),
+    }
+
+    def loss_fn(params, batch, rng):
+        q = dpr.apply(params["question"], cfg, batch["q_ids"],
+                      batch["q_mask"], deterministic=True)["pooler_output"]
+        c = dpr.apply(params["context"], cfg, batch["c_ids"],
+                      batch["c_mask"], deterministic=True)["pooler_output"]
+        return objectives.biencoder_loss(q, c, batch["labels"])
+
+    def make_batch(seed):
+        rng = np.random.default_rng(seed)
+        n, m, L = 8, 2, 12
+        # questions share tokens with their relevant context
+        q_ids = rng.integers(5, 50, (n, L))
+        c_ids = rng.integers(5, 50, (n * m, L))
+        for i in range(n):
+            c_ids[m * i, :6] = q_ids[i, :6]  # relevant = passage m*i
+        return {
+            "q_ids": q_ids.astype(np.int32),
+            "q_mask": np.ones((n, L), np.int32),
+            "c_ids": c_ids.astype(np.int32),
+            "c_mask": np.ones((n * m, L), np.int32),
+            "labels": (np.arange(n) * m).astype(np.int32),
+        }
+
+    return cfg, params, loss_fn, make_batch
+
+
+def test_train_loop_loss_decreases(biencoder_setup, devices, tmp_path):
+    cfg, params, loss_fn, make_batch = biencoder_setup
+    ctx = meshlib.make_mesh(data=4, model=2, kb=1)
+    tx = optim.make_optimizer(params, lr=5e-3, warmup_steps=2, total_steps=60)
+    spec = {
+        "question": dpr.param_spec(cfg),
+        "context": dpr.param_spec(cfg),
+    }
+    with meshlib.use(ctx):
+        trainer = Trainer(
+            loss_fn, params, tx,
+            TrainerConfig(max_steps=40, log_every=5,
+                          ckpt_dir=str(tmp_path / "ckpt"), ckpt_every=20),
+            mesh_ctx=ctx, param_spec=spec,
+        )
+        result = trainer.fit([make_batch(s) for s in range(8)])
+    losses = [h["loss"] for h in result["history"] if "loss" in h]
+    assert losses[-1] < losses[0] * 0.8, losses
+    assert result["final_step"] == 40
+    assert (tmp_path / "ckpt" / "step_40").exists()
+    assert (tmp_path / "ckpt" / "log.jsonl").exists()
+
+
+def test_checkpoint_resume(biencoder_setup, devices, tmp_path):
+    cfg, params, loss_fn, make_batch = biencoder_setup
+    ctx = meshlib.make_mesh(data=8)
+    tx = optim.make_optimizer(params, lr=1e-3, total_steps=20)
+    batches = [make_batch(s) for s in range(4)]
+    with meshlib.use(ctx):
+        t1 = Trainer(loss_fn, params, tx,
+                     TrainerConfig(max_steps=10, ckpt_dir=str(tmp_path / "c"),
+                                   ckpt_every=10, log_every=1),
+                     mesh_ctx=ctx)
+        t1.fit(batches)
+        # resume to 20
+        t2 = Trainer(loss_fn, params, tx,
+                     TrainerConfig(max_steps=20, ckpt_dir=str(tmp_path / "c"),
+                                   ckpt_every=10, log_every=1),
+                     mesh_ctx=ctx)
+        out = t2.fit(batches, resume=True)
+        assert out["final_step"] == 20
+        # straight 20-step run from the same init must match exactly
+        t3 = Trainer(loss_fn, params, tx,
+                     TrainerConfig(max_steps=20, log_every=1), mesh_ctx=ctx)
+        out3 = t3.fit(batches)
+    l2 = [h["loss"] for h in out["history"] if "loss" in h]
+    l3 = [h["loss"] for h in out3["history"] if "loss" in h][-len(l2):]
+    np.testing.assert_allclose(l2, l3, rtol=1e-4)
+
+
+def test_export_import_params(tmp_path, biencoder_setup):
+    _, params, _, _ = biencoder_setup
+    ckpt_lib.export_params(tmp_path / "enc", params["question"], {"a": 1})
+    restored = ckpt_lib.import_params(tmp_path / "enc", params["question"])
+    ref = jax.tree_util.tree_leaves(params["question"])
+    got = jax.tree_util.tree_leaves(restored)
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -1,0 +1,157 @@
+"""Optimizer, LR schedule and the multi-passage reading-comprehension loss.
+
+Parity with meerqat/train/optim.py:
+- :func:`linear_warmup_schedule` <- `LinearLRWithWarmup` (:7-29)
+- :func:`multi_passage_rc_loss`  <- (:42-87): (N*M, L) start/end logits get
+  ONE softmax shared across the M passages of a question (reshape to
+  (N, M*L)), per-answer-occurrence NLL, marginal log-likelihood with mean
+  reduction (`_calc_mml`, :32-40), legacy `max_pooling` flag.
+The AdamW + weight-decay-mask + freeze-regex + grad-clip stack of
+trainee.py:131-162 becomes one optax chain.
+"""
+from __future__ import annotations
+
+import re
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def linear_warmup_schedule(lr: float, warmup_steps: int, total_steps: int):
+    """Linear 0->lr over warmup_steps then linear lr->0 at total_steps."""
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = step / jnp.maximum(1.0, warmup_steps)
+        decay = (total_steps - step) / jnp.maximum(
+            1.0, total_steps - warmup_steps
+        )
+        return lr * jnp.clip(jnp.where(step < warmup_steps, warm, decay), 0.0)
+
+    return schedule
+
+
+def _path_name(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+        else:
+            parts.append(str(p))
+    return ".".join(parts)
+
+
+def no_decay_mask(params):
+    """True where weight decay applies (not biases / LayerNorm), matching
+    HF/torch AdamW conventions used by the reference."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: not re.search(r"(bias|scale|ln\b|LayerNorm)", _path_name(path)),
+        params,
+    )
+
+
+def freeze_mask(params, freeze_regex: Optional[str]):
+    """True where trainable (parity: Trainee.freeze, trainee.py:131-146)."""
+    if freeze_regex is None:
+        return jax.tree_util.tree_map(lambda _: True, params)
+    pattern = re.compile(freeze_regex)
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: pattern.match(_path_name(path)) is None, params
+    )
+
+
+def make_optimizer(
+    params,
+    lr: float = 2e-5,
+    betas: Tuple[float, float] = (0.9, 0.999),
+    eps: float = 1e-8,
+    weight_decay: float = 0.0,
+    warmup_steps: int = 0,
+    total_steps: int = 10_000,
+    grad_clip: Optional[float] = None,
+    freeze_regex: Optional[str] = None,
+) -> optax.GradientTransformation:
+    schedule = linear_warmup_schedule(lr, warmup_steps, total_steps)
+    chain = []
+    if grad_clip:
+        chain.append(optax.clip_by_global_norm(grad_clip))
+    chain.append(
+        optax.adamw(
+            schedule, b1=betas[0], b2=betas[1], eps=eps,
+            weight_decay=weight_decay, mask=no_decay_mask(params),
+        )
+    )
+    tx = optax.chain(*chain)
+    if freeze_regex is not None:
+        mask = freeze_mask(params, freeze_regex)
+        tx = optax.multi_transform(
+            {"train": tx, "freeze": optax.set_to_zero()},
+            jax.tree_util.tree_map(
+                lambda trainable: "train" if trainable else "freeze", mask
+            ),
+        )
+    return tx
+
+
+# --------------------------------------------------------------------------
+# multi-passage extractive-reader loss
+# --------------------------------------------------------------------------
+def multi_passage_rc_loss(
+    start_logits: jnp.ndarray,     # (N*M, L)
+    end_logits: jnp.ndarray,       # (N*M, L)
+    start_positions: jnp.ndarray,  # (N*M, A) token positions (A = max answers)
+    end_positions: jnp.ndarray,    # (N*M, A)
+    answer_mask: jnp.ndarray,      # (N*M, A) 1 for real answer occurrences
+    m_passages: int,
+    max_pooling: bool = False,
+):
+    """Marginal log-likelihood over all answer occurrences with a global
+    softmax across each question's M passages.
+
+    Returns (loss, start_log_probs (N*M, L), end_log_probs (N*M, L)).
+    """
+    nm, length = start_logits.shape
+    m = m_passages
+    n = nm // m
+    ignored_index = length
+    start_positions = jnp.clip(start_positions, 0, ignored_index)
+    end_positions = jnp.clip(end_positions, 0, ignored_index)
+
+    # shared softmax across the M passages of each question
+    start_lp = jax.nn.log_softmax(
+        start_logits.reshape(n, m * length), axis=1
+    ).reshape(nm, length)
+    end_lp = jax.nn.log_softmax(
+        end_logits.reshape(n, m * length), axis=1
+    ).reshape(nm, length)
+
+    def nll(log_probs, positions):
+        # positions == ignored_index -> 0 loss (parity: NLLLoss ignore_index)
+        padded = jnp.concatenate(
+            [log_probs, jnp.zeros((nm, 1), log_probs.dtype)], axis=1
+        )
+        picked = jnp.take_along_axis(padded, positions, axis=1)  # (N*M, A)
+        valid = positions < ignored_index
+        return -picked * valid
+
+    span_mask = answer_mask.astype(jnp.float32)
+    loss_tensor = (
+        nll(start_lp, start_positions) + nll(end_lp, end_positions)
+    ) * span_mask  # (N*M, A)
+
+    if max_pooling:  # legacy ViQuAE-paper behavior
+        loss_tensor = loss_tensor.reshape(n, m, -1).max(axis=1)
+    else:
+        loss_tensor = loss_tensor.reshape(n, -1)
+
+    # _calc_mml parity: zero-loss entries are excluded from the marginal via
+    # the -1e10 trick; all-zero rows contribute log(1) = 0
+    marginal = jnp.sum(
+        jnp.exp(-loss_tensor - 1e10 * (loss_tensor == 0)), axis=1
+    )
+    loss = -jnp.mean(jnp.log(marginal + (marginal == 0)))
+    return loss, start_lp, end_lp

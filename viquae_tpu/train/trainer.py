@@ -1,0 +1,239 @@
+"""The training engine.
+
+Replaces the reference's LightningCLI/Trainer stack
+(meerqat/train/trainer.py:30-38 + Lightning internals) with one explicit
+SPMD loop: a single jitted train step over the framework mesh, where
+
+- the batch is sharded over the `data` axis (DDP parity — gradient sync is
+  implicit in sharded autodiff),
+- params may be sharded over the `model` axis (TP; absent in the reference),
+- rematerialization (`jax.checkpoint`) replaces torch gradient checkpointing
+  (trainee.py:168-196),
+- orbax checkpoints + monitor-based best-keeping replace ModelCheckpoint /
+  EarlyStopping (experiments/rc/viquae/config.yaml:6-18),
+- metrics stream to a JSONL log instead of TensorBoard.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from pathlib import Path
+from typing import Any, Callable, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from viquae_tpu.core import mesh as meshlib
+from viquae_tpu.core.prng import DEFAULT_SEED, SeedBundle
+from viquae_tpu.train import checkpoint as ckpt_lib
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    max_steps: int = 1000
+    eval_every: int = 0              # 0 = no periodic eval
+    log_every: int = 10
+    ckpt_every: int = 0              # 0 = only final
+    ckpt_dir: Optional[str] = None
+    keep_ckpts: Optional[int] = None
+    monitor: Optional[str] = None    # eval metric name for best/earlystop
+    monitor_mode: str = "max"
+    early_stop_patience: Optional[int] = None  # in eval rounds
+    seed: int = DEFAULT_SEED
+    grad_accum: int = 1
+
+
+class Trainer:
+    """Drives a loss function over batches.
+
+    loss_fn(params, batch, rng) -> (loss, aux_dict). Batches are dicts of
+    numpy arrays with LEADING GLOBAL batch dim; the trainer shards them over
+    `data` and keeps params per `param_spec` (replicated by default).
+    """
+
+    def __init__(
+        self,
+        loss_fn: Callable,
+        params,
+        optimizer: optax.GradientTransformation,
+        config: TrainerConfig = TrainerConfig(),
+        mesh_ctx: Optional[meshlib.MeshContext] = None,
+        param_spec=None,
+        eval_fn: Optional[Callable] = None,
+        batch_spec: Optional[dict] = None,
+    ):
+        self.cfg = config
+        self.mesh_ctx = mesh_ctx or meshlib.current()
+        self.loss_fn = loss_fn
+        self.eval_fn = eval_fn
+        self.tx = optimizer
+        self.seeds = SeedBundle(config.seed)
+        self.history: list = []
+
+        ctx = self.mesh_ctx
+        if param_spec is not None:
+            params = jax.tree_util.tree_map(
+                lambda p, s: jax.device_put(p, ctx.sharding(*s)),
+                params, param_spec,
+                is_leaf=lambda x: isinstance(x, jax.sharding.PartitionSpec),
+            )
+        else:
+            params = jax.device_put(params, ctx.replicated)
+        self.state = {
+            "params": params,
+            "opt_state": self.tx.init(params),
+            "step": jnp.zeros((), jnp.int32),
+        }
+        self._batch_sharding = (
+            batch_spec or {}
+        )  # key -> PartitionSpec; default data-sharded leading dim
+
+        @jax.jit
+        def train_step(state, batch, rng):
+            def compute_loss(params):
+                loss, aux = self.loss_fn(params, batch, rng)
+                return loss, aux
+
+            (loss, aux), grads = jax.value_and_grad(
+                compute_loss, has_aux=True
+            )(state["params"])
+            updates, opt_state = self.tx.update(
+                grads, state["opt_state"], state["params"]
+            )
+            new_params = optax.apply_updates(state["params"], updates)
+            metrics = {
+                "loss": loss,
+                "grad_norm": optax.global_norm(grads),
+            }
+            new_state = {
+                "params": new_params,
+                "opt_state": opt_state,
+                "step": state["step"] + 1,
+            }
+            return new_state, metrics, aux
+
+        self._train_step = train_step
+
+    # ------------------------------------------------------------------
+    def _shard_batch(self, batch: Dict[str, np.ndarray]):
+        ctx = self.mesh_ctx
+        out = {}
+        for k, v in batch.items():
+            arr = jnp.asarray(v)
+            spec = self._batch_sharding.get(k)
+            sharding = (
+                ctx.sharding(*spec) if spec is not None else ctx.batch_sharded
+            )
+            out[k] = jax.device_put(arr, sharding)
+        return out
+
+    def fit(
+        self,
+        train_batches: Iterable[Dict[str, np.ndarray]],
+        eval_batches: Optional[Callable[[], Iterable]] = None,
+        resume: bool = False,
+    ) -> Dict[str, Any]:
+        cfg = self.cfg
+        start_step = 0
+        if resume and cfg.ckpt_dir and ckpt_lib.all_steps(cfg.ckpt_dir):
+            self.state, start_step = ckpt_lib.restore_state(
+                cfg.ckpt_dir, self.state
+            )
+        best_metric, best_step, since_best = None, None, 0
+        t0 = time.time()
+        step = start_step
+        train_iter = iter(train_batches)
+        # fast-forward the data stream so a resumed run sees the same batch
+        # sequence as an uninterrupted one
+        for _ in range(start_step):
+            try:
+                next(train_iter)
+            except StopIteration:
+                train_iter = iter(train_batches)
+                next(train_iter)
+        while step < cfg.max_steps:
+            try:
+                batch = next(train_iter)
+            except StopIteration:
+                train_iter = iter(train_batches)
+                batch = next(train_iter)
+            rng = self.seeds.split(f"step{step}")
+            self.state, metrics, _ = self._train_step(
+                self.state, self._shard_batch(batch), rng
+            )
+            step += 1
+            if cfg.log_every and step % cfg.log_every == 0:
+                entry = {
+                    "step": step,
+                    "loss": float(metrics["loss"]),
+                    "grad_norm": float(metrics["grad_norm"]),
+                    "elapsed_s": round(time.time() - t0, 3),
+                }
+                self.history.append(entry)
+                self._log(entry)
+            if cfg.ckpt_every and cfg.ckpt_dir and step % cfg.ckpt_every == 0:
+                ckpt_lib.save_state(
+                    cfg.ckpt_dir, self.state, step, keep=cfg.keep_ckpts
+                )
+            if cfg.eval_every and step % cfg.eval_every == 0 and eval_batches:
+                eval_metrics = self.evaluate(eval_batches())
+                entry = {"step": step, **{f"eval/{k}": v for k, v in eval_metrics.items()}}
+                self.history.append(entry)
+                self._log(entry)
+                if cfg.monitor:
+                    current = eval_metrics[cfg.monitor]
+                    better = (
+                        best_metric is None
+                        or (cfg.monitor_mode == "max" and current > best_metric)
+                        or (cfg.monitor_mode == "min" and current < best_metric)
+                    )
+                    if better:
+                        best_metric, best_step, since_best = current, step, 0
+                        if cfg.ckpt_dir:
+                            ckpt_lib.save_state(
+                                Path(cfg.ckpt_dir) / "best", self.state, step
+                            )
+                    else:
+                        since_best += 1
+                        if (
+                            cfg.early_stop_patience
+                            and since_best >= cfg.early_stop_patience
+                        ):
+                            break
+        if cfg.ckpt_dir:
+            ckpt_lib.save_state(
+                cfg.ckpt_dir, self.state, step, keep=cfg.keep_ckpts
+            )
+        return {
+            "final_step": step,
+            "best_metric": best_metric,
+            "best_step": best_step,
+            "history": self.history,
+        }
+
+    def evaluate(self, eval_batches: Iterable) -> Dict[str, float]:
+        """Mean loss + eval_fn aggregation over batches (no grad)."""
+        outputs = []
+        losses = []
+        for batch in eval_batches:
+            rng = self.seeds.split("eval")
+            loss, aux = jax.jit(self.loss_fn)(
+                self.state["params"], self._shard_batch(batch), rng
+            )
+            losses.append(float(loss))
+            outputs.append(aux)
+        metrics = {"loss": float(np.mean(losses))}
+        if self.eval_fn is not None:
+            metrics.update(self.eval_fn(outputs))
+        return metrics
+
+    def _log(self, entry: dict):
+        print(json.dumps(entry))
+        if self.cfg.ckpt_dir:
+            path = Path(self.cfg.ckpt_dir)
+            path.mkdir(parents=True, exist_ok=True)
+            with open(path / "log.jsonl", "a") as f:
+                f.write(json.dumps(entry) + "\n")
