@@ -111,10 +111,18 @@ def _select_topk(scores: jnp.ndarray, k: int, mode: str):
 def _chunk_topk(q, chunk, base_index: jnp.ndarray, k: int, valid_rows: int,
                 compute_dtype, mode: str):
     """Top-k of q @ chunk.T with global indices; padded rows masked out."""
+    # fp32 inputs must use HIGHEST precision: the TPU default lowers f32
+    # matmuls to one-pass bf16, which breaks FAISS-flat score parity
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if compute_dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
     scores = jnp.dot(
         q.astype(compute_dtype),
         chunk.astype(compute_dtype).T,
         preferred_element_type=jnp.float32,
+        precision=precision,
     )
     row_ids = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
     scores = jnp.where(row_ids < valid_rows, scores, NEG_INF)
