@@ -1,0 +1,306 @@
+"""Image ops + ResNet + CLIP numerical parity tests (torch-cpu oracles)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from viquae_tpu.models import clip as clip_lib
+from viquae_tpu.models import resnet as resnet_lib
+from viquae_tpu.ops import image as image_ops
+
+
+# --------------------------------------------------------------------------
+# image ops
+# --------------------------------------------------------------------------
+def test_preprocess_shapes_and_stats():
+    imgs = jnp.asarray(
+        np.random.default_rng(0).integers(0, 256, (2, 64, 48, 3)), jnp.uint8
+    )
+    out = image_ops.preprocess(imgs, size=32, kind="clip")
+    assert out.shape == (2, 32, 32, 3)
+    out = image_ops.preprocess(imgs, size=32, kind="imagenet")
+    assert out.shape == (2, 32, 32, 3)
+    out = image_ops.preprocess(imgs, size=16, kind="face")
+    assert out.shape == (2, 16, 16, 3)
+    # face normalization maps [0,1] -> [-1,1]
+    assert float(out.min()) >= -1.001 and float(out.max()) <= 1.001
+
+
+def test_umeyama_recovers_known_similarity():
+    # exact similarity transform (scale+rotation+translation) must be
+    # recovered from noiseless correspondences
+    rng = np.random.default_rng(0)
+    src = rng.uniform(0, 100, (5, 2)).astype(np.float32)
+    scale, theta = 1.3, 0.4
+    rot = scale * np.array([
+        [np.cos(theta), -np.sin(theta)], [np.sin(theta), np.cos(theta)]
+    ])
+    trans = np.array([10.0, -5.0])
+    truth = np.concatenate([rot, trans[:, None]], axis=1).astype(np.float32)
+    dst = src @ rot.T + trans
+    ours = np.asarray(image_ops.umeyama_similarity(
+        jnp.asarray(src), jnp.asarray(dst.astype(np.float32))))
+    np.testing.assert_allclose(ours, truth, atol=1e-3)
+    # and agrees with cv2's least-squares similarity estimator
+    import cv2
+
+    ref, _ = cv2.estimateAffinePartial2D(
+        src.reshape(-1, 1, 2), dst.astype(np.float32).reshape(-1, 1, 2),
+        method=cv2.LMEDS,
+    )
+    np.testing.assert_allclose(ours, ref, atol=1e-2)
+
+
+def test_affine_warp_matches_cv2():
+    import cv2
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 1, (40, 50, 3)).astype(np.float32)
+    matrix = np.array([[0.9, 0.1, 3.0], [-0.1, 0.9, 2.0]], np.float32)
+    ref = cv2.warpAffine(
+        img, matrix, (30, 25),
+        flags=cv2.INTER_LINEAR | cv2.WARP_INVERSE_MAP, borderValue=0.0,
+    )
+    ours = np.asarray(image_ops.affine_warp(
+        jnp.asarray(img), jnp.asarray(matrix), (25, 30)))
+    # interiors match; borders differ by sampling convention
+    np.testing.assert_allclose(ours[2:-2, 2:-2], ref[2:-2, 2:-2], atol=2e-2)
+
+
+def test_scale_box():
+    boxes = jnp.asarray([[10.0, 20.0, 30.0, 60.0]])
+    out = np.asarray(image_ops.scale_box(boxes, 100, 200))
+    np.testing.assert_allclose(
+        out[0], [0.1, 0.1, 0.3, 0.3, 0.2, 0.2, 0.04], atol=1e-6
+    )
+
+
+# --------------------------------------------------------------------------
+# ResNet-50 vs a faithful torchvision-style torch oracle
+# --------------------------------------------------------------------------
+def _torch_resnet(cfg):
+    """Compact torchvision-equivalent bottleneck ResNet (the oracle)."""
+    import torch
+    import torch.nn as nn
+
+    class Bottleneck(nn.Module):
+        def __init__(self, cin, planes, stride):
+            super().__init__()
+            self.conv1 = nn.Conv2d(cin, planes, 1, bias=False)
+            self.bn1 = nn.BatchNorm2d(planes)
+            self.conv2 = nn.Conv2d(planes, planes, 3, stride, 1, bias=False)
+            self.bn2 = nn.BatchNorm2d(planes)
+            self.conv3 = nn.Conv2d(planes, planes * 4, 1, bias=False)
+            self.bn3 = nn.BatchNorm2d(planes * 4)
+            self.downsample = None
+            if stride != 1 or cin != planes * 4:
+                self.downsample = nn.Sequential(
+                    nn.Conv2d(cin, planes * 4, 1, stride, bias=False),
+                    nn.BatchNorm2d(planes * 4),
+                )
+            self.relu = nn.ReLU()
+
+        def forward(self, x):
+            out = self.relu(self.bn1(self.conv1(x)))
+            out = self.relu(self.bn2(self.conv2(out)))
+            out = self.bn3(self.conv3(out))
+            identity = x if self.downsample is None else self.downsample(x)
+            return self.relu(out + identity)
+
+    class Net(nn.Module):
+        def __init__(self):
+            super().__init__()
+            w = cfg.width
+            self.conv1 = nn.Conv2d(3, w, 7, 2, 3, bias=False)
+            self.bn1 = nn.BatchNorm2d(w)
+            self.relu = nn.ReLU()
+            self.maxpool = nn.MaxPool2d(3, 2, 1)
+            cin = w
+            for stage, n in enumerate(cfg.stage_sizes):
+                planes = w * 2 ** stage
+                blocks = []
+                for b in range(n):
+                    stride = 2 if (stage > 0 and b == 0) else 1
+                    blocks.append(Bottleneck(cin, planes, stride))
+                    cin = planes * 4
+                setattr(self, f"layer{stage + 1}", nn.Sequential(*blocks))
+
+        def forward(self, x):
+            x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+            for stage in range(len(cfg.stage_sizes)):
+                x = getattr(self, f"layer{stage + 1}")(x)
+            return x.mean(dim=(2, 3))
+
+    return Net()
+
+
+def test_resnet_matches_torch_oracle():
+    import torch
+
+    cfg = resnet_lib.ResNetConfig(stage_sizes=(2, 2), width=8)
+    torch.manual_seed(0)
+    oracle = _torch_resnet(cfg).eval()
+    # randomize BN stats so the test catches mean/var mix-ups
+    with torch.no_grad():
+        for m in oracle.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.2, 0.2)
+                m.running_var.uniform_(0.5, 1.5)
+                m.weight.uniform_(0.5, 1.5)
+                m.bias.uniform_(-0.2, 0.2)
+    params = resnet_lib.params_from_torchvision(oracle.state_dict(), cfg)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = oracle(torch.tensor(x.transpose(0, 3, 1, 2))).numpy()
+    out = np.asarray(resnet_lib.apply(params, cfg, jnp.asarray(x)))
+    np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-3)
+
+
+# --------------------------------------------------------------------------
+# CLIP ViT + text vs HF CLIPModel
+# --------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def hf_clip():
+    import torch
+    from transformers import CLIPConfig, CLIPModel, CLIPTextConfig, CLIPVisionConfig
+
+    torch.manual_seed(0)
+    cfg = CLIPConfig.from_text_vision_configs(
+        CLIPTextConfig(
+            vocab_size=99, hidden_size=32, num_hidden_layers=2,
+            num_attention_heads=4, intermediate_size=64,
+            max_position_embeddings=32, eos_token_id=98,
+            bos_token_id=0, pad_token_id=1,
+        ),
+        CLIPVisionConfig(
+            hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+            intermediate_size=64, image_size=32, patch_size=8,
+        ),
+        projection_dim=16,
+    )
+    model = CLIPModel(cfg).eval()
+    return cfg, model
+
+
+def test_clip_vit_matches_hf(hf_clip):
+    import torch
+
+    hf_cfg, model = hf_clip
+    params = clip_lib.params_from_hf(model.state_dict())
+    vcfg = clip_lib.CLIPVisionConfig(
+        hidden_size=32, num_layers=2, num_heads=4, intermediate_size=64,
+        image_size=32, patch_size=8, projection_dim=16,
+    )
+    rng = np.random.default_rng(0)
+    pixels = rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = model.get_image_features(
+            pixel_values=torch.tensor(pixels.transpose(0, 3, 1, 2))
+        ).numpy()
+    out = clip_lib.vit_apply(params["vision"], vcfg, jnp.asarray(pixels))
+    np.testing.assert_allclose(
+        np.asarray(out["image_embeds"]), ref, atol=3e-5, rtol=1e-3
+    )
+
+
+def test_clip_text_matches_hf(hf_clip):
+    import torch
+
+    hf_cfg, model = hf_clip
+    params = clip_lib.params_from_hf(model.state_dict())
+    tcfg = clip_lib.CLIPTextConfig(
+        vocab_size=99, hidden_size=32, num_layers=2, num_heads=4,
+        intermediate_size=64, max_positions=32, projection_dim=16,
+        eos_token_id=98,
+    )
+    ids = np.array([
+        [0, 5, 7, 98, 1, 1],
+        [0, 9, 11, 13, 17, 98],
+    ])
+    mask = np.array([[1, 1, 1, 1, 0, 0], [1, 1, 1, 1, 1, 1]])
+    with torch.no_grad():
+        ref = model.get_text_features(
+            input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask)
+        ).numpy()
+    out = clip_lib.text_apply(
+        params["text"], tcfg, jnp.asarray(ids), jnp.asarray(mask)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["text_embeds"]), ref, atol=3e-5, rtol=1e-3
+    )
+
+
+def test_modified_resnet_shapes():
+    cfg = clip_lib.ModifiedResNetConfig(
+        stage_sizes=(1, 1, 1, 1), width=8, output_dim=16, heads=4,
+        image_size=32,
+    )
+    # build params by porting from a synthetic state_dict-shaped dict
+    import torch
+
+    sd = {}
+    w = cfg.width
+    chans = [(3, w // 2), (w // 2, w // 2), (w // 2, w)]
+    for i, (cin, cout) in enumerate(chans, start=1):
+        sd[f"visual.conv{i}.weight"] = torch.randn(cout, cin, 3, 3) * 0.05
+        for stat, val in [("weight", 1.0), ("bias", 0.0)]:
+            sd[f"visual.bn{i}.{stat}"] = torch.full((cout,), val)
+        sd[f"visual.bn{i}.running_mean"] = torch.zeros(cout)
+        sd[f"visual.bn{i}.running_var"] = torch.ones(cout)
+    cin = w
+    for stage in range(4):
+        planes = w * 2 ** stage
+        base = f"visual.layer{stage + 1}.0"
+        sd[f"{base}.conv1.weight"] = torch.randn(planes, cin, 1, 1) * 0.05
+        sd[f"{base}.conv2.weight"] = torch.randn(planes, planes, 3, 3) * 0.05
+        sd[f"{base}.conv3.weight"] = torch.randn(planes * 4, planes, 1, 1) * 0.05
+        for j in (1, 2, 3):
+            c = planes if j < 3 else planes * 4
+            sd[f"{base}.bn{j}.weight"] = torch.ones(c)
+            sd[f"{base}.bn{j}.bias"] = torch.zeros(c)
+            sd[f"{base}.bn{j}.running_mean"] = torch.zeros(c)
+            sd[f"{base}.bn{j}.running_var"] = torch.ones(c)
+        sd[f"{base}.downsample.1.weight"] = torch.randn(planes * 4, cin, 1, 1) * 0.05
+        sd[f"{base}.downsample.2.weight"] = torch.ones(planes * 4)
+        sd[f"{base}.downsample.2.bias"] = torch.zeros(planes * 4)
+        sd[f"{base}.downsample.2.running_mean"] = torch.zeros(planes * 4)
+        sd[f"{base}.downsample.2.running_var"] = torch.ones(planes * 4)
+        cin = planes * 4
+    embed_dim = w * 8 * 4
+    spacial = (cfg.image_size // 32) ** 2 + 1
+    sd["visual.attnpool.positional_embedding"] = torch.randn(spacial, embed_dim) * 0.05
+    for proj, dout in [("q_proj", embed_dim), ("k_proj", embed_dim),
+                       ("v_proj", embed_dim), ("c_proj", cfg.output_dim)]:
+        sd[f"visual.attnpool.{proj}.weight"] = torch.randn(dout, embed_dim) * 0.05
+        sd[f"visual.attnpool.{proj}.bias"] = torch.zeros(dout)
+
+    params = clip_lib.visual_params_from_openai(sd, cfg)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (2, 32, 32, 3)).astype(np.float32))
+    out = clip_lib.modified_resnet_apply(params, cfg, x)
+    assert out.shape == (2, cfg.output_dim)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_image_embedder_none_masking(devices):
+    from PIL import Image
+
+    from viquae_tpu.image.embedding import ImageEmbedder
+
+    def apply_fn(params, pixels):
+        return pixels.mean(axis=(1, 2))  # (B, 3) trivial embedding
+
+    emb = ImageEmbedder(apply_fn, {}, save_as="e", image_size=16,
+                        preprocessing="face", batch_size=4)
+    images = [
+        Image.fromarray(np.full((20, 20, 3), 128, np.uint8)),
+        None,
+        Image.fromarray(np.full((16, 16, 3), 255, np.uint8)),
+    ]
+    out = emb.embed_images(images)
+    assert out.shape == (3, 3)
+    assert np.isnan(out[1]).all()
+    assert np.isfinite(out[0]).all() and np.isfinite(out[2]).all()
+    assert out[2, 0] == pytest.approx(1.0, abs=1e-3)  # white -> normalized 1

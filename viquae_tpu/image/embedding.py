@@ -1,0 +1,127 @@
+"""Global image embedding stage (parity meerqat/image/embedding.py).
+
+The reference's `ImageEncoder` wraps torchvision ResNet50 cut at -2 + pool
+(:68-75), OpenAI CLIP RN50 `model.visual` (:107-110) or HF CLIP-ViT
+`get_image_features`, with DataParallel on multi-GPU and None-tolerant
+batching (:125-166). Here the encoder is one jitted function over a fixed
+(batch, size, size, 3) tensor; preprocessing (resize+normalize) is fused on
+device (viquae_tpu.ops.image.preprocess); None images are masked on host and
+their embedding rows are NaN (the reference stores None — NaN marks the same
+"no result" contract through Arrow float columns, and ir.search treats
+all-NaN query vectors as None).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from viquae_tpu.core import mesh as meshlib
+from viquae_tpu.data.loading import load_image_batch
+from viquae_tpu.ops import image as image_ops
+
+
+class ImageEmbedder:
+    """dataset.map(batched=True) callable writing an embedding column."""
+
+    def __init__(
+        self,
+        apply_fn: Callable,          # (params, images_nhwc) -> (B, D)
+        params,
+        save_as: str,
+        image_key: str = "image",
+        image_size: int = 224,
+        preprocessing: str = "clip",  # ops.image.preprocess kind
+        batch_size: int = 64,
+        mesh_ctx: Optional[meshlib.MeshContext] = None,
+        compute_dtype=jnp.float32,
+    ):
+        self.params = params
+        self.save_as = save_as
+        self.image_key = image_key
+        self.image_size = image_size
+        self.preprocessing = preprocessing
+        self.batch_size = batch_size
+        self.mesh_ctx = mesh_ctx or meshlib.current()
+        # host-side decode target: the device pipeline crops 256->224 for
+        # imagenet preprocessing, so feed it the pre-crop resolution
+        self.raw_size = (
+            int(round(image_size * 256 / 224))
+            if preprocessing == "imagenet" else image_size
+        )
+
+        raw = self.raw_size
+
+        @jax.jit
+        def forward(params, raw_images):
+            raw_images = jax.lax.with_sharding_constraint(
+                raw_images, self.mesh_ctx.batch_sharded
+            )
+            pixels = image_ops.preprocess(
+                raw_images, size=image_size, kind=preprocessing
+            ).astype(compute_dtype)
+            return apply_fn(params, pixels)
+
+        self._forward = forward
+
+    def embed_images(self, pil_images) -> np.ndarray:
+        """List of PIL images (or None) -> (N, D) float32 with NaN rows."""
+        out_chunks = []
+        for start in range(0, len(pil_images), self.batch_size):
+            chunk = pil_images[start: start + self.batch_size]
+            present = [
+                (i, np.asarray(img.resize((self.raw_size, self.raw_size)))
+                 if img.size != (self.raw_size, self.raw_size)
+                 else np.asarray(img))
+                for i, img in enumerate(chunk) if img is not None
+            ]
+            dim_probe = None
+            if present:
+                idx, arrays = zip(*present)
+                batch = np.zeros(
+                    (self.batch_size, self.raw_size, self.raw_size, 3),
+                    np.uint8,
+                )
+                for j, arr in enumerate(arrays):
+                    batch[j] = arr
+                emb = np.asarray(
+                    self._forward(self.params, jnp.asarray(batch))
+                )[: len(arrays)]
+                dim_probe = emb.shape[1]
+                rows = np.full((len(chunk), dim_probe), np.nan, np.float32)
+                for j, i in enumerate(idx):
+                    rows[i] = emb[j]
+            else:
+                rows = None  # resolved once dim is known
+            out_chunks.append((rows, len(chunk)))
+        dim = next(
+            (c.shape[1] for c, _ in out_chunks if c is not None), 1
+        )
+        resolved = [
+            c if c is not None else np.full((n, dim), np.nan, np.float32)
+            for c, n in out_chunks
+        ]
+        return np.concatenate(resolved, axis=0)[: len(pil_images)]
+
+    def __call__(self, batch: dict) -> dict:
+        images = load_image_batch(batch[self.image_key])
+        batch[self.save_as] = self.embed_images(images)
+        return batch
+
+
+def dataset_embed_images(dataset_path, embedder: ImageEmbedder,
+                         map_kwargs: Optional[dict] = None):
+    from datasets import load_from_disk
+
+    from viquae_tpu.ir.embedding import save_in_place
+
+    dataset = load_from_disk(str(dataset_path))
+    dataset = dataset.map(
+        embedder, batched=True, batch_size=embedder.batch_size,
+        **(map_kwargs or {}),
+    )
+    save_in_place(dataset, dataset_path)
+    return dataset
