@@ -1,0 +1,203 @@
+"""Face chain: ArcFace parity vs torch oracle, MTCNN components + cascade."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from viquae_tpu.models import arcface, mtcnn
+
+
+# --------------------------------------------------------------------------
+# ArcFace vs a faithful insightface-style torch oracle
+# --------------------------------------------------------------------------
+def _torch_iresnet(cfg):
+    import torch
+    import torch.nn as nn
+
+    class IBasicBlock(nn.Module):
+        def __init__(self, cin, cout, stride):
+            super().__init__()
+            self.bn1 = nn.BatchNorm2d(cin)
+            self.conv1 = nn.Conv2d(cin, cout, 3, 1, 1, bias=False)
+            self.bn2 = nn.BatchNorm2d(cout)
+            self.prelu = nn.PReLU(cout)
+            self.conv2 = nn.Conv2d(cout, cout, 3, stride, 1, bias=False)
+            self.bn3 = nn.BatchNorm2d(cout)
+            self.downsample = None
+            if stride != 1 or cin != cout:
+                self.downsample = nn.Sequential(
+                    nn.Conv2d(cin, cout, 1, stride, bias=False),
+                    nn.BatchNorm2d(cout),
+                )
+
+        def forward(self, x):
+            out = self.bn3(self.conv2(self.prelu(self.bn2(self.conv1(self.bn1(x))))))
+            identity = x if self.downsample is None else self.downsample(x)
+            return out + identity
+
+    class Net(nn.Module):
+        def __init__(self):
+            super().__init__()
+            w = cfg.width
+            self.conv1 = nn.Conv2d(3, w, 3, 1, 1, bias=False)
+            self.bn1 = nn.BatchNorm2d(w)
+            self.prelu = nn.PReLU(w)
+            cin = w
+            for stage, n in enumerate(cfg.stage_sizes):
+                cout = w * 2 ** stage
+                blocks = []
+                for b in range(n):
+                    blocks.append(IBasicBlock(cin, cout, 2 if b == 0 else 1))
+                    cin = cout
+                setattr(self, f"layer{stage + 1}", nn.Sequential(*blocks))
+            self.bn2 = nn.BatchNorm2d(cin)
+            feat = cin * (cfg.image_size // (2 ** len(cfg.stage_sizes))) ** 2
+            self.fc = nn.Linear(feat, cfg.embedding_size)
+            self.features = nn.BatchNorm1d(cfg.embedding_size)
+
+        def forward(self, x):
+            x = self.prelu(self.bn1(self.conv1(x)))
+            for stage in range(len(cfg.stage_sizes)):
+                x = getattr(self, f"layer{stage + 1}")(x)
+            x = self.bn2(x)
+            x = torch.flatten(x, 1)
+            return self.features(self.fc(x))
+
+    return Net()
+
+
+def test_arcface_matches_torch_oracle():
+    import torch
+
+    cfg = arcface.ArcFaceConfig(
+        stage_sizes=(2, 2), width=8, embedding_size=16, image_size=16
+    )
+    torch.manual_seed(0)
+    oracle = _torch_iresnet(cfg).eval()
+    with torch.no_grad():
+        for m in oracle.modules():
+            if isinstance(m, (torch.nn.BatchNorm2d, torch.nn.BatchNorm1d)):
+                m.running_mean.uniform_(-0.2, 0.2)
+                m.running_var.uniform_(0.5, 1.5)
+                m.weight.uniform_(0.5, 1.5)
+                m.bias.uniform_(-0.2, 0.2)
+    params = arcface.params_from_insightface(oracle.state_dict(), cfg)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 16, 16, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = oracle(torch.tensor(x.transpose(0, 3, 1, 2))).numpy()
+    out = np.asarray(arcface.apply(params, cfg, jnp.asarray(x)))
+    np.testing.assert_allclose(out, ref, atol=5e-4, rtol=1e-3)
+
+
+# --------------------------------------------------------------------------
+# MTCNN components
+# --------------------------------------------------------------------------
+def _reference_nms(boxes, scores, threshold, mode="union"):
+    """Classic numpy greedy NMS (the published MTCNN algorithm)."""
+    order = np.argsort(-scores)
+    keep = []
+    suppressed = np.zeros(len(boxes), bool)
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        for j in order:
+            if j == i or suppressed[j]:
+                continue
+            xx1 = max(boxes[i, 0], boxes[j, 0])
+            yy1 = max(boxes[i, 1], boxes[j, 1])
+            xx2 = min(boxes[i, 2], boxes[j, 2])
+            yy2 = min(boxes[i, 3], boxes[j, 3])
+            inter = max(0, xx2 - xx1) * max(0, yy2 - yy1)
+            ai = (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
+            aj = (boxes[j, 2] - boxes[j, 0]) * (boxes[j, 3] - boxes[j, 1])
+            denom = min(ai, aj) if mode == "min" else ai + aj - inter
+            if inter / max(denom, 1e-9) > threshold:
+                suppressed[j] = True
+    return sorted(keep)
+
+
+@pytest.mark.parametrize("mode", ["union", "min"])
+def test_nms_matches_reference(mode):
+    rng = np.random.default_rng(3)
+    n = 32
+    xy = rng.uniform(0, 80, (n, 2))
+    wh = rng.uniform(5, 40, (n, 2))
+    boxes = np.concatenate([xy, xy + wh], axis=1).astype(np.float32)
+    scores = rng.uniform(0.1, 1.0, n).astype(np.float32)
+    ref = _reference_nms(boxes, scores, 0.5, mode)
+    keep = np.asarray(mtcnn.nms_fixed(
+        jnp.asarray(boxes), jnp.asarray(scores),
+        jnp.ones(n, bool), 0.5, mode=mode,
+    ))
+    assert sorted(np.nonzero(keep)[0].tolist()) == ref
+
+
+def test_rerec_and_calibrate():
+    boxes = jnp.asarray([[0.0, 0.0, 10.0, 20.0]])
+    sq = np.asarray(mtcnn.rerec(boxes))[0]
+    assert sq[2] - sq[0] == pytest.approx(20.0)
+    assert sq[3] - sq[1] == pytest.approx(20.0)
+    reg = jnp.asarray([[0.1, 0.1, -0.1, -0.1]])
+    cal = np.asarray(mtcnn.calibrate(boxes, reg))[0]
+    np.testing.assert_allclose(cal, [1.0, 2.0, 9.0, 18.0])
+
+
+def test_crop_resize_identity():
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 255, (32, 32, 3)).astype(np.float32)
+    crops = np.asarray(mtcnn.crop_resize(
+        jnp.asarray(img), jnp.asarray([[0.0, 0.0, 32.0, 32.0]]), 32
+    ))
+    np.testing.assert_allclose(crops[0], img, atol=1e-3)
+
+
+def test_pnet_output_geometry():
+    params = mtcnn.pnet_init(jax.random.key(0))
+    x = jnp.zeros((1, 100, 100, 3))
+    probs, reg = mtcnn.pnet_apply(params, x)
+    # conv3 valid (98) -> pool2 ceil (49) -> conv3 (47) -> conv3 (45)
+    assert probs.shape == (1, 45, 45)
+    assert reg.shape == (1, 45, 45, 4)
+
+
+def test_cascade_static_shapes_and_runs():
+    cfg = mtcnn.MTCNNConfig(canvas=128, min_face_size=40, max_faces=4,
+                            k_per_scale=16, k_stage1=32, k_stage2=16,
+                            thresholds=(0.0, 0.0, 0.0))
+    params = mtcnn.init(jax.random.key(0))
+    rng = np.random.default_rng(0)
+    image = jnp.asarray(rng.uniform(0, 255, (128, 128, 3)).astype(np.float32))
+    out = mtcnn.detect_faces(params, image, jnp.asarray([128.0, 128.0]), cfg)
+    assert out["boxes"].shape == (4, 4)
+    assert out["probs"].shape == (4,)
+    assert out["landmarks"].shape == (4, 5, 2)
+    assert out["valid"].shape == (4,)
+    # thresholds=0 -> random net still yields some valid detections
+    assert bool(np.asarray(out["valid"]).any())
+    # batch version
+    out = mtcnn.detect_faces_batch(
+        params, jnp.stack([image, image]),
+        jnp.asarray([[128.0, 128.0], [64.0, 64.0]]), cfg,
+    )
+    assert out["boxes"].shape == (2, 4, 4)
+
+
+def test_face_align_maps_landmarks_to_template():
+    from viquae_tpu.image.face_recognition import SRC, align_face
+
+    rng = np.random.default_rng(0)
+    img = np.zeros((200, 200, 3), np.float32)
+    # paint distinctive dots at shifted template locations
+    shift = np.array([40.0, 30.0])
+    landmarks = SRC + shift
+    for x, y in landmarks:
+        img[int(y) - 1: int(y) + 2, int(x) - 1: int(x) + 2] = 255.0
+    crop = np.asarray(align_face(jnp.asarray(img), jnp.asarray(landmarks)))
+    assert crop.shape == (112, 112, 3)
+    # the dots should land near the canonical template coordinates
+    for x, y in SRC:
+        patch = crop[int(y) - 2: int(y) + 3, int(x) - 2: int(x) + 3]
+        assert patch.max() > 100.0, (x, y)
