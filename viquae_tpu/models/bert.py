@@ -112,24 +112,21 @@ def param_spec(cfg: BertConfig):
     return spec
 
 
-def apply(
+def embed(
     params,
     cfg: BertConfig,
     input_ids: jnp.ndarray,
-    attention_mask: Optional[jnp.ndarray] = None,
     token_type_ids: Optional[jnp.ndarray] = None,
     position_ids: Optional[jnp.ndarray] = None,
     inputs_embeds: Optional[jnp.ndarray] = None,
     deterministic: bool = True,
     rng=None,
-    compute_dtype=jnp.float32,
-) -> Dict[str, jnp.ndarray]:
-    """Forward pass.
+) -> jnp.ndarray:
+    """Embedding sub-module: word+position+type, LN, dropout -> (B, L, D).
 
-    Returns {"last_hidden_state": (B, L, D), "pooler_output": (B, D)?}.
-    `inputs_embeds` (B, L, D) bypasses word-embedding lookup — the seam the
-    multimodal ECA encoder uses to prepend face/image tokens (parity with
-    meerqat/models/mm.py:557-754 feeding embeddings into BertModel).
+    Exposed separately so the multimodal ECA encoder can embed text and
+    concatenate face/image tokens before running :func:`encode` (parity with
+    `bert_model.embeddings(...)` usage at meerqat/models/mm.py:736).
     """
     emb = params["embeddings"]
     if inputs_embeds is None:
@@ -142,17 +139,29 @@ def apply(
         token_type_ids = jnp.zeros((b, l), jnp.int32)
     x = x + emb["token_type"][token_type_ids]
     x = L.layer_norm(emb["ln"], x, cfg.layer_norm_eps)
-    rngs = (
-        jax.random.split(rng, 2 * cfg.num_hidden_layers + 1)
-        if rng is not None
-        else [None] * (2 * cfg.num_hidden_layers + 1)
-    )
-    x = L.dropout(x, cfg.hidden_dropout_prob, deterministic, rngs[-1])
+    return L.dropout(x, cfg.hidden_dropout_prob, deterministic, rng)
 
+
+def encode(
+    params,
+    cfg: BertConfig,
+    hidden: jnp.ndarray,
+    attention_mask: Optional[jnp.ndarray] = None,
+    deterministic: bool = True,
+    rng=None,
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Encoder stack over pre-built (B, L, D) hidden states."""
+    b, l = hidden.shape[:2]
     if attention_mask is None:
         attention_mask = jnp.ones((b, l), jnp.int32)
     bias = L.attention_bias_from_mask(attention_mask)
-
+    rngs = (
+        jax.random.split(rng, 2 * cfg.num_hidden_layers)
+        if rng is not None
+        else [None] * (2 * cfg.num_hidden_layers)
+    )
+    x = hidden
     for i, layer in enumerate(params["layers"]):
         attn = L.mha(
             layer["attention"], x, bias=bias,
@@ -167,7 +176,42 @@ def apply(
         ff = L.mlp(layer["mlp"], x, cfg.hidden_act, compute_dtype)
         ff = L.dropout(ff, cfg.hidden_dropout_prob, deterministic, rngs[2 * i + 1])
         x = L.layer_norm(layer["output_ln"], x + ff, cfg.layer_norm_eps)
+    return x
 
+
+def apply(
+    params,
+    cfg: BertConfig,
+    input_ids: jnp.ndarray,
+    attention_mask: Optional[jnp.ndarray] = None,
+    token_type_ids: Optional[jnp.ndarray] = None,
+    position_ids: Optional[jnp.ndarray] = None,
+    inputs_embeds: Optional[jnp.ndarray] = None,
+    deterministic: bool = True,
+    rng=None,
+    compute_dtype=jnp.float32,
+) -> Dict[str, jnp.ndarray]:
+    """Full forward: embed -> encode -> optional tanh pooler.
+
+    Returns {"last_hidden_state": (B, L, D), "pooler_output": (B, D)?}.
+    `inputs_embeds` (B, L, D) bypasses word-embedding lookup.
+    """
+    rng_emb, rng_enc = (
+        jax.random.split(rng) if rng is not None else (None, None)
+    )
+    x = embed(
+        params, cfg, input_ids,
+        token_type_ids=token_type_ids,
+        position_ids=position_ids,
+        inputs_embeds=inputs_embeds,
+        deterministic=deterministic,
+        rng=rng_emb,
+    )
+    x = encode(
+        params, cfg, x, attention_mask,
+        deterministic=deterministic, rng=rng_enc,
+        compute_dtype=compute_dtype,
+    )
     out = {"last_hidden_state": x}
     if cfg.add_pooler and "pooler" in params:
         out["pooler_output"] = jnp.tanh(L.dense(params["pooler"], x[:, 0]))

@@ -1,0 +1,382 @@
+"""Multimodal fusion encoders (parity meerqat/models/mm.py).
+
+- :func:`eca_apply` — **ECAEncoder** (:557-754): faces/images are projected
+  into token space, concatenated AFTER the text embedding module, and the
+  whole sequence runs through the BERT encoder stack; CLS-pooled. Optional
+  Flamingo-style tanh gating (init 0) on the visual tokens, optional
+  `face_and_image_are_exclusive` masking, optional `no_text` (CLS only).
+- :func:`ilf_apply` — **IntermediateLinearFusion** (:773-861): DPR pooled
+  text + linear-projected summed face/image features, LN + dropout.
+- :func:`flamant_layer_apply` / :func:`flamant_apply` — **Flamant**
+  (:90-509): BERT layers with gated cross-attention blocks to visual tokens
+  every `multimodal_attention_every` layers.
+- :func:`clip_for_ir_apply` — **CLIPForIR** (:532-554): text_embeds +
+  image_embeds sum, so dot-product similarity covers every mono/cross-modal
+  pair.
+
+Visual projection blocks (FaceEmbedding / ImageEmbedding) follow
+meerqat/models/image.py:5-37.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from viquae_tpu.models import bert
+from viquae_tpu.models import layers as L
+from viquae_tpu.models.outputs import ECAEncoderOutput, EncoderOutput
+
+
+@dataclasses.dataclass(frozen=True)
+class MMConfig:
+    bert: bert.BertConfig = dataclasses.field(
+        default_factory=lambda: bert.BertConfig(add_pooler=False)
+    )
+    n_images: int = 1
+    n_faces: int = 4
+    face_dim: int = 512
+    bbox_dim: int = 7
+    image_dims: Tuple[Tuple[str, int], ...] = (
+        ("clip-RN50", 1024), ("imagenet-RN50", 2048),
+    )
+    face_and_image_are_exclusive: bool = False
+    no_text: bool = False
+    gating: bool = False
+
+
+# ---- visual projection blocks ---------------------------------------------
+def face_embedding_init(key, cfg: MMConfig):
+    k1, k2 = jax.random.split(key)
+    d = cfg.bert.hidden_size
+    return {
+        "face_proj": L.dense_init(k1, cfg.face_dim, d),
+        "bbox_proj": L.dense_init(k2, cfg.bbox_dim, d),
+        "ln": L.layer_norm_init(d),
+    }
+
+
+def face_embedding_apply(p, cfg: MMConfig, face, bbox, type_embedding=None,
+                         deterministic=True, rng=None):
+    x = L.dense(p["face_proj"], face) + L.dense(p["bbox_proj"], bbox)
+    if type_embedding is not None:
+        x = x + type_embedding
+    x = L.layer_norm(p["ln"], x, cfg.bert.layer_norm_eps)
+    return L.dropout(x, cfg.bert.hidden_dropout_prob, deterministic, rng)
+
+
+def image_embedding_init(key, cfg: MMConfig, input_dim: int):
+    p = {"linear": L.dense_init(key, input_dim, cfg.bert.hidden_size)}
+    if cfg.n_images > 1:
+        p["ln"] = L.layer_norm_init(cfg.bert.hidden_size)
+    return p
+
+
+def image_embedding_apply(p, cfg: MMConfig, x, type_embedding=None,
+                          deterministic=True, rng=None):
+    x = L.dense(p["linear"], x)
+    if type_embedding is not None:
+        x = x + type_embedding
+        x = L.layer_norm(p["ln"], x, cfg.bert.layer_norm_eps)
+    return L.dropout(x, cfg.bert.hidden_dropout_prob, deterministic, rng)
+
+
+def tanh_gate_init():
+    return {"gate": jnp.zeros((1,))}
+
+
+def tanh_gate(p, x):
+    return x * jnp.tanh(p["gate"])
+
+
+# --------------------------------------------------------------------------
+# ECA encoder
+# --------------------------------------------------------------------------
+def eca_init(key, cfg: MMConfig) -> Dict[str, Any]:
+    keys = jax.random.split(key, 5)
+    params: Dict[str, Any] = {"bert": bert.init(keys[0], cfg.bert)}
+    if cfg.n_images > 1:
+        params["image_type_embeddings"] = 0.02 * jax.random.normal(
+            keys[1], (cfg.n_images, cfg.bert.hidden_size)
+        )
+    if cfg.n_faces > 0:
+        params["face_embedding"] = face_embedding_init(keys[2], cfg)
+        if cfg.gating:
+            params["face_gate"] = tanh_gate_init()
+    params["image_embeddings"] = {}
+    params["image_gates"] = {}
+    for i, (name, dim) in enumerate(cfg.image_dims):
+        params["image_embeddings"][name] = image_embedding_init(
+            jax.random.fold_in(keys[3], i), cfg, dim
+        )
+        if cfg.gating:
+            params["image_gates"][name] = tanh_gate_init()
+    return params
+
+
+def _visual_tokens(params, cfg: MMConfig, face_inputs, image_inputs,
+                   deterministic, rng):
+    """Project faces+images to (B, T_vis, D) tokens + (B, T_vis) mask."""
+    faces = face_inputs["face"]  # (B, n_images, n_faces, face_dim)
+    b, n_images, n_faces, _ = faces.shape
+    tokens, masks = [], []
+    if n_faces > 0:
+        type_emb = None
+        if cfg.n_images > 1:
+            type_ids = jnp.broadcast_to(
+                jnp.arange(n_images)[None, :, None], (b, n_images, n_faces)
+            )
+            type_emb = params["image_type_embeddings"][type_ids]
+        face_out = face_embedding_apply(
+            params["face_embedding"], cfg, faces, face_inputs["bbox"],
+            type_embedding=type_emb, deterministic=deterministic, rng=rng,
+        ).reshape(b, n_images * n_faces, -1)
+        if cfg.gating:
+            face_out = tanh_gate(params["face_gate"], face_out)
+        tokens.append(face_out)
+    face_mask = face_inputs["attention_mask"].reshape(b, n_images * n_faces)
+    if n_faces > 0:
+        masks.append(face_mask)
+
+    image_mask_parts = []
+    for name, image in (image_inputs or {}).items():
+        type_emb = None
+        if cfg.n_images > 1:
+            type_ids = jnp.broadcast_to(jnp.arange(n_images)[None], (b, n_images))
+            type_emb = params["image_type_embeddings"][type_ids]
+        out = image_embedding_apply(
+            params["image_embeddings"][name], cfg,
+            image["input"].reshape(b, n_images, -1),
+            type_embedding=type_emb, deterministic=deterministic, rng=rng,
+        )
+        if cfg.gating:
+            out = tanh_gate(params["image_gates"][name], out)
+        tokens.append(out)
+        image_mask_parts.append(image["attention_mask"])
+    if image_mask_parts:
+        image_mask = jnp.concatenate(image_mask_parts, axis=1)
+        if cfg.face_and_image_are_exclusive:
+            has_face = face_mask.sum(axis=1, keepdims=True) > 0
+            image_mask = jnp.where(has_face, 0, image_mask)
+        masks.append(image_mask)
+    vis_tokens = (
+        jnp.concatenate(tokens, axis=1)
+        if tokens else jnp.zeros((b, 0, cfg.bert.hidden_size))
+    )
+    vis_mask = (
+        jnp.concatenate(masks, axis=1) if masks else jnp.zeros((b, 0))
+    )
+    return vis_tokens, vis_mask
+
+
+def eca_apply(
+    params,
+    cfg: MMConfig,
+    text_inputs: Dict[str, jnp.ndarray],
+    face_inputs: Dict[str, jnp.ndarray],
+    image_inputs: Optional[Dict[str, Dict[str, jnp.ndarray]]] = None,
+    deterministic: bool = True,
+    rng=None,
+    compute_dtype=jnp.float32,
+) -> ECAEncoderOutput:
+    rngs = jax.random.split(rng, 3) if rng is not None else (None,) * 3
+    vis_tokens, vis_mask = _visual_tokens(
+        params, cfg, face_inputs, image_inputs, deterministic, rngs[0]
+    )
+    input_ids = text_inputs["input_ids"]
+    attention_mask = text_inputs["attention_mask"]
+    token_type_ids = text_inputs.get("token_type_ids")
+    if cfg.no_text:
+        input_ids = input_ids[:, :1]
+        attention_mask = attention_mask[:, :1]
+        if token_type_ids is not None:
+            token_type_ids = token_type_ids[:, :1]
+    text_emb = bert.embed(
+        params["bert"], cfg.bert, input_ids,
+        token_type_ids=token_type_ids,
+        deterministic=deterministic, rng=rngs[1],
+    )
+    hidden = jnp.concatenate([text_emb, vis_tokens], axis=1)
+    mask = jnp.concatenate(
+        [attention_mask, vis_mask.astype(attention_mask.dtype)], axis=1
+    )
+    sequence = bert.encode(
+        params["bert"], cfg.bert, hidden, mask,
+        deterministic=deterministic, rng=rngs[2],
+        compute_dtype=compute_dtype,
+    )
+    return ECAEncoderOutput(
+        pooler_output=sequence[:, 0], last_hidden_state=sequence
+    )
+
+
+# --------------------------------------------------------------------------
+# Intermediate Linear Fusion
+# --------------------------------------------------------------------------
+def ilf_init(key, cfg: MMConfig) -> Dict[str, Any]:
+    assert cfg.n_images == 1, "ILF supports a single image (parity)"
+    keys = jax.random.split(key, 5)
+    params: Dict[str, Any] = {"dpr_encoder": bert.init(keys[0], cfg.bert)}
+    if cfg.n_faces > 0:
+        params["face_embedding"] = face_embedding_init(keys[1], cfg)
+    params["image_embeddings"] = {
+        name: image_embedding_init(jax.random.fold_in(keys[2], i), cfg, dim)
+        for i, (name, dim) in enumerate(cfg.image_dims)
+    }
+    d = cfg.bert.hidden_size
+    params["dpr_proj"] = L.dense_init(keys[3], d, d)
+    params["ln"] = L.layer_norm_init(d)
+    return params
+
+
+def ilf_apply(
+    params,
+    cfg: MMConfig,
+    text_inputs: Dict[str, jnp.ndarray],
+    face_inputs: Dict[str, jnp.ndarray],
+    image_inputs: Optional[Dict[str, Dict[str, jnp.ndarray]]] = None,
+    deterministic: bool = True,
+    rng=None,
+    compute_dtype=jnp.float32,
+) -> EncoderOutput:
+    rngs = jax.random.split(rng, 3) if rng is not None else (None,) * 3
+    text = bert.apply(
+        params["dpr_encoder"], cfg.bert,
+        text_inputs["input_ids"], text_inputs["attention_mask"],
+        token_type_ids=text_inputs.get("token_type_ids"),
+        deterministic=deterministic, rng=rngs[0],
+        compute_dtype=compute_dtype,
+    )["last_hidden_state"][:, 0]
+    output = L.dense(params["dpr_proj"], text)
+
+    faces = face_inputs["face"]
+    b, n_images, n_faces, _ = faces.shape
+    if n_faces > 0:
+        face_out = face_embedding_apply(
+            params["face_embedding"], cfg,
+            faces.reshape(b, n_images * n_faces, -1),
+            face_inputs["bbox"].reshape(b, n_images * n_faces, -1),
+            deterministic=deterministic, rng=rngs[1],
+        )
+        # mask then sum over faces (the reference zero-pads absent faces)
+        mask = face_inputs["attention_mask"].reshape(b, n_images * n_faces, 1)
+        output = output + (face_out * mask).sum(axis=1)
+
+    face_mask_flat = face_inputs["attention_mask"].reshape(b, -1)
+    has_face = face_mask_flat.sum(axis=1, keepdims=True) > 0
+    for name, image in (image_inputs or {}).items():
+        inp = image["input"].reshape(b, -1)
+        if cfg.face_and_image_are_exclusive:
+            inp = jnp.where(has_face, 0.0, inp)
+        output = output + image_embedding_apply(
+            params["image_embeddings"][name], cfg, inp,
+            deterministic=deterministic, rng=rngs[2],
+        )
+    output = L.layer_norm(params["ln"], output, cfg.bert.layer_norm_eps)
+    output = L.dropout(
+        output, cfg.bert.hidden_dropout_prob, deterministic, rngs[2]
+    )
+    return EncoderOutput(pooler_output=output)
+
+
+# --------------------------------------------------------------------------
+# Flamant: gated cross-attention every n layers
+# --------------------------------------------------------------------------
+@dataclasses.dataclass(frozen=True)
+class FlamantConfig(MMConfig):
+    multimodal_attention_every: int = 1
+    image_num_attention_heads: int = 12
+    image_intermediate_size: int = 3072
+
+
+def flamant_init(key, cfg: FlamantConfig) -> Dict[str, Any]:
+    params = eca_init(key, cfg)
+    d = cfg.bert.hidden_size
+    params["xattn_layers"] = {}
+    for i in range(0, cfg.bert.num_hidden_layers, cfg.multimodal_attention_every):
+        k = jax.random.fold_in(key, 1000 + i)
+        k1, k2 = jax.random.split(k)
+        params["xattn_layers"][str(i)] = {
+            "xattn": L.mha_init(k1, d, cfg.image_num_attention_heads),
+            "xattn_ln": L.layer_norm_init(d),
+            "ffw": L.mlp_init(k2, d, cfg.image_intermediate_size),
+            "ln": L.layer_norm_init(d),
+            "attn_gate": tanh_gate_init() if cfg.gating else None,
+            "ffw_gate": tanh_gate_init() if cfg.gating else None,
+        }
+    return params
+
+
+def flamant_apply(
+    params,
+    cfg: FlamantConfig,
+    text_inputs: Dict[str, jnp.ndarray],
+    face_inputs: Dict[str, jnp.ndarray],
+    image_inputs: Optional[Dict] = None,
+    deterministic: bool = True,
+    rng=None,
+    compute_dtype=jnp.float32,
+) -> ECAEncoderOutput:
+    rngs = jax.random.split(rng, 2) if rng is not None else (None, None)
+    vis_tokens, vis_mask = _visual_tokens(
+        params, cfg, face_inputs, image_inputs, deterministic, rngs[0]
+    )
+    x = bert.embed(
+        params["bert"], cfg.bert, text_inputs["input_ids"],
+        token_type_ids=text_inputs.get("token_type_ids"),
+        deterministic=deterministic, rng=rngs[1],
+    )
+    bcfg = cfg.bert
+    text_bias = L.attention_bias_from_mask(text_inputs["attention_mask"])
+    vis_bias = L.attention_bias_from_mask(vis_mask)
+    for i, layer in enumerate(params["bert"]["layers"]):
+        xl = params["xattn_layers"].get(str(i))
+        if xl is not None and vis_tokens.shape[1] > 0:
+            # gated cross-attention block (residual+LN inside, like
+            # BertAttention), then gated FFW, then LN
+            attn = L.mha(
+                xl["xattn"], x, vis_tokens, bias=vis_bias,
+                n_heads=cfg.image_num_attention_heads,
+                compute_dtype=compute_dtype,
+            )
+            attn = L.layer_norm(xl["xattn_ln"], attn + x, bcfg.layer_norm_eps)
+            if xl["attn_gate"] is not None:
+                attn = tanh_gate(xl["attn_gate"], attn)
+            x = attn + x
+            ffw = L.mlp(xl["ffw"], x, "gelu", compute_dtype)
+            if xl["ffw_gate"] is not None:
+                ffw = tanh_gate(xl["ffw_gate"], ffw)
+            x = L.layer_norm(xl["ln"], ffw + x, bcfg.layer_norm_eps)
+        # standard BERT layer
+        attn = L.mha(
+            layer["attention"], x, bias=text_bias,
+            n_heads=bcfg.num_attention_heads,
+            compute_dtype=compute_dtype,
+        )
+        x = L.layer_norm(layer["attention_ln"], x + attn, bcfg.layer_norm_eps)
+        ff = L.mlp(layer["mlp"], x, bcfg.hidden_act, compute_dtype)
+        x = L.layer_norm(layer["output_ln"], x + ff, bcfg.layer_norm_eps)
+    return ECAEncoderOutput(pooler_output=x[:, 0], last_hidden_state=x)
+
+
+# --------------------------------------------------------------------------
+# CLIPForIR
+# --------------------------------------------------------------------------
+def clip_for_ir_apply(clip_params, text_cfg, vision_cfg, input_ids,
+                      attention_mask, pixel_values,
+                      compute_dtype=jnp.float32) -> EncoderOutput:
+    """text_embeds + image_embeds sum (models/mm.py:532-554): with
+    dot-product similarity this scores all mono+cross-modal pairs."""
+    from viquae_tpu.models import clip as clip_lib
+
+    text = clip_lib.text_apply(
+        clip_params["text"], text_cfg, input_ids, attention_mask,
+        compute_dtype=compute_dtype,
+    )["text_embeds"]
+    image = clip_lib.vit_apply(
+        clip_params["vision"], vision_cfg, pixel_values,
+        compute_dtype=compute_dtype,
+    )["image_embeds"]
+    return EncoderOutput(pooler_output=text + image)

@@ -1,0 +1,147 @@
+"""Extractive reader: Multi-passage BERT + span extraction.
+
+Parity with meerqat/models/qa.py:
+- :func:`get_best_spans` (:18-77): pairwise start (x) end scores, upper
+  triangle, CLS ban, optional IR-score weighting (>1), best passage then
+  best span — here a single jitted device kernel instead of torch host code.
+- :func:`reader_apply` — **MultiPassageBERT** (:80-181): BERT + span head
+  over (N*M, L) passages, global softmax across the M passages of each
+  question via train.optim.multi_passage_rc_loss, optional learned IR-score
+  fusion (score_proj w/b).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from viquae_tpu.models import bert
+from viquae_tpu.models import layers as L
+from viquae_tpu.models.outputs import ReaderOutput
+from viquae_tpu.train.optim import multi_passage_rc_loss
+
+
+@dataclasses.dataclass(frozen=True)
+class ReaderConfig:
+    bert: bert.BertConfig = dataclasses.field(
+        default_factory=lambda: bert.BertConfig(add_pooler=False)
+    )
+    fuse_ir_score: bool = False
+
+
+def init(key, cfg: ReaderConfig) -> Dict[str, Any]:
+    k1, k2 = jax.random.split(key)
+    params = {
+        "bert": bert.init(k1, cfg.bert),
+        "qa_outputs": L.dense_init(k2, cfg.bert.hidden_size, 2),
+    }
+    if cfg.fuse_ir_score:
+        params["score_proj_w"] = jnp.ones((1, 1))
+        params["score_proj_b"] = jnp.zeros((1,))
+    return params
+
+
+def reader_apply(
+    params,
+    cfg: ReaderConfig,
+    input_ids: jnp.ndarray,            # (N*M, L)
+    attention_mask: Optional[jnp.ndarray] = None,
+    token_type_ids: Optional[jnp.ndarray] = None,
+    passage_scores: Optional[jnp.ndarray] = None,   # (N*M,)
+    start_positions: Optional[jnp.ndarray] = None,  # (N*M, A) or (N, M, A)
+    end_positions: Optional[jnp.ndarray] = None,
+    answer_mask: Optional[jnp.ndarray] = None,
+    m_passages: int = 24,
+    deterministic: bool = True,
+    rng=None,
+    compute_dtype=jnp.float32,
+) -> ReaderOutput:
+    sequence = bert.apply(
+        params["bert"], cfg.bert, input_ids,
+        attention_mask=attention_mask,
+        token_type_ids=token_type_ids,
+        deterministic=deterministic, rng=rng,
+        compute_dtype=compute_dtype,
+    )["last_hidden_state"]
+    logits = L.dense(params["qa_outputs"], sequence)  # (N*M, L, 2)
+    start_logits = logits[..., 0]
+    end_logits = logits[..., 1]
+
+    if cfg.fuse_ir_score:
+        assert passage_scores is not None
+        fused = (
+            passage_scores[:, None] @ params["score_proj_w"]
+            + params["score_proj_b"]
+        )
+        start_logits = start_logits + fused
+        end_logits = end_logits + fused
+
+    loss = start_lp = end_lp = None
+    if start_positions is not None and end_positions is not None:
+        nm = start_logits.shape[0]
+        loss, start_lp, end_lp = multi_passage_rc_loss(
+            start_logits, end_logits,
+            start_positions.reshape(nm, -1),
+            end_positions.reshape(nm, -1),
+            answer_mask.reshape(nm, -1),
+            m_passages=m_passages,
+        )
+    return ReaderOutput(
+        loss=loss,
+        start_logits=start_logits,
+        end_logits=end_logits,
+        start_log_probs=start_lp,
+        end_log_probs=end_lp,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cannot_be_first_token",))
+def get_best_spans(
+    start_probs: jnp.ndarray,   # (N, M, L)
+    end_probs: jnp.ndarray,     # (N, M, L)
+    weights: Optional[jnp.ndarray] = None,  # (N, M), should be > 1
+    cannot_be_first_token: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Best (passage, start, end-exclusive) per question — device kernel."""
+    n, m, length = start_probs.shape
+    pairwise = start_probs[..., :, None] * end_probs[..., None, :]
+    pairwise = jnp.triu(pairwise)
+    if cannot_be_first_token:
+        pairwise = pairwise.at[:, :, 0, :].set(0.0)
+    if weights is not None:
+        minimum = weights.min()
+        weights = jnp.where(minimum < 1, weights + 1 - minimum, weights)
+        pairwise = pairwise * weights[:, :, None, None]
+    flat = pairwise.reshape(n, m, length * length)
+    max_per_passage = flat.max(axis=2)
+    passage_indices = max_per_passage.argmax(axis=1)
+    best = flat[jnp.arange(n), passage_indices]
+    flat_arg = best.argmax(axis=-1)
+    start_indices = flat_arg // length
+    end_indices = flat_arg % length + 1
+    return passage_indices, start_indices, end_indices
+
+
+def log_probs_to_answers(start_log_probs, end_log_probs, input_ids,
+                         tokenizer, m_passages: int, weights=None):
+    """Decode best spans back to answer strings
+    (parity train/trainee.py Reader.log_probs_to_answers)."""
+    import numpy as np
+
+    nm, length = start_log_probs.shape
+    n = nm // m_passages
+    start_p = jnp.exp(start_log_probs).reshape(n, m_passages, length)
+    end_p = jnp.exp(end_log_probs).reshape(n, m_passages, length)
+    passage, start, end = get_best_spans(start_p, end_p, weights=weights)
+    passage, start, end = (
+        np.asarray(passage), np.asarray(start), np.asarray(end)
+    )
+    ids = np.asarray(input_ids).reshape(n, m_passages, length)
+    answers = []
+    for i in range(n):
+        span = ids[i, passage[i], start[i]: end[i]]
+        answers.append(tokenizer.decode(span, skip_special_tokens=True))
+    return answers
