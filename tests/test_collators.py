@@ -1,0 +1,188 @@
+"""Collator semantics: passage sampling, labels, answer positions, ICT."""
+import numpy as np
+import pytest
+
+from viquae_tpu.train import data as tdata
+from viquae_tpu.train.objectives import IGNORE_INDEX
+
+
+@pytest.fixture(scope="module")
+def tokenizer(tmp_path_factory):
+    from transformers import BertTokenizerFast
+
+    letters = list("abcdefghijklmnopqrstuvwxyz0123456789")
+    vocab = (
+        ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
+        + [f"ent{i}" for i in range(30)]
+        + [f"fact{i}" for i in range(30)]
+        + ["question", "about", "passage", "text", "answer", "is", "the"]
+        + letters + [f"##{c}" for c in letters]
+    )
+    d = tmp_path_factory.mktemp("tok")
+    (d / "vocab.txt").write_text("\n".join(vocab))
+    return BertTokenizerFast(vocab_file=str(d / "vocab.txt"), do_lower_case=True)
+
+
+def make_kb(n=20):
+    return [
+        {"passage": f"passage about ent{i} the answer is fact{i}", "index": i}
+        for i in range(n)
+    ]
+
+
+def make_items(n=4):
+    return [
+        {
+            "id": f"q{i}",
+            "input": f"question about ent{i}",
+            "output": {"original_answer": f"fact{i}", "answer": [f"fact{i}"]},
+            "search_provenance_indices": [i],
+            "search_provenance_scores": [10.0],
+            "search_irrelevant_indices": [(i + 5) % 20, (i + 9) % 20],
+            "search_irrelevant_scores": [2.0, 1.0],
+            "search_indices": [i, (i + 5) % 20, (i + 9) % 20],
+            "search_scores": [9.0, 3.0, 1.0],
+        }
+        for i in range(n)
+    ]
+
+
+def test_biencoder_collate(tokenizer):
+    coll = tdata.BiEncoderCollator(
+        tokenizer, kb=make_kb(), M=3, max_length=16, seed=0
+    )
+    items = make_items(4)
+    batch = coll.collate_fn(items)
+    assert batch["question_inputs"]["input_ids"].shape == (4, 16)
+    assert batch["context_inputs"]["input_ids"].shape == (12, 16)
+    np.testing.assert_array_equal(batch["labels"], [0, 1, 2, 3])
+    # first N passages are the relevant ones: check passage i mentions ent{i}
+    dec = tokenizer.decode(batch["context_inputs"]["input_ids"][1])
+    assert "ent1" in dec
+
+
+def test_biencoder_missing_relevant_gets_ignore_index(tokenizer):
+    coll = tdata.BiEncoderCollator(
+        tokenizer, kb=make_kb(), M=2, max_length=16, seed=0
+    )
+    items = make_items(2)
+    items[1]["search_provenance_indices"] = []
+    batch = coll.collate_fn(items)
+    assert batch["labels"][0] == 0
+    assert batch["labels"][1] == IGNORE_INDEX
+
+
+def test_image_features_padding():
+    feats = tdata.PreComputedImageFeatures(
+        n_faces=3, face_dim=4, bbox_dim=7, image_dims={"clip": 5}
+    )
+    items = [
+        {"face_embedding": [[1.0] * 4, [2.0] * 4, [3.0] * 4, [4.0] * 4],
+         "face_box": [[0.1] * 7] * 4, "clip": [9.0] * 5},
+        {"face_embedding": None, "clip": None},
+        {"clip": [float("nan")] * 5},
+    ]
+    faces = feats.get_face_inputs(items)
+    assert faces["face"].shape == (3, 1, 3, 4)  # trimmed to n_faces=3
+    np.testing.assert_array_equal(faces["attention_mask"][0, 0], [1, 1, 1])
+    np.testing.assert_array_equal(faces["attention_mask"][1, 0], [0, 0, 0])
+    images = feats.get_image_inputs(items)
+    assert images["clip"]["input"].shape == (3, 1, 5)
+    np.testing.assert_array_equal(
+        images["clip"]["attention_mask"][:, 0], [1, 0, 0]
+    )  # NaN row masked
+
+
+def test_reader_collate_answer_positions(tokenizer):
+    coll = tdata.ReaderCollator(
+        tokenizer, kb=make_kb(), M=2, max_length=24, max_n_answers=3,
+        seed=0, train=True,
+    )
+    items = make_items(2)
+    batch = coll.collate_fn(items)
+    assert batch["input_ids"].shape == (4, 24)
+    assert batch["start_positions"].shape == (2, 2, 3)
+    # the relevant passage (row 0 of each question) must contain the answer
+    for i in range(2):
+        row = batch["input_ids"][i * 2]
+        mask = batch["answer_mask"][i, 0]
+        assert mask[0] == 1
+        s = batch["start_positions"][i, 0, 0]
+        e = batch["end_positions"][i, 0, 0]
+        answer_ids = tokenizer(
+            f"fact{i}", add_special_tokens=False
+        )["input_ids"]
+        np.testing.assert_array_equal(row[s: e + 1], answer_ids)
+    assert batch["answer_strings"][0] == ["fact0"]
+
+
+def test_reader_eval_passages_from_run(tokenizer):
+    from viquae_tpu.rankeval import Run
+
+    run = Run({"q0": {"3": 5.0, "7": 4.0}, "q1": {"2": 9.0}})
+    coll = tdata.ReaderCollator(
+        tokenizer, kb=make_kb(), M=2, max_length=24, seed=0,
+        train=False, run=run,
+    )
+    batch = coll.collate_fn(make_items(2))
+    assert "passage_scores" in batch
+    np.testing.assert_allclose(batch["passage_scores"], [5.0, 4.0, 9.0, 0.0])
+    dec = tokenizer.decode(batch["input_ids"][0])
+    assert "ent3" in dec
+
+
+def test_reranker_collate(tokenizer):
+    coll = tdata.ReRankerCollator(
+        tokenizer, kb=make_kb(), M=3, max_length=16, seed=0, train=True
+    )
+    batch = coll.collate_fn(make_items(2))
+    assert batch["input_ids"].shape == (6, 16)
+    np.testing.assert_array_equal(batch["labels"], [0, 0])
+
+
+def test_ict_collate_hard_negatives(tokenizer):
+    feats = tdata.PreComputedImageFeatures(
+        n_faces=1, face_dim=4, bbox_dim=7, image_dims={"clip": 5}
+    )
+    coll = tdata.ICTCollator(
+        tokenizer, M=3, max_length=16, seed=0, image_features=feats,
+        sentences_per_target=2,
+    )
+    items = [
+        {
+            "sentences": [
+                {"text": f"sentence {j} of doc {i}."} for j in range(5)
+            ],
+            "title": f"doc{i}",
+            "face_embedding": [[float(i)] * 4],
+            "face_box": [[0.1] * 7],
+            "clip": [float(i)] * 5,
+            "context_clip": [float(i) + 100] * 5,
+            "context_face_embedding": [[float(i) + 100] * 4],
+            "context_face_box": [[0.2] * 7],
+        }
+        for i in range(4)
+    ]
+    batch = coll.collate_fn(items)
+    # M=3: text tiled 3x, images rolled for hard negatives
+    assert batch["context_inputs"]["text_inputs"]["input_ids"].shape == (12, 16)
+    clip = batch["context_inputs"]["image_inputs"]["clip"]["input"]
+    assert clip.shape == (12, 1, 5)
+    # first block unrolled, second block rolled by 1
+    np.testing.assert_array_equal(clip[4], np.roll(clip[:4], 1, 0)[0])
+    np.testing.assert_array_equal(batch["labels"], [0, 1, 2, 3])
+
+
+def test_ict_pseudo_question_masking(tokenizer):
+    coll = tdata.ICTCollator(
+        tokenizer, M=1, max_length=16, seed=0, text_mask_rate=1.0,
+        sentences_per_target=2,
+    )
+    item = {
+        "sentences": [{"text": f"s{j}."} for j in range(5)],
+        "title": "t",
+    }
+    for _ in range(10):
+        q, t = coll.get_pseudo_question(item)
+        # with mask rate 1.0 the query sentence never appears in the target
+        assert q["text"] not in t["text"]

@@ -1,0 +1,585 @@
+"""Collators — the batch-building heart (parity meerqat/train/data.py).
+
+Host-side, pure-numpy batch construction feeding the jitted train/eval
+steps. Kept semantics:
+
+- :class:`PreComputedImageFeatures` (:292-391): pad/trim faces to n_faces,
+  square (B, 1, n_faces, dim) tensors, zero-mask for missing features.
+- :class:`QADataModule.get_training_passages` (:523-585): sample up to
+  n_relevant from `{search_key}_provenance_indices` and up to
+  M - n_relevant BM25 negatives from `{search_key}_irrelevant_indices`.
+- :class:`BiEncoderCollator` (:627-702): N questions + N*M passages where
+  the first N rows are the relevant ones; labels = arange(N) with
+  IGNORE_INDEX for questions without a relevant passage.
+- :class:`ReaderCollator` (:877-1083): top-M eval passages from search
+  columns or a run, token-level answer-position labeling
+  (`get_answer_position`, vectorized with numpy sliding windows),
+  max_n_answers, oracle mode, passage scores for IR fusion.
+- :class:`ICTCollator` (:1086-1260): multimodal inverse cloze — a random
+  sentence becomes the pseudo-question, surrounding sentences the target,
+  text/image mask rates, hard negatives by rolling image features across
+  the batch.
+- :class:`ReRankerCollator` (:762-861): train = 1 relevant + M-1
+  irrelevant; eval = top-M of a run.
+
+All collators return dicts of numpy arrays with fixed shapes (XLA-ready).
+"""
+from __future__ import annotations
+
+import dataclasses
+import warnings
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from viquae_tpu.train.objectives import IGNORE_INDEX
+
+
+# --------------------------------------------------------------------------
+# image feature formatting
+# --------------------------------------------------------------------------
+@dataclasses.dataclass
+class PreComputedImageFeatures:
+    n_faces: int = 4
+    face_dim: int = 512
+    bbox_dim: int = 7
+    image_dims: Dict[str, int] = dataclasses.field(
+        default_factory=lambda: {"clip-RN50": 1024, "imagenet-RN50": 2048}
+    )
+
+    def get_face_inputs(self, items: Sequence[dict]) -> Dict[str, np.ndarray]:
+        n = len(items)
+        faces = np.zeros((n, 1, self.n_faces, self.face_dim), np.float32)
+        boxes = np.zeros((n, 1, self.n_faces, self.bbox_dim), np.float32)
+        mask = np.zeros((n, 1, self.n_faces), np.int32)
+        if self.n_faces > 0:
+            for i, item in enumerate(items):
+                emb = item.get("face_embedding")
+                if emb is None:
+                    continue
+                k = min(self.n_faces, len(emb))
+                faces[i, 0, :k] = np.asarray(emb[:k], np.float32)
+                box = item.get("face_box") or item.get("scaled_face_box")
+                if box is not None:
+                    boxes[i, 0, :k] = np.asarray(box[:k], np.float32)
+                mask[i, 0, :k] = 1
+        return {"face": faces, "bbox": boxes, "attention_mask": mask}
+
+    def get_image_inputs(self, items: Sequence[dict]
+                         ) -> Dict[str, Dict[str, np.ndarray]]:
+        out = {}
+        for name, dim in self.image_dims.items():
+            features = np.zeros((len(items), 1, dim), np.float32)
+            mask = np.zeros((len(items), 1), np.int32)
+            for i, item in enumerate(items):
+                feat = item.get(name)
+                if feat is None:
+                    continue
+                feat = np.asarray(feat, np.float32)
+                if np.isnan(feat).all():
+                    continue  # NaN rows mark missing embeddings
+                features[i, 0] = feat
+                mask[i, 0] = 1
+            out[name] = {"input": features, "attention_mask": mask}
+        return out
+
+
+class ImageFormatter:
+    """Merges tokenized text with face/image features
+    (parity train/data.py:180-289, precomputed-features mode)."""
+
+    def __init__(self, features: Optional[PreComputedImageFeatures] = None):
+        self.features = features
+        self.precomputed = features is not None
+
+    def format_batch(self, text_inputs: Dict[str, np.ndarray],
+                     items: Sequence[dict],
+                     passage_items: Optional[Sequence[dict]] = None) -> dict:
+        if self.features is None:
+            return dict(text_inputs)
+        if passage_items is not None:
+            # cross-encoder: question+passage pairs; visual side = question
+            items = passage_items if len(passage_items) == len(
+                text_inputs["input_ids"]) else items
+        return {
+            "text_inputs": dict(text_inputs),
+            "face_inputs": self.features.get_face_inputs(items),
+            "image_inputs": self.features.get_image_inputs(items),
+        }
+
+
+# --------------------------------------------------------------------------
+# tokenization helper (fixed shapes)
+# --------------------------------------------------------------------------
+def tokenize(tokenizer, texts, pairs=None, max_length: int = 256
+             ) -> Dict[str, np.ndarray]:
+    enc = tokenizer(
+        list(texts), *(list(pairs),) if pairs is not None else (),
+        padding="max_length", truncation=True, max_length=max_length,
+        return_tensors="np",
+    )
+    out = {
+        "input_ids": enc["input_ids"].astype(np.int32),
+        "attention_mask": enc["attention_mask"].astype(np.int32),
+    }
+    if "token_type_ids" in enc:
+        out["token_type_ids"] = enc["token_type_ids"].astype(np.int32)
+    return out
+
+
+# --------------------------------------------------------------------------
+# base datamodule
+# --------------------------------------------------------------------------
+class QADataModule:
+    """Question<->KB wiring + passage sampling."""
+
+    def __init__(
+        self,
+        tokenizer,
+        dataset=None,
+        kb=None,
+        image_kb=None,
+        M: int = 24,
+        n_relevant_passages: int = 1,
+        search_key: str = "search",
+        input_key: str = "input",
+        kb_input_key: str = "passage",
+        max_length: int = 256,
+        image_features: Optional[PreComputedImageFeatures] = None,
+        seed: int = 42,
+    ):
+        assert n_relevant_passages <= M
+        self.tokenizer = tokenizer
+        self.dataset = dataset
+        self.kb = kb
+        self.image_kb = image_kb
+        self.M = M
+        self.n_relevant_passages = n_relevant_passages
+        self.search_key = search_key
+        self.input_key = input_key
+        self.kb_input_key = kb_input_key
+        self.max_length = max_length
+        self.image_formatter = ImageFormatter(image_features)
+        self.rng = np.random.default_rng(seed)
+        self.padding_passage = [{kb_input_key: ""}]
+
+    def filter_rels(self, dataset):
+        """Drop questions with no relevant passage (train/data.py:510-521)."""
+        key = f"{self.search_key}_provenance_indices"
+        return dataset.filter(lambda item: len(item[key]) > 0)
+
+    def _select_kb(self, indices):
+        if hasattr(self.kb, "select"):
+            return [self.kb[int(i)] for i in indices]
+        return [self.kb[int(i)] for i in indices]
+
+    def add_image_features(self, passages: List[dict]) -> List[dict]:
+        """Join per-article image features from image_kb via passage['index']
+        (train/data.py:587-607)."""
+        if self.image_kb is None:
+            return passages
+        out = []
+        for passage in passages:
+            passage = dict(passage)
+            article = self.image_kb[int(passage["index"])]
+            for k, v in article.items():
+                if k not in passage:
+                    passage[k] = v
+            out.append(passage)
+        return out
+
+    def get_training_passages(self, item: dict, with_scores: bool = False):
+        relevant, relevant_scores = [], np.zeros(0, np.float32)
+        all_rel = item[self.search_key + "_provenance_indices"]
+        n_rel = min(len(all_rel), self.n_relevant_passages)
+        if n_rel > 0:
+            order = self.rng.permutation(n_rel)
+            indices = np.asarray(all_rel)[order]
+            if with_scores:
+                relevant_scores = np.asarray(
+                    item[self.search_key + "_provenance_scores"], np.float32
+                )[order]
+            relevant = self._select_kb(indices)
+        irrelevant, irrelevant_scores = [], np.zeros(0, np.float32)
+        all_irr = item[self.search_key + "_irrelevant_indices"]
+        n_irr = min(len(all_irr), self.M - self.n_relevant_passages)
+        if n_irr > 0:
+            order = self.rng.permutation(n_irr)
+            indices = np.asarray(all_irr)[order]
+            if with_scores:
+                irrelevant_scores = np.asarray(
+                    item[self.search_key + "_irrelevant_scores"], np.float32
+                )[order]
+            irrelevant = self._select_kb(indices)
+        elif n_rel <= 0:
+            warnings.warn(f"Didn't find any passage for question {item.get('id')}")
+        if self.image_kb is not None:
+            relevant = self.add_image_features(relevant)
+            irrelevant = self.add_image_features(irrelevant)
+        if with_scores:
+            return relevant, irrelevant, relevant_scores, irrelevant_scores
+        return relevant, irrelevant
+
+    def _passage_texts(self, passages: List[dict]) -> List[str]:
+        return [p[self.kb_input_key] if isinstance(p, dict) else p
+                for p in passages]
+
+
+# --------------------------------------------------------------------------
+# biencoder
+# --------------------------------------------------------------------------
+class BiEncoderCollator(QADataModule):
+    def __init__(self, *args, passage_type_ids: bool = False, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.passage_type_ids = passage_type_ids
+
+    def collate_fn(self, items: Sequence[dict]) -> dict:
+        assert self.n_relevant_passages == 1
+        n_irr = self.M - 1
+        questions, relevant, irrelevant, labels = [], [], [], []
+        for i, item in enumerate(items):
+            rel, irr = self.get_training_passages(item)
+            if len(rel) < 1:
+                rel = list(self.padding_passage)
+                labels.append(IGNORE_INDEX)
+            else:
+                labels.append(i)
+            if len(irr) < n_irr:
+                irr = list(irr) + self.padding_passage * (n_irr - len(irr))
+            questions.append(item[self.input_key])
+            relevant.extend(rel)
+            irrelevant.extend(irr)
+        all_passages = list(relevant) + list(irrelevant)
+        question_inputs = tokenize(
+            self.tokenizer, questions, max_length=self.max_length
+        )
+        context_inputs = tokenize(
+            self.tokenizer, self._passage_texts(all_passages),
+            max_length=self.max_length,
+        )
+        if self.passage_type_ids and "token_type_ids" in context_inputs:
+            context_inputs["token_type_ids"] = context_inputs[
+                "attention_mask"
+            ].astype(np.int32)
+        question_inputs = self.image_formatter.format_batch(
+            question_inputs, items
+        )
+        context_inputs = self.image_formatter.format_batch(
+            context_inputs, all_passages
+        )
+        return {
+            "question_inputs": question_inputs,
+            "context_inputs": context_inputs,
+            "labels": np.asarray(labels, np.int32),
+        }
+
+
+class JointBiEncoderAndClipCollator(BiEncoderCollator):
+    """Adds CLIP-tokenized passage titles (text before ' [SEP] ')
+    (train/data.py:705-759)."""
+
+    def __init__(self, *args, cm_tokenizer, cm_max_length: int = 77, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.cm_tokenizer = cm_tokenizer
+        self.cm_max_length = cm_max_length
+
+    def collate_fn(self, items):
+        batch = super().collate_fn(items)
+        # recover the titles from the tokenized passages' source text
+        # by re-running passage selection deterministically is fragile;
+        # instead extract from the raw text we just used
+        texts = self._last_passage_texts
+        titles = [
+            t[: t.find("[SEP]") - 1] if "[SEP]" in t else "" for t in texts
+        ]
+        enc = self.cm_tokenizer(
+            titles, padding="max_length", truncation=True,
+            max_length=self.cm_max_length, return_tensors="np",
+        )
+        ctx = batch["context_inputs"]
+        target = ctx if "input_ids" in ctx else ctx["text_inputs"]
+        target_holder = ctx
+        target_holder["titles"] = {
+            "input_ids": enc["input_ids"].astype(np.int32),
+            "attention_mask": enc["attention_mask"].astype(np.int32),
+        }
+        return batch
+
+    def _passage_texts(self, passages):
+        texts = super()._passage_texts(passages)
+        self._last_passage_texts = texts
+        return texts
+
+
+# --------------------------------------------------------------------------
+# reader
+# --------------------------------------------------------------------------
+class ReaderCollator(QADataModule):
+    def __init__(self, *args, max_n_answers: int = 10,
+                 train_original_answer_only: bool = True,
+                 oracle: bool = False, run=None,
+                 with_scores: bool = False, train: bool = True, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.max_n_answers = max_n_answers
+        self.train_original_answer_only = train_original_answer_only
+        self.oracle = oracle
+        self.run = run
+        self.with_scores = with_scores
+        self.train = train
+        if self.oracle and self.n_relevant_passages != self.M:
+            warnings.warn(f"Oracle mode: setting n_relevant_passages={self.M}")
+            self.n_relevant_passages = self.M
+
+    def get_eval_passages(self, item):
+        """Top-M retrieved passages (train/data.py:925-945)."""
+        if self.run is None:
+            indices = item[self.search_key + "_indices"][: self.M]
+            scores = list(item[self.search_key + "_scores"][: self.M])
+        else:
+            results = self.run[item["id"]] if item["id"] in self.run else {}
+            if not results:
+                return [], []
+            indices = [int(d) for d in list(results.keys())[: self.M]]
+            scores = list(results.values())[: self.M]
+        passages = self._select_kb(indices)
+        if self.image_kb is not None:
+            passages = self.add_image_features(passages)
+        return passages, scores
+
+    def get_answer_position(self, input_ids: np.ndarray,
+                            answers: List[List[np.ndarray]],
+                            answer_mask: np.ndarray) -> Dict[str, np.ndarray]:
+        """Token-level answer spans per passage, vectorized sliding-window
+        matching (train/data.py:947-975 semantics)."""
+        start_positions = np.zeros_like(answer_mask)
+        end_positions = np.zeros_like(answer_mask)
+        length = input_ids.shape[1]
+        for j, answer_list in enumerate(answers):
+            row = input_ids[j]
+            starts: List[int] = []
+            ends: List[int] = []
+            for a in answer_list:
+                alen = len(a)
+                if alen == 0 or alen > length:
+                    continue
+                windows = np.lib.stride_tricks.sliding_window_view(row, alen)
+                matches = np.nonzero((windows == a).all(axis=1))[0]
+                for start in matches:
+                    end = start + alen - 1
+                    if start not in starts and end not in ends:
+                        starts.append(int(start))
+                        ends.append(int(end))
+                        if len(starts) >= self.max_n_answers:
+                            break
+                if len(starts) >= self.max_n_answers:
+                    break
+            for i, (s, e) in enumerate(zip(starts, ends)):
+                start_positions[j, i] = s
+                end_positions[j, i] = e
+                answer_mask[j, i] = 1
+        m, a = self.M, self.max_n_answers
+        return {
+            "start_positions": start_positions.reshape(-1, m, a),
+            "end_positions": end_positions.reshape(-1, m, a),
+            "answer_mask": answer_mask.reshape(-1, m, a),
+        }
+
+    def collate_fn(self, items: Sequence[dict]) -> dict:
+        questions, passages, answers, answer_strings = [], [], [], []
+        passage_scores: List[np.ndarray] = []
+        n = len(items)
+        answer_mask = np.zeros((n * self.M, self.max_n_answers), np.int32)
+        for i, item in enumerate(items):
+            questions.extend([item] * self.M)
+            if (not self.train) and not self.oracle:
+                passage, score = self.get_eval_passages(item)
+                score = list(score) + [0.0] * (self.M - len(score))
+                passage_scores.append(np.asarray(score, np.float32))
+            else:
+                rel, irr, *scores = self.get_training_passages(
+                    item, with_scores=self.with_scores
+                )
+                passage = list(rel) + list(irr)
+                if self.with_scores:
+                    rel_s, irr_s = scores
+                    pad = self.M - len(rel_s) - len(irr_s)
+                    passage_scores.append(np.concatenate([
+                        rel_s, irr_s, np.zeros(pad, np.float32)
+                    ]))
+            passages.extend(passage)
+            answer_mask[i * self.M: i * self.M + len(passage), 0] = 1
+            if len(passage) < self.M:
+                passages.extend(self.padding_passage * (self.M - len(passage)))
+
+            original_answer = item["output"]["original_answer"]
+            answer = list(item["output"]["answer"])
+            answer_strings.extend([answer] * self.M)
+            if self.train_original_answer_only:
+                answer = [original_answer]
+            else:
+                lower = getattr(self.tokenizer, "do_lower_case", False)
+                if lower:
+                    original_answer = original_answer.lower()
+                    answer = list({a.lower() for a in answer} - {original_answer})
+                answer = [original_answer] + answer
+            token_lists = self.tokenizer(
+                answer, add_special_tokens=False,
+                return_token_type_ids=False, return_attention_mask=False,
+            )["input_ids"]
+            answers.extend(
+                [[np.asarray(a, np.int64) for a in token_lists]] * self.M
+            )
+
+        questions_text = [q[self.input_key] for q in questions]
+        passages_text = self._passage_texts(passages)
+        batch = tokenize(
+            self.tokenizer, questions_text, pairs=passages_text,
+            max_length=self.max_length,
+        )
+        batch.update(
+            self.get_answer_position(batch["input_ids"], answers, answer_mask)
+        )
+        if self.image_formatter.precomputed:
+            batch = {
+                **self.image_formatter.format_batch(batch, questions, passages)
+            }
+        batch["answer_strings"] = answer_strings
+        if passage_scores:
+            batch["passage_scores"] = np.concatenate(passage_scores)
+        return batch
+
+
+# --------------------------------------------------------------------------
+# reranker
+# --------------------------------------------------------------------------
+class ReRankerCollator(QADataModule):
+    def __init__(self, *args, run=None, train: bool = True, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.run = run
+        self.train = train
+
+    def collate_fn(self, items):
+        questions, passages, labels = [], [], []
+        for item in items:
+            questions.extend([item[self.input_key]] * self.M)
+            if self.train:
+                rel, irr = self.get_training_passages(item)
+                passage = list(rel) + list(irr)
+                label = 0 if rel else IGNORE_INDEX
+            else:
+                results = (
+                    self.run[item["id"]]
+                    if (self.run and item["id"] in self.run) else {}
+                )
+                indices = [int(d) for d in list(results.keys())[: self.M]]
+                passage = self._select_kb(indices)
+                rel_set = set(
+                    item.get(self.search_key + "_provenance_indices", [])
+                )
+                label = next(
+                    (k for k, idx in enumerate(indices) if idx in rel_set),
+                    IGNORE_INDEX,
+                )
+            if len(passage) < self.M:
+                passage = list(passage) + self.padding_passage * (
+                    self.M - len(passage)
+                )
+            passages.extend(passage)
+            labels.append(label)
+        batch = tokenize(
+            self.tokenizer, questions, pairs=self._passage_texts(passages),
+            max_length=self.max_length,
+        )
+        batch["labels"] = np.asarray(labels, np.int32)
+        return batch
+
+
+# --------------------------------------------------------------------------
+# multimodal inverse cloze task
+# --------------------------------------------------------------------------
+class ICTCollator(QADataModule):
+    def __init__(self, *args, sentences_per_target: int = 4,
+                 prepend_title: bool = False, text_mask_rate: float = 1.0,
+                 image_mask_rate: float = 1.0, **kwargs):
+        super().__init__(*args, **kwargs)
+        assert self.n_relevant_passages == 1
+        self.sentences_per_target = sentences_per_target
+        self.prepend_title = prepend_title
+        self.text_mask_rate = text_mask_rate
+        self.image_mask_rate = image_mask_rate
+
+    def get_pseudo_question(self, item: dict):
+        sentences = item["sentences"]
+        i = int(self.rng.integers(len(sentences)))
+        query = {"text": sentences[i]["text"]}
+        n = min(self.sentences_per_target, len(sentences) - 1)
+        max_shift = min(i, n)
+        min_shift = max(0, i + n - len(sentences) + 1)
+        shift = int(self.rng.integers(min_shift, max_shift + 1))
+        if self.rng.random() < self.text_mask_rate:
+            target = [
+                s["text"]
+                for s in sentences[i - shift: i] + sentences[i + 1: i + 1 + n - shift]
+            ]
+        else:
+            target = [s["text"] for s in sentences[i - shift: i + 1 + n - shift]]
+        if self.prepend_title:
+            target = [item["title"], self.tokenizer.sep_token] + target
+        target = {"text": " ".join(target)}
+        context_prefix = (
+            "context_" if self.rng.random() < self.image_mask_rate else ""
+        )
+        if self.image_formatter.precomputed:
+            keys = {"face_box", "face_embedding"} | set(
+                self.image_formatter.features.image_dims
+            )
+            for k in keys:
+                target[k] = item.get(f"{context_prefix}{k}")
+                query[k] = item.get(k)
+        return query, target
+
+    def collate_fn(self, items):
+        questions, targets = [], []
+        for item in items:
+            q, t = self.get_pseudo_question(item)
+            questions.append(q)
+            targets.append(t)
+        question_inputs = self.image_formatter.format_batch(
+            tokenize(self.tokenizer, [q["text"] for q in questions],
+                     max_length=self.max_length),
+            questions,
+        )
+        context_inputs = self.image_formatter.format_batch(
+            tokenize(self.tokenizer, [t["text"] for t in targets],
+                     max_length=self.max_length),
+            targets,
+        )
+        n_hard = self.M - 1
+        if n_hard > 0 and self.image_formatter.precomputed:
+            # duplicate relevant text M times; roll visual features across
+            # the batch for hard negatives (same text, wrong image)
+            for k, v in context_inputs["text_inputs"].items():
+                context_inputs["text_inputs"][k] = np.tile(v, (n_hard + 1, 1))
+            for name, v in context_inputs["image_inputs"].items():
+                v["input"] = np.concatenate(
+                    [v["input"]] + [
+                        np.roll(v["input"], s + 1, 0) for s in range(n_hard)
+                    ]
+                )
+                v["attention_mask"] = np.concatenate(
+                    [v["attention_mask"]] + [
+                        np.roll(v["attention_mask"], s + 1, 0)
+                        for s in range(n_hard)
+                    ]
+                )
+            fi = context_inputs["face_inputs"]
+            for k in ("face", "bbox", "attention_mask"):
+                fi[k] = np.concatenate(
+                    [fi[k]] + [np.roll(fi[k], s + 1, 0) for s in range(n_hard)]
+                )
+        labels = np.arange(len(items), dtype=np.int32)
+        return {
+            "question_inputs": question_inputs,
+            "context_inputs": context_inputs,
+            "labels": labels,
+        }
