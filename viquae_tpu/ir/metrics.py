@@ -24,18 +24,28 @@ def find_relevant(
     alternative_answers: Sequence[str],
     kb,
     reference_key: str = "passage",
+    question_type=None,
 ) -> Tuple[List[int], List[int]]:
     """Split `retrieved` into (original_relevant, relevant) passage indices.
 
     kb: anything indexable by int returning a dict with `reference_key`
-    (an HF Dataset or a list of dicts).
+    (an HF Dataset or a list of dicts). For InfoSeek Numerical questions a
+    passage is relevant if it holds any number in the answer range.
     """
+    from viquae_tpu.data.infoseek import QuestionType, numerical_relevant
+
     original_relevant, relevant = [], []
     original = answer_preprocess(original_answer)
     alternatives = [answer_preprocess(a) for a in alternative_answers]
+    numerical = question_type == QuestionType.Numerical
     for i in retrieved:
         i = int(i)
-        passage = answer_preprocess(kb[i][reference_key])
+        raw_passage = kb[i][reference_key]
+        if numerical and numerical_relevant(alternative_answers, raw_passage):
+            original_relevant.append(i)
+            relevant.append(i)
+            continue
+        passage = answer_preprocess(raw_passage)
         if original and re.search(rf"\b{re.escape(original)}\b", passage):
             original_relevant.append(i)
             relevant.append(i)

@@ -249,6 +249,13 @@ class Searcher:
 
     # ---- per-batch search ---------------------------------------------
     def __call__(self, batch: dict) -> dict:
+        from viquae_tpu.data.infoseek import QuestionType
+
+        question_types = [
+            QuestionType[t] for t in batch.get(
+                "question_type", ["String"] * len(batch["id"])
+            )
+        ]
         for kb in self.kbs.values():
             for index_name, index in kb.indexes.items():
                 queries = batch[index.key]
@@ -262,8 +269,9 @@ class Searcher:
                     scores_batch, indices_batch = kb.search_batch(
                         index_name, queries, k=self.k
                     )
-                for q_id, scores, indices, gt in zip(
-                    batch["id"], scores_batch, indices_batch, batch["output"]
+                for q_id, scores, indices, gt, question_type in zip(
+                    batch["id"], scores_batch, indices_batch,
+                    batch["output"], question_types,
                 ):
                     run_q = self.runs[index_name].setdefault(q_id, {})
                     for score, i in zip(scores, indices):
@@ -286,10 +294,10 @@ class Searcher:
                         if len(run_q) >= self.k:
                             break
                     if self.reference_kb is not None:
-                        self._judge(q_id, run_q, gt)
+                        self._judge(q_id, run_q, gt, question_type)
         return batch
 
-    def _judge(self, q_id, run_q, gt):
+    def _judge(self, q_id, run_q, gt, question_type=None):
         """Extend qrels with newly retrieved, using the qnonrels cache."""
         self.qrels.setdefault(q_id, {})
         self.qnonrels.setdefault(q_id, {})
@@ -304,6 +312,7 @@ class Searcher:
             gt["answer"],
             self.reference_kb,
             reference_key=self.reference_key,
+            question_type=question_type,
         )
         self.qrels[q_id].update({str(i): 1 for i in relevant})
         self.qnonrels[q_id].update(
