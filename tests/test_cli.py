@@ -1,0 +1,116 @@
+"""CLI + config-driven training end-to-end on tiny on-disk datasets."""
+import json
+
+import numpy as np
+import pytest
+
+from viquae_tpu.cli import main as cli_main
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    from datasets import Dataset
+
+    root = tmp_path_factory.mktemp("ws")
+    passages = []
+    for i in range(12):
+        passages.append(f"w{i} is famous the answer is w{i + 20}")
+    Dataset.from_dict({"passage": passages}).save_to_disk(str(root / "kb"))
+    Dataset.from_dict({
+        "id": [f"q{i}" for i in range(6)],
+        "input": [f"what about w{i}" for i in range(6)],
+        "output": [
+            {"original_answer": f"w{i + 20}", "answer": [f"w{i + 20}"],
+             "provenance": [{"title": [f"T{i}"]}]}
+            for i in range(6)
+        ],
+        "search_provenance_indices": [[i] for i in range(6)],
+        "search_provenance_scores": [[5.0]] * 6,
+        "search_irrelevant_indices": [[(i + 3) % 12] for i in range(6)],
+        "search_irrelevant_scores": [[1.0]] * 6,
+    }).save_to_disk(str(root / "questions"))
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + [
+        f"w{i}" for i in range(40)
+    ] + ["what", "about", "is", "famous", "the", "answer"]
+    tok_dir = root / "tok"
+    tok_dir.mkdir()
+    (tok_dir / "vocab.txt").write_text("\n".join(vocab))
+    return root
+
+
+def test_cli_stats(workspace, capsys):
+    cli_main(["stats", str(workspace / "questions")])
+    out = json.loads(capsys.readouterr().out)
+    assert out["n_items"] == 6
+
+
+def test_cli_search_bm25(workspace, capsys, tmp_path):
+    config = {
+        "kb_kwargs": {
+            str(workspace / "kb"): {
+                "index_kwargs": {
+                    "bm25": {"column": "passage", "key": "input",
+                             "kind": "BM25"},
+                }
+            }
+        },
+        "reference_kb_path": str(workspace / "kb"),
+        "do_fusion": False,
+    }
+    cfg_path = tmp_path / "search.json"
+    cfg_path.write_text(json.dumps(config))
+    cli_main([
+        "search", str(workspace / "questions"), str(cfg_path),
+        "--k", "5", "--metrics", str(tmp_path / "m"),
+    ])
+    assert (tmp_path / "m" / "metrics.json").exists()
+    out = capsys.readouterr().out
+    assert "bm25" in out
+
+
+def test_cli_train_fit(workspace, tmp_path, capsys):
+    config = {
+        "seed": 42,
+        "trainee": {
+            "kind": "biencoder",
+            "question_model": {
+                "class_name": "DPREncoder", "seed": 0,
+                "cfg": None,
+            },
+        },
+        "data": {
+            "tokenizer": str(workspace / "tok"),
+            "dataset": str(workspace / "questions"),
+            "kb": str(workspace / "kb"),
+            "M": 2,
+            "batch_size": 3,
+            "max_length": 16,
+        },
+        "optimizer": {"lr": 1e-4, "total_steps": 4},
+        "trainer": {"max_steps": 2, "log_every": 1},
+        "export": str(tmp_path / "export"),
+    }
+    # DPREncoder default config is bert-base (too big for a test) — use a
+    # tiny config via the registry-free path
+    import yaml
+
+    from viquae_tpu.models import bert, dpr
+    from viquae_tpu.train.run import run_from_config
+
+    tiny = dpr.DPRConfig(bert=bert.BertConfig(
+        vocab_size=64, hidden_size=16, num_hidden_layers=1,
+        num_attention_heads=2, intermediate_size=32,
+        max_position_embeddings=32, add_pooler=False,
+    ))
+    import viquae_tpu.core.config as cc
+
+    @cc.register("TinyDPR")
+    def tiny_dpr(seed=0):
+        return dpr.DPREncoder(cfg=tiny, seed=seed)
+
+    config["trainee"]["question_model"] = {"class_name": "TinyDPR", "seed": 0}
+    cfg_path = tmp_path / "train.yaml"
+    cfg_path.write_text(yaml.safe_dump(config))
+    result = run_from_config(cfg_path, subcommand="fit")
+    assert result["final_step"] == 2
+    assert (tmp_path / "export" / "question_model" / "params.npz").exists()

@@ -1,0 +1,232 @@
+"""Command-line surface: ``python -m viquae_tpu <command> ...``.
+
+Mirrors the reference's script layer (docopt scripts under `python -m
+meerqat.*`) with one argparse dispatcher over the same JSON/YAML
+kwargs-tree configs:
+
+  passages   <- meerqat.data.loading passages (passage splitting)
+  mapping    <- meerqat.data.loading map (title2index / article2passage)
+  relevant   <- meerqat.ir.metrics relevant (provenance qrels)
+  embed      <- meerqat.ir.embedding (text embedding stage)
+  embed-image<- meerqat.image.embedding
+  resize     <- meerqat.image.resize
+  faces      <- meerqat.image.face_detection
+  face-embed <- meerqat.image.face_recognition
+  search     <- meerqat.ir.search
+  fuse       <- meerqat.ir.fuse (fit/test)
+  hp         <- meerqat.ir.hp (bm25 grid search)
+  train      <- meerqat.train.trainer (fit/test via config)
+  html       <- meerqat.viz.html
+  stats      <- meerqat.viz.stats
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+from viquae_tpu.core.config import load_config
+
+
+def _add_config_arg(p):
+    p.add_argument("--config", type=str, help="JSON/YAML kwargs-tree")
+
+
+def cmd_passages(args):
+    from viquae_tpu.data.loading import make_passage_dataset
+
+    kwargs = load_config(args.config) if args.config else {}
+    if kwargs.get("method") == "uniform":
+        from transformers import AutoTokenizer
+
+        kwargs["tokenizer"] = AutoTokenizer.from_pretrained(
+            kwargs.pop("tokenizer_name", "bert-base-uncased")
+        )
+    out = make_passage_dataset(args.input, args.output, **kwargs)
+    print(out)
+
+
+def cmd_mapping(args):
+    from viquae_tpu.data.loading import make_mapping_dataset
+
+    make_mapping_dataset(
+        args.dataset, args.key, args.save_name,
+        inverse=args.inverse, one2many=args.one2many,
+    )
+
+
+def cmd_relevant(args):
+    from viquae_tpu.data.loading import json_integer_keys
+    from viquae_tpu.ir.metrics import find_relevant_dataset
+
+    from datasets import load_from_disk
+
+    title2index = json.loads(Path(args.title2index).read_text())
+    article2passage = None
+    if args.article2passage:
+        article2passage = json.loads(
+            Path(args.article2passage).read_text(),
+            object_hook=json_integer_keys,
+        )
+    find_relevant_dataset(
+        args.dataset,
+        passages=load_from_disk(args.passages),
+        title2index=title2index,
+        article2passage=article2passage,
+        save_as=args.save,
+    )
+
+
+def cmd_embed(args):
+    from transformers import AutoTokenizer
+
+    from viquae_tpu.core.config import get_pretrained
+    from viquae_tpu.ir.embedding import TextEmbedder, dataset_embed
+
+    config = load_config(args.config)
+    model_kwargs = config.pop("model")
+    model = get_pretrained(**model_kwargs)
+    tokenizer = AutoTokenizer.from_pretrained(config.pop("tokenizer"))
+    embedder = TextEmbedder(
+        model.apply_fn, model.params, tokenizer, **config
+    )
+    dataset_embed(args.dataset, embedder, output_path=args.output)
+
+
+def cmd_search(args):
+    from datasets import load_from_disk
+
+    from viquae_tpu.ir.search import dataset_search
+
+    config = load_config(args.config)
+    dataset = load_from_disk(args.dataset)
+    metric_save_path = Path(args.metrics) if args.metrics else None
+    dataset_search(
+        dataset, k=args.k, metric_save_path=metric_save_path, **config
+    )
+
+
+def cmd_fuse(args):
+    from viquae_tpu.ir.fuse import Fusion
+
+    config = load_config(args.config) if args.config else {}
+    subcommand_kwargs = config.pop("subcommand_kwargs", {})
+    fusion = Fusion(**config)
+    if args.subcommand == "fit":
+        fusion.fit(**subcommand_kwargs)
+    else:
+        best_params = json.loads(Path(args.best_params).read_text())
+        fusion.test(best_params, **subcommand_kwargs)
+
+
+def cmd_hp(args):
+    from datasets import load_from_disk
+
+    from viquae_tpu.ir import hp
+    from viquae_tpu.ops import bm25
+    from viquae_tpu.rankeval import Qrels
+
+    config = load_config(args.config)
+    kb = load_from_disk(config["kb"])
+    index = bm25.BM25Index.build(list(kb[config.get("column", "passage")]))
+    dataset = load_from_disk(config["dataset"])
+    queries = dict(zip(dataset["id"], dataset[config.get("key", "input")]))
+    qrels = Qrels.from_file(config["qrels"])
+    objective = hp.BM25Objective(
+        index, queries, qrels, k=config.get("k", 100),
+        metric=config.get("metric", "mrr@100"),
+    )
+    result = hp.hyperparameter_search(
+        objective, config.get("grid", hp.DEFAULT_BM25_GRID),
+        storage=config.get("storage"),
+    )
+    print(json.dumps(
+        {k: result[k] for k in ("best_params", "best_value")}, indent=2
+    ))
+
+
+def cmd_resize(args):
+    from viquae_tpu.image.resize import dataset_resize
+
+    n = dataset_resize(
+        args.dataset, args.root, args.save_root, size=args.size
+    )
+    print(f"resized {n} images")
+
+
+def cmd_stats(args):
+    from datasets import load_from_disk
+
+    from viquae_tpu.viz.stats import dataset_stats
+
+    print(json.dumps(dataset_stats(load_from_disk(args.dataset)), indent=2,
+                     default=str))
+
+
+def cmd_train(args):
+    from viquae_tpu.train.run import run_from_config
+
+    run_from_config(args.config, subcommand=args.subcommand)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="viquae_tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("passages", help="split articles into passages")
+    p.add_argument("input"), p.add_argument("output"), _add_config_arg(p)
+    p.set_defaults(fn=cmd_passages)
+
+    p = sub.add_parser("mapping", help="build title2index/article2passage")
+    p.add_argument("dataset"), p.add_argument("key"), p.add_argument("save_name")
+    p.add_argument("--inverse", action="store_true")
+    p.add_argument("--one2many", action="store_true")
+    p.set_defaults(fn=cmd_mapping)
+
+    p = sub.add_parser("relevant", help="provenance relevance judgment")
+    p.add_argument("dataset"), p.add_argument("passages")
+    p.add_argument("title2index")
+    p.add_argument("--article2passage"), p.add_argument("--save", default="provenance_indices")
+    p.set_defaults(fn=cmd_relevant)
+
+    p = sub.add_parser("embed", help="embed a text column")
+    p.add_argument("dataset"), p.add_argument("config")
+    p.add_argument("--output")
+    p.set_defaults(fn=cmd_embed)
+
+    p = sub.add_parser("search", help="multi-index search + eval")
+    p.add_argument("dataset"), p.add_argument("config")
+    p.add_argument("--k", type=int, default=100)
+    p.add_argument("--metrics")
+    p.set_defaults(fn=cmd_search)
+
+    p = sub.add_parser("fuse", help="late fusion fit/test")
+    p.add_argument("subcommand", choices=["fit", "test"])
+    p.add_argument("--best_params"), _add_config_arg(p)
+    p.set_defaults(fn=cmd_fuse)
+
+    p = sub.add_parser("hp", help="BM25 hyperparameter grid search")
+    p.add_argument("config")
+    p.set_defaults(fn=cmd_hp)
+
+    p = sub.add_parser("resize", help="thumbnail the image corpus")
+    p.add_argument("dataset"), p.add_argument("root"), p.add_argument("save_root")
+    p.add_argument("--size", type=int, default=512)
+    p.set_defaults(fn=cmd_resize)
+
+    p = sub.add_parser("stats", help="dataset statistics")
+    p.add_argument("dataset")
+    p.set_defaults(fn=cmd_stats)
+
+    p = sub.add_parser("train", help="config-driven training")
+    p.add_argument("subcommand", choices=["fit", "test"])
+    p.add_argument("config")
+    p.set_defaults(fn=cmd_train)
+
+    args = parser.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -105,3 +105,7 @@ class DPREncoder:
 
     def __call__(self, input_ids, attention_mask=None, **kw):
         return apply(self.params, self.cfg, input_ids, attention_mask, **kw)
+
+    def apply_fn(self, params, input_ids, attention_mask=None, **kw):
+        """Pure apply over externally-managed params (trainee contract)."""
+        return apply(params, self.cfg, input_ids, attention_mask, **kw)

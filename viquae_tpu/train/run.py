@@ -1,0 +1,169 @@
+"""Config-driven training entry (the LightningCLI replacement).
+
+One YAML/JSON config wires trainee + collator + optimizer + trainer,
+mirroring `python -m meerqat.train.trainer fit --config=...`
+(meerqat/train/trainer.py:30-38) on the framework's explicit SPMD loop:
+
+.. code-block:: yaml
+
+    seed: 42
+    trainee:
+      kind: biencoder           # biencoder | reader | reranker
+      question_model: {class_name: DPREncoder, seed: 0}
+      context_model:  {class_name: DPREncoder, seed: 1}
+    data:
+      tokenizer: /path/to/tokenizer-or-vocab-dir
+      dataset: /path/to/questions     # needs *_provenance_indices columns
+      kb: /path/to/passages
+      M: 24
+      batch_size: 8
+    optimizer: {lr: 2.0e-5, warmup_steps: 100, total_steps: 1000}
+    trainer:   {max_steps: 1000, ckpt_dir: ckpts, eval_every: 100,
+                monitor: "MRR@N*M"}
+    export: ckpts/export        # save_ptm output after fit
+"""
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Iterable, Optional
+
+from viquae_tpu.core import mesh as meshlib
+from viquae_tpu.core.config import instantiate_tree, load_config
+
+
+def _build_tokenizer(spec):
+    from transformers import AutoTokenizer, BertTokenizerFast
+
+    path = Path(str(spec))
+    if path.is_dir() and (path / "vocab.txt").exists():
+        return BertTokenizerFast(vocab_file=str(path / "vocab.txt"))
+    if path.suffix == ".txt":
+        return BertTokenizerFast(vocab_file=str(path))
+    return AutoTokenizer.from_pretrained(str(spec))
+
+
+def _batches(dataset, collate_fn, batch_size: int, shuffle_seed=None):
+    import numpy as np
+
+    order = np.arange(len(dataset))
+    if shuffle_seed is not None:
+        np.random.default_rng(shuffle_seed).shuffle(order)
+    for start in range(0, len(order) - batch_size + 1, batch_size):
+        items = [dataset[int(i)] for i in order[start: start + batch_size]]
+        yield collate_fn(items)
+
+
+def build_trainee(config: dict, tokenizer=None):
+    from viquae_tpu.train import trainee as trainee_lib
+
+    kind = config.pop("kind")
+    if kind == "biencoder":
+        question_model = instantiate_tree(config.pop("question_model"))
+        context_model = (
+            instantiate_tree(config.pop("context_model"))
+            if "context_model" in config else None
+        )
+        return trainee_lib.BiEncoderTrainee(
+            question_model, context_model, **config
+        )
+    if kind == "reader":
+        from viquae_tpu.models import bert, qa
+        import jax
+
+        bert_cfg = bert.BertConfig(
+            **config.pop("bert_config", {}), add_pooler=False
+        )
+        cfg = qa.ReaderConfig(
+            bert=bert_cfg, fuse_ir_score=config.pop("fuse_ir_score", False)
+        )
+        params = qa.init(jax.random.key(config.pop("seed", 0)), cfg)
+        return trainee_lib.ReaderTrainee(
+            cfg, params, tokenizer, **config
+        )
+    if kind == "reranker":
+        from viquae_tpu.models import bert, rr
+        import jax
+
+        bert_cfg = bert.BertConfig(
+            **config.pop("bert_config", {}), add_pooler=False
+        )
+        rr_cfg = rr.BertReRankerConfig(bert=bert_cfg)
+        params = rr.bert_reranker_init(
+            jax.random.key(config.pop("seed", 0)), rr_cfg
+        )
+
+        class _Model:
+            def __init__(self):
+                self.params = params
+
+            def apply_fn(self, p, **kw):
+                return rr.bert_reranker_apply(p, rr_cfg, **kw)
+
+        return trainee_lib.ReRankerTrainee(_Model(), **config)
+    raise ValueError(f"Unknown trainee kind {kind!r}")
+
+
+def build_collator(config: dict, tokenizer, trainee_kind: str):
+    from datasets import load_from_disk
+
+    from viquae_tpu.train import data as tdata
+
+    dataset = load_from_disk(str(config.pop("dataset")))
+    kb = load_from_disk(str(config.pop("kb"))) if "kb" in config else None
+    image_kb = (
+        load_from_disk(str(config.pop("image_kb")))
+        if "image_kb" in config else None
+    )
+    batch_size = config.pop("batch_size", 8)
+    collator_cls = {
+        "biencoder": tdata.BiEncoderCollator,
+        "reader": tdata.ReaderCollator,
+        "reranker": tdata.ReRankerCollator,
+        "ict": tdata.ICTCollator,
+    }[config.pop("collator", trainee_kind)]
+    collator = collator_cls(
+        tokenizer, dataset=dataset, kb=kb, image_kb=image_kb, **config
+    )
+    return collator, dataset, batch_size
+
+
+def run_from_config(config_path, subcommand: str = "fit") -> dict:
+    import jax
+
+    from viquae_tpu.train import optim
+    from viquae_tpu.train.trainer import Trainer, TrainerConfig
+
+    config = load_config(config_path)
+    seed = config.get("seed", 42)
+
+    tokenizer = _build_tokenizer(config["data"].pop("tokenizer"))
+    trainee_cfg = dict(config["trainee"])
+    trainee_kind = trainee_cfg["kind"]
+    trainee = build_trainee(trainee_cfg, tokenizer=tokenizer)
+    collator, dataset, batch_size = build_collator(
+        dict(config["data"]), tokenizer, trainee_kind
+    )
+
+    ctx = meshlib.make_mesh()
+    params = trainee.params
+    tx = optim.make_optimizer(params, **config.get("optimizer", {}))
+    trainer_cfg = TrainerConfig(seed=seed, **config.get("trainer", {}))
+    with meshlib.use(ctx):
+        trainer = Trainer(
+            trainee.loss_fn, params, tx, trainer_cfg, mesh_ctx=ctx,
+            eval_fn=getattr(trainee, "eval_fn", None),
+        )
+        if subcommand == "fit":
+            result = trainer.fit(
+                list(_batches(dataset, collator.collate_fn, batch_size,
+                              shuffle_seed=seed))
+            )
+            export = config.get("export")
+            if export and hasattr(trainee, "export"):
+                trainee.export(export, params=trainer.state["params"])
+        else:
+            result = trainer.evaluate(
+                _batches(dataset, collator.collate_fn, batch_size)
+            )
+    print(result if isinstance(result, dict) else result)
+    return result

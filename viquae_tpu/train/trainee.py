@@ -1,0 +1,400 @@
+"""Trainees: model + objective + eval bundles (parity meerqat/train/trainee.py).
+
+Each trainee exposes the interface the :class:`viquae_tpu.train.trainer.Trainer`
+consumes — ``params``, ``loss_fn(params, batch, rng)``, ``eval_fn(outputs)``
+— plus ``export(dir)`` implementing the save_ptm inter-stage contract
+(split question/context encoder export, train/trainee.py:470-487 +
+save_ptm.py:22-31).
+
+- :class:`BiEncoderTrainee`    <- BiEncoder (:376-487)
+- :class:`CrossModalTrainee`   <- CrossModal CLIP contrastive (:199-231)
+- :class:`JointBiEncoderAndClipTrainee` <- (:490-626)
+- :class:`ReRankerTrainee`     <- ReRanker (:631-694)
+- :class:`ReaderTrainee`       <- Reader (:707-852) incl. span decoding,
+  squad-per-question eval, weighted-by-IR-score predictions, M_tuning, and
+  metrics.json/predictions.json emission.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from viquae_tpu.models import bert, dpr
+from viquae_tpu.train import checkpoint as ckpt_lib
+from viquae_tpu.train import metrics as tmetrics
+from viquae_tpu.train import objectives
+
+
+def _text_kwargs(inputs: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
+    text = inputs.get("text_inputs", inputs)
+    out = {
+        "input_ids": text["input_ids"],
+        "attention_mask": text.get("attention_mask"),
+    }
+    if "token_type_ids" in text:
+        out["token_type_ids"] = text["token_type_ids"]
+    return out
+
+
+class BiEncoderTrainee:
+    """DPR-style dual tower with global in-batch negatives."""
+
+    def __init__(self, question_model, context_model=None,
+                 shared_encoders: bool = False):
+        """question_model/context_model: objects with .cfg, .params and an
+        apply(params, **text_kwargs) -> {"pooler_output"} callable — e.g.
+        models.dpr.DPREncoder, or any multimodal encoder adapter."""
+        self.question_model = question_model
+        self.shared_encoders = shared_encoders or context_model is None
+        self.context_model = question_model if self.shared_encoders else context_model
+
+    @property
+    def params(self):
+        if self.shared_encoders:
+            return {"question": self.question_model.params}
+        return {
+            "question": self.question_model.params,
+            "context": self.context_model.params,
+        }
+
+    def _encode(self, params, model, inputs, rng, deterministic):
+        return model(
+            params, **_text_kwargs(inputs),
+            deterministic=deterministic, rng=rng,
+        )["pooler_output"]
+
+    def loss_fn(self, params, batch, rng, deterministic: bool = False):
+        rq, rc = jax.random.split(rng)
+        ctx_params = params.get("context", params["question"])
+        q = self._encode(
+            params["question"], self.question_model.apply_fn,
+            batch["question_inputs"], rq, deterministic,
+        )
+        c = self._encode(
+            ctx_params, self.context_model.apply_fn,
+            batch["context_inputs"], rc, deterministic,
+        )
+        return objectives.biencoder_loss(q, c, batch["labels"])
+
+    def eval_fn(self, outputs: List[dict]) -> Dict[str, float]:
+        batch_metrics = [
+            tmetrics.batch_retrieval(
+                np.asarray(o["log_probs"]), np.asarray(o["labels"])
+            )
+            for o in outputs
+        ]
+        return tmetrics.accumulate_batch_metrics(batch_metrics)
+
+    def export(self, path, params=None):
+        """Split-export question/context towers (save_ptm contract)."""
+        params = params or self.params
+        path = Path(path)
+        ckpt_lib.export_params(path / "question_model", params["question"])
+        if not self.shared_encoders:
+            ckpt_lib.export_params(path / "context_model", params["context"])
+
+
+class CrossModalTrainee:
+    """CLIP-style symmetric contrastive training (text <-> image)."""
+
+    def __init__(self, text_model, vision_model, logit_scale_init: float = 2.6592):
+        self.text_model = text_model
+        self.vision_model = vision_model
+        self.logit_scale_init = logit_scale_init
+
+    @property
+    def params(self):
+        return {
+            "text": self.text_model.params,
+            "vision": self.vision_model.params,
+            "logit_scale": jnp.asarray(self.logit_scale_init),
+        }
+
+    def loss_fn(self, params, batch, rng, deterministic: bool = False):
+        from viquae_tpu.models.clip import l2norm
+
+        text = self.text_model.apply_fn(
+            params["text"], **_text_kwargs(batch["text_inputs"])
+        )["text_embeds"]
+        image = self.vision_model.apply_fn(
+            params["vision"], batch["pixel_values"]
+        )["image_embeds"]
+        return objectives.clip_contrastive_loss(
+            l2norm(text), l2norm(image), jnp.exp(params["logit_scale"])
+        )
+
+    def eval_fn(self, outputs):
+        batch_metrics = []
+        for o in outputs:
+            logits = np.asarray(o["logits"])
+            labels = np.arange(len(logits))
+            batch_metrics.append(tmetrics.batch_retrieval(logits, labels))
+        return tmetrics.accumulate_batch_metrics(batch_metrics)
+
+
+class JointBiEncoderAndClipTrainee(BiEncoderTrainee):
+    """3-way similarity: text-text + image-image + image-title
+    (trainee.py:490-626), with learnable weights/temperature."""
+
+    def __init__(self, question_model, context_model, clip_text_model,
+                 clip_vision_model, question_weight=1 / 3, image_weight=1 / 3,
+                 cm_weight=1 / 3, learn_weights: bool = False):
+        super().__init__(question_model, context_model)
+        self.clip_text_model = clip_text_model
+        self.clip_vision_model = clip_vision_model
+        self._weights_init = (question_weight, image_weight, cm_weight)
+        self.learn_weights = learn_weights
+
+    @property
+    def params(self):
+        qw, iw, cw = self._weights_init
+        return {
+            **super().params,
+            "clip_text": self.clip_text_model.params,
+            "clip_vision": self.clip_vision_model.params,
+            "question_weight": jnp.asarray([qw]),
+            "image_weight": jnp.asarray([iw]),
+            "cm_weight": jnp.asarray([cw]),
+            "temperature": jnp.asarray([1.0]),
+        }
+
+    def loss_fn(self, params, batch, rng, deterministic: bool = False):
+        rq, rc = jax.random.split(rng)
+        q = self._encode(
+            params["question"], self.question_model.apply_fn,
+            batch["question_inputs"], rq, deterministic,
+        )
+        c = self._encode(
+            params.get("context", params["question"]),
+            self.context_model.apply_fn,
+            batch["context_inputs"], rc, deterministic,
+        )
+        q_img = self.clip_vision_model.apply_fn(
+            params["clip_vision"], batch["question_pixel_values"]
+        )["image_embeds"]
+        c_img = self.clip_vision_model.apply_fn(
+            params["clip_vision"], batch["context_pixel_values"]
+        )["image_embeds"]
+        titles = self.clip_text_model.apply_fn(
+            params["clip_text"], **_text_kwargs(
+                batch["context_inputs"]["titles"]
+            )
+        )["text_embeds"]
+        return objectives.joint_mono_cross_modal_loss(
+            q, c, q_img, c_img, titles, batch["labels"],
+            params["question_weight"], params["image_weight"],
+            params["cm_weight"], params["temperature"],
+        )
+
+    def freeze_weights_regex(self) -> Optional[str]:
+        """Regex freezing the fusion weights unless learn_weights."""
+        if self.learn_weights:
+            return None
+        return r"(question_weight|image_weight|cm_weight|temperature)"
+
+
+class ReRankerTrainee:
+    def __init__(self, model, m_passages: int = 24):
+        self.model = model
+        self.M = m_passages
+
+    @property
+    def params(self):
+        return self.model.params
+
+    def loss_fn(self, params, batch, rng, deterministic: bool = False):
+        out = self.model.apply_fn(
+            params, **_text_kwargs(batch), deterministic=deterministic, rng=rng,
+        )
+        logits = out.logits.reshape(-1, self.M)
+        loss, log_probs = objectives.reranker_loss(logits, batch["labels"])
+        return loss, {"log_probs": log_probs, "labels": batch["labels"],
+                      "logits": logits}
+
+    def eval_fn(self, outputs):
+        batch_metrics = [
+            tmetrics.batch_retrieval(
+                np.asarray(o["log_probs"]), np.asarray(o["labels"])
+            )
+            for o in outputs
+        ]
+        return tmetrics.accumulate_batch_metrics(batch_metrics)
+
+
+def power_range(maximum: int):
+    """1, 2, 4, ... up to maximum (inclusive cap) — trainee.py:694-704."""
+    i = 0
+    while True:
+        p = min(2 ** i, maximum)
+        yield p
+        if p >= maximum:
+            break
+        i += 1
+
+
+class ReaderTrainee:
+    """Multi-passage extractive reader training + eval."""
+
+    def __init__(self, cfg, params, tokenizer, m_passages: int = 24,
+                 tune_M: bool = False):
+        from viquae_tpu.models import qa
+
+        self.qa = qa
+        self.cfg = cfg
+        self._params = params
+        self.tokenizer = tokenizer
+        self.M = m_passages
+        self.tune_M = tune_M
+
+    @property
+    def params(self):
+        return self._params
+
+    def loss_fn(self, params, batch, rng, deterministic: bool = False):
+        out = self.qa.reader_apply(
+            params, self.cfg,
+            batch["input_ids"],
+            attention_mask=batch.get("attention_mask"),
+            token_type_ids=batch.get("token_type_ids"),
+            passage_scores=batch.get("passage_scores")
+            if self.cfg.fuse_ir_score else None,
+            start_positions=batch["start_positions"],
+            end_positions=batch["end_positions"],
+            answer_mask=batch["answer_mask"],
+            m_passages=self.M,
+            deterministic=deterministic,
+            rng=rng,
+        )
+        return out.loss, {
+            "start_log_probs": out.start_log_probs,
+            "end_log_probs": out.end_log_probs,
+        }
+
+    # ---- evaluation ---------------------------------------------------
+    def eval_batch(self, params, batch) -> dict:
+        loss, aux = self.loss_fn(params, batch, jax.random.key(0),
+                                 deterministic=True)
+        m, length = self.M, batch["input_ids"].shape[1]
+        n = batch["input_ids"].shape[0] // m
+        input_ids = np.asarray(batch["input_ids"]).reshape(n, m, length)
+        answer_strings = [
+            batch["answer_strings"][i] for i in range(0, n * m, m)
+        ]
+        start_lp = np.asarray(aux["start_log_probs"]).reshape(n, m, length)
+        end_lp = np.asarray(aux["end_log_probs"]).reshape(n, m, length)
+        predictions = self.qa.log_probs_to_answers(
+            start_lp.reshape(n * m, length), end_lp.reshape(n * m, length),
+            input_ids, self.tokenizer, m,
+        )
+        metrics = tmetrics.squad_per_question(predictions, answer_strings)
+        out = {
+            "loss": float(loss),
+            "metrics": metrics,
+            "predictions": predictions,
+            "weighted_metrics": None,
+            "weighted_predictions": None,
+            "answer_strings": answer_strings,
+            "input_ids": input_ids,
+            "start_log_probs": start_lp,
+            "end_log_probs": end_lp,
+            "passage_scores": None,
+        }
+        passage_scores = batch.get("passage_scores")
+        if passage_scores is not None and not self.cfg.fuse_ir_score:
+            out["passage_scores"] = np.asarray(passage_scores).reshape(n, m)
+            weights = jnp.asarray(out["passage_scores"])
+            weighted = self.qa.log_probs_to_answers(
+                start_lp.reshape(n * m, length),
+                end_lp.reshape(n * m, length),
+                input_ids, self.tokenizer, m, weights=weights,
+            )
+            out["weighted_predictions"] = weighted
+            out["weighted_metrics"] = tmetrics.squad_per_question(
+                weighted, answer_strings
+            )
+        return out
+
+    def eval_epoch_end(self, eval_outputs: List[dict]) -> dict:
+        metrics = {"exact_match": [], "f1": [],
+                   "weighted_exact_match": [], "weighted_f1": []}
+        predictions, weighted = [], []
+        for o in eval_outputs:
+            for k, v in o["metrics"].items():
+                metrics[k].extend(v)
+            predictions.extend(o["predictions"])
+            if o["weighted_metrics"] is not None:
+                for k, v in o["weighted_metrics"].items():
+                    metrics["weighted_" + k].extend(v)
+                weighted.extend(o["weighted_predictions"])
+        agg = {
+            k: (sum(v) / len(v) if v else None) for k, v in metrics.items()
+        }
+        return {"metrics": agg, "predictions": predictions,
+                "weighted_predictions": weighted}
+
+    def test(self, params, eval_batches, log_dir) -> dict:
+        """Full test pass emitting metrics.json / predictions.json
+        (trainee.py:810-824)."""
+        outputs = [self.eval_batch(params, b) for b in eval_batches]
+        result = self.eval_epoch_end(outputs)
+        log_dir = Path(log_dir)
+        log_dir.mkdir(parents=True, exist_ok=True)
+        (log_dir / "metrics.json").write_text(json.dumps(result["metrics"]))
+        (log_dir / "predictions.json").write_text(
+            json.dumps(result["predictions"])
+        )
+        if result["weighted_predictions"]:
+            (log_dir / "weighted_predictions.json").write_text(
+                json.dumps(result["weighted_predictions"])
+            )
+        if self.tune_M:
+            result["metrics_wrt_m"] = self.m_tuning(outputs, log_dir)
+        return result
+
+    def m_tuning(self, eval_outputs: List[dict], log_dir=None) -> List[dict]:
+        """Sweep M in powers of two and re-extract answers from the cached
+        log-probs (trainee.py:826-847); returns metrics per M, best-F1 first
+        written to metrics_wrt_m.json."""
+        input_ids = np.concatenate([o["input_ids"] for o in eval_outputs])
+        start_lp = np.concatenate([o["start_log_probs"] for o in eval_outputs])
+        end_lp = np.concatenate([o["end_log_probs"] for o in eval_outputs])
+        answers = sum((o["answer_strings"] for o in eval_outputs), [])
+        scores = (
+            np.concatenate([o["passage_scores"] for o in eval_outputs])
+            if eval_outputs[0]["passage_scores"] is not None else None
+        )
+        n, M, length = input_ids.shape
+        metrics_wrt_m = []
+        for m in power_range(M):
+            ids_m = input_ids[:, :m]
+            preds = self.qa.log_probs_to_answers(
+                start_lp[:, :m].reshape(n * m, length),
+                end_lp[:, :m].reshape(n * m, length),
+                ids_m, self.tokenizer, m,
+            )
+            metrics = tmetrics.squad(preds, answers)
+            metrics["@M"] = m
+            if scores is not None:
+                weighted = self.qa.log_probs_to_answers(
+                    start_lp[:, :m].reshape(n * m, length),
+                    end_lp[:, :m].reshape(n * m, length),
+                    ids_m, self.tokenizer, m,
+                    weights=jnp.asarray(scores[:, :m]),
+                )
+                for k, v in tmetrics.squad(weighted, answers).items():
+                    metrics["weighted_" + k] = v
+            metrics_wrt_m.append(metrics)
+        if log_dir is not None:
+            (Path(log_dir) / "metrics_wrt_m.json").write_text(
+                json.dumps(metrics_wrt_m)
+            )
+        return metrics_wrt_m
+
+    def export(self, path, params=None):
+        ckpt_lib.export_params(path, params or self._params)

@@ -118,17 +118,29 @@ class Trainer:
         self._train_step = train_step
 
     # ------------------------------------------------------------------
-    def _shard_batch(self, batch: Dict[str, np.ndarray]):
+    def _shard_batch(self, batch):
+        """Device-put a (possibly nested) batch pytree, sharding the leading
+        dim over `data`. Non-array leaves (e.g. answer strings) pass through
+        on host."""
         ctx = self.mesh_ctx
-        out = {}
-        for k, v in batch.items():
+
+        def put(path, v):
+            if isinstance(v, (str, bytes)) or (
+                isinstance(v, list) and v and isinstance(v[0], (str, list))
+            ):
+                return v
             arr = jnp.asarray(v)
-            spec = self._batch_sharding.get(k)
-            sharding = (
-                ctx.sharding(*spec) if spec is not None else ctx.batch_sharded
-            )
-            out[k] = jax.device_put(arr, sharding)
-        return out
+            key = path[0].key if path else None
+            spec = self._batch_sharding.get(key)
+            if spec is not None:
+                sharding = ctx.sharding(*spec)
+            elif arr.ndim > 0 and arr.shape[0] % ctx.data_size == 0:
+                sharding = ctx.batch_sharded
+            else:  # leading dim not divisible by the data axis: replicate
+                sharding = ctx.replicated
+            return jax.device_put(arr, sharding)
+
+        return jax.tree_util.tree_map_with_path(put, batch)
 
     def fit(
         self,
