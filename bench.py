@@ -34,6 +34,12 @@ def sync(x):
 def main():
     small = bool(int(os.environ.get("BENCH_SMALL", "0")))
     import jax
+
+    # persistent compilation cache: first-ever compile over the tunneled TPU
+    # can take minutes; cached executables make reruns start in seconds
+    cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from viquae_tpu.models import bert, dpr
@@ -67,7 +73,7 @@ def main():
         )["pooler_output"]
         q = q.astype(jnp.bfloat16)
         return mips.topk_single(
-            q, kb, k, chunk_size=131072, compute_dtype=jnp.bfloat16,
+            q, kb, k, chunk_size=262144, compute_dtype=jnp.bfloat16,
             mode="fast",
         )
 
@@ -93,7 +99,7 @@ def main():
     )["pooler_output"]
     scores, idx = mips.topk_single(
         jnp.asarray(q_fp32), kb.astype(jnp.float32), 20,
-        chunk_size=131072, compute_dtype=jnp.float32, mode="fast",
+        chunk_size=262144, compute_dtype=jnp.float32, mode="fast",
     )
     kb_host = np.asarray(kb, dtype=np.float32)
     _, ref_idx = mips.exact_topk_numpy(np.asarray(q_fp32), kb_host, 20)

