@@ -1,0 +1,281 @@
+"""TriviaQA -> visual-question generation (parity meerqat/data/kilt2vqa.py).
+
+Pipeline: NER placeholder substitution -> NED by word-error-rate against
+Wikipedia titles/aliases -> ambiguous-mention generation (pronouns /
+man-woman / occupation / instance-of) -> visual question generation with
+image heuristics -> Label Studio export -> image download (sharded for
+restartability).
+
+The reference drives NER + dependency parsing with spaCy (kilt2vqa.py:
+157-227); spaCy is not in this environment, so entity extraction is a
+pluggable ``ner_fn`` returning (text, start_char, end_char, label) spans —
+plug a spaCy pipeline on a data-prep host, or the built-in
+:func:`capitalized_span_ner` fallback. Without a dependency parser the
+placeholder replaces the entity span itself (not its syntactic children) —
+a documented divergence.
+"""
+from __future__ import annotations
+
+import json
+import re
+import warnings
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from viquae_tpu.data import wiki
+
+HUMAN = "http://www.wikidata.org/entity/Q5"
+HE_GENDER = {"Q6581097", "Q2449503"}          # male, transgender male
+SHE_GENDER = {"Q6581072", "Q1052281"}         # female, transgender female
+NA_GENDER = {"Q1097630"}                      # intersex
+ANIMAL_SEX = {"Q44148", "Q43445"}             # male/female organism
+HE_SHE_DEP = {"nsubj", "nsubjpass"}           # subject deps -> he/she
+HIM_HER_DEP = {"dobj", "pobj", "iobj", "dative"}
+
+
+# --------------------------------------------------------------------------
+# word error rate
+# --------------------------------------------------------------------------
+def word_error_rate(a: Sequence[str], b: Sequence[str]) -> float:
+    """Word-level Levenshtein distance / max length."""
+    if not a and not b:
+        return 0.0
+    m, n = len(a), len(b)
+    dist = np.arange(n + 1, dtype=np.int32)
+    for i in range(1, m + 1):
+        prev = dist.copy()
+        dist[0] = i
+        for j in range(1, n + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            dist[j] = min(prev[j] + 1, dist[j - 1] + 1, prev[j - 1] + cost)
+    return float(dist[n]) / max(m, n)
+
+
+wer = word_error_rate
+
+
+# --------------------------------------------------------------------------
+# NER placeholder
+# --------------------------------------------------------------------------
+def capitalized_span_ner(text: str) -> List[Tuple[str, int, int, str]]:
+    """Fallback entity extractor: maximal spans of capitalized words
+    (optionally joined by 'of/the/de'), skipping the sentence start."""
+    spans = []
+    pattern = re.compile(
+        r"\b[A-Z][\w’']*(?:\s+(?:of|the|de|la|du|von|van|[A-Z][\w’']*))*"
+    )
+    for match in pattern.finditer(text):
+        if match.start() == 0:  # likely just sentence-initial capitalization
+            continue
+        spans.append((match.group(), match.start(), match.end(), "MISC"))
+    return spans
+
+
+def item2placeholder(item: dict,
+                     ner_fn: Callable = capitalized_span_ner) -> dict:
+    """Replace an explicit entity mention by '{mention}'
+    ('Who wrote the opera Carmen?' -> 'Who wrote {mention}?')."""
+    item["placeholder"] = []
+    question = item["input"]
+    for text, start, end, label in ner_fn(question):
+        placeholder = question[:start] + "{mention}" + question[end:]
+        item["placeholder"].append({
+            "input": placeholder,
+            "entity": {"text": text, "label": label,
+                       "start": start, "end": end},
+            "dependency": "",
+        })
+    return item
+
+
+# --------------------------------------------------------------------------
+# named entity disambiguation
+# --------------------------------------------------------------------------
+def disambiguate(item: dict, get_wikipedia_item: Callable[[str], dict]) -> dict:
+    """Match each placeholder entity against the question's provenance
+    articles by minimal WER over title+aliases (kilt2vqa.py:299-327)."""
+    for vq in item["placeholder"]:
+        mention = vq["entity"]["text"].lower().strip().split()
+        provenances = {
+            p["wikipedia_id"][0]: re.sub(r"\(.+\)", "", p["title"][0].lower()).strip()
+            for p in item["output"]["provenance"]
+        }
+        wers = {}
+        for wid, title in provenances.items():
+            aliases = {title}
+            wiki_item = get_wikipedia_item(wid)
+            aliases.update(
+                a.lower().strip()
+                for a in wiki_item.get("wikidata_info", {})
+                .get("aliases", {}).get("alias", [])
+            )
+            wers[wid] = min(
+                word_error_rate(mention, alias.split()) for alias in aliases
+            )
+        best = min(wers, key=wers.get)
+        wiki_item = get_wikipedia_item(best)
+        vq["entity"]["wikidata_info"] = wiki_item.get("wikidata_info", {})
+        vq["entity"]["wikipedia_id"] = wiki_item.get("wikipedia_id", best)
+        vq["entity"]["wer"] = wers[best]
+    return item
+
+
+def count_entities(dataset, wer_threshold: float = 0.5) -> Dict[str, dict]:
+    entities: Dict[str, dict] = {}
+    for item in dataset:
+        for vq in item["placeholder"]:
+            entity = vq["entity"]
+            if entity.get("wer", 1.0) > wer_threshold:
+                continue
+            qid = entity["wikidata_info"].get("wikidata_id")
+            if not qid:
+                continue
+            entities.setdefault(qid, {"n_questions": 0})
+            entities[qid]["wikipedia_id"] = entity["wikipedia_id"]
+            entities[qid]["n_questions"] += 1
+    return entities
+
+
+# --------------------------------------------------------------------------
+# ambiguous mention generation
+# --------------------------------------------------------------------------
+def generate_mention(item: dict, entities: Dict[str, dict],
+                     wer_threshold: float = 0.5,
+                     feminine_labels: Optional[dict] = None) -> dict:
+    """Generate pronoun / man-woman / occupation / instance-of mentions
+    (kilt2vqa.py:378-462)."""
+    feminine_labels = feminine_labels or {}
+    for vq in item["placeholder"]:
+        entity = vq["entity"]
+        mentions = {
+            "pronouns": [], "man_woman": [], "occupation": [], "instanceof": []
+        }
+        qid = entity.get("wikidata_info", {}).get("wikidata_id")
+        entity_data = entities.get(qid)
+        if entity.get("wer", 1.0) > wer_threshold or not entity_data:
+            vq["ambiguous_mentions"] = mentions
+            continue
+        dependency = vq.get("dependency", "")
+        gender = entity_data.get("gender", {}).get("value", "")
+        gender = gender.split("/")[-1] if gender else gender
+        human = HUMAN in entity_data.get("instanceof", {})
+        if gender not in ANIMAL_SEX:
+            if gender in HE_GENDER:
+                mentions["man_woman"].append("this man")
+            elif gender in SHE_GENDER:
+                mentions["man_woman"].append("this woman")
+            if dependency in HE_SHE_DEP:
+                if gender in HE_GENDER:
+                    mentions["pronouns"].append("he")
+                elif gender in SHE_GENDER:
+                    mentions["pronouns"].append("she")
+            elif dependency in HIM_HER_DEP:
+                if gender in HE_GENDER:
+                    mentions["pronouns"].append("him")
+                elif gender in SHE_GENDER:
+                    mentions["pronouns"].append("her")
+        occupation = entity_data.get("occupation", {})
+        for occ in (
+            occupation.values() if isinstance(occupation, dict) else occupation
+        ):
+            label = occ.get("label", {}).get("value") if isinstance(occ, dict) else occ
+            if not label:
+                continue
+            if gender in SHE_GENDER:
+                label = feminine_labels.get(label, label)
+            mentions["occupation"].append(f"this {label}")
+        if not human:
+            instanceof_labels = entity_data.get("instanceofLabel", {})
+            for label in (
+                instanceof_labels.values()
+                if isinstance(instanceof_labels, dict) else instanceof_labels
+            ):
+                value = label.get("value") if isinstance(label, dict) else label
+                if value:
+                    mentions["instanceof"].append(f"this {value}")
+        vq["ambiguous_mentions"] = mentions
+    return item
+
+
+# --------------------------------------------------------------------------
+# visual question generation
+# --------------------------------------------------------------------------
+def generate_vq(item: dict, entities: Dict[str, dict],
+                image_width: int = 512) -> dict:
+    """Fill placeholders with ambiguous mentions + attach the entity's best
+    image (kilt2vqa.py:497-556)."""
+    item["vq"] = []
+    for vq in item["placeholder"]:
+        mentions = [
+            m for kind in vq.get("ambiguous_mentions", {}).values()
+            for m in kind
+        ]
+        if not mentions:
+            continue
+        qid = vq["entity"].get("wikidata_info", {}).get("wikidata_id")
+        entity = entities.get(qid, {})
+        title = wiki.best_image(entity)
+        if title is None:
+            continue
+        file_name = title[len("File:"):] if title.startswith("File:") else title
+        url = wiki.file_name_to_thumbnail(file_name, image_width=image_width)
+        for mention in mentions:
+            item["vq"].append({
+                "input": vq["input"].format(mention=mention),
+                "wikidata_id": qid,
+                "image": file_name,
+                "url": url,
+                "mention": mention,
+            })
+    return item
+
+
+def labelstudio_export(items: Sequence[dict], image_width: int = 512
+                       ) -> List[dict]:
+    """Label Studio task JSON (kilt2vqa.py:621-669)."""
+    tasks = []
+    for item in items:
+        for vq in item.get("vq", []):
+            tasks.append({
+                "data": {
+                    "image": vq["url"],
+                    "question": vq["input"],
+                    "answer": item["output"]["original_answer"],
+                    "original_question": item["input"],
+                    "wikidata_id": vq["wikidata_id"],
+                    "id": item["id"],
+                }
+            })
+    return tasks
+
+
+def download_images(items: Sequence[dict], save_root,
+                    image_width: int = 512,
+                    num_shards: Optional[int] = None,
+                    shard_index: Optional[int] = None) -> int:
+    """Download vq images (network-gated; sharded for restartability,
+    kilt2vqa.py:671-695)."""
+    from pathlib import Path
+
+    import requests
+
+    save_root = Path(save_root)
+    save_root.mkdir(parents=True, exist_ok=True)
+    session = requests.Session()
+    n = 0
+    for i, item in enumerate(items):
+        if num_shards is not None and i % num_shards != (shard_index or 0):
+            continue
+        for vq in item.get("vq", []):
+            target = save_root / vq["image"].replace(" ", "_")
+            if target.exists():
+                continue
+            try:
+                response = wiki.request(vq["url"], session)
+                target.write_bytes(response.content)
+                n += 1
+            except RuntimeError as e:
+                warnings.warn(str(e))
+                return n
+    return n
