@@ -91,21 +91,27 @@ def main():
     dt = (time.time() - t0) / reps
     qps = n_queries / dt  # count only the real 1,257 queries
 
-    # ---- R@20 parity vs fp32 numpy exact oracle on a subsample ----------
-    n_check = 4 if small else 8
+    # ---- R@20 parity: fast selection vs exact full-sort, fp32 HIGHEST ---
+    # (matmul parity vs a numpy FAISS-flat oracle is covered by
+    # tests/test_mips.py; pulling the 4.6GB fp32 KB to host over the
+    # tunneled TPU link is too slow for the bench)
+    n_check = 16 if small else 64
     q_fp32 = dpr.apply(
         params, cfg, input_ids[:n_check], attention_mask[:n_check],
         deterministic=True, compute_dtype=jnp.float32,
     )["pooler_output"]
-    scores, idx = mips.topk_single(
-        jnp.asarray(q_fp32), kb.astype(jnp.float32), 20,
+    kb_f32 = kb.astype(jnp.float32)
+    _, idx = mips.topk_single(
+        jnp.asarray(q_fp32), kb_f32, 20,
         chunk_size=262144, compute_dtype=jnp.float32, mode="fast",
     )
-    kb_host = np.asarray(kb, dtype=np.float32)
-    _, ref_idx = mips.exact_topk_numpy(np.asarray(q_fp32), kb_host, 20)
+    _, ref_idx = mips.topk_single(
+        jnp.asarray(q_fp32), kb_f32, 20,
+        chunk_size=262144, compute_dtype=jnp.float32, mode="exact",
+    )
+    idx, ref_idx = np.asarray(idx), np.asarray(ref_idx)
     overlap = np.mean([
-        len(set(np.asarray(idx)[i]) & set(ref_idx[i])) / 20
-        for i in range(n_check)
+        len(set(idx[i]) & set(ref_idx[i])) / 20 for i in range(n_check)
     ])
 
     result = {

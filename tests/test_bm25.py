@@ -67,3 +67,41 @@ def test_tie_break_by_doc_id():
     idx = bm25.BM25Index.build(["apple pie", "apple pie", "banana"])
     _, docs = idx.search("apple", k=2)
     assert docs == [0, 1]
+
+
+def test_native_scorer_matches_python(index):
+    from viquae_tpu.native import load_bm25_scorer
+
+    native = load_bm25_scorer()
+    assert native is not None, "g++ compile of the native scorer failed"
+    queries = ["quick brown fox", "python", "the dog", "zebra spaceship", ""]
+    native_out = index._search_batch_native(native, queries, k=4)
+    # force the pure-python path
+    py_scores, py_indices = [], []
+    for q in queries:
+        s, i = index.search(q, k=4)
+        py_scores.append(s)
+        py_indices.append(i)
+    assert native_out[1] == py_indices
+    for ns, ps in zip(native_out[0], py_scores):
+        assert ns == pytest.approx(ps, rel=1e-6)
+
+
+def test_native_scorer_large_random():
+    rng = __import__("numpy").random.default_rng(0)
+    vocab_words = [f"tok{i}" for i in range(500)]
+    docs = [
+        " ".join(rng.choice(vocab_words, rng.integers(5, 60)))
+        for _ in range(2000)
+    ]
+    index = bm25.BM25Index.build(docs)
+    queries = [
+        " ".join(rng.choice(vocab_words, 5)) for _ in range(20)
+    ]
+    from viquae_tpu.native import load_bm25_scorer
+
+    native_out = index._search_batch_native(load_bm25_scorer(), queries, k=10)
+    for qi, q in enumerate(queries):
+        s, i = index.search(q, k=10)
+        assert native_out[1][qi] == i
+        assert native_out[0][qi] == pytest.approx(s, rel=1e-5)

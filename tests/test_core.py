@@ -51,3 +51,20 @@ def test_seed_bundle_deterministic():
     other = s1.split("init")
     assert not jnp.array_equal(jax.random.key_data(k1), jax.random.key_data(other))
     assert s1.host.integers(0, 100) == s2.host.integers(0, 100)
+
+
+def test_stage_timer(tmp_path):
+    import time as _time
+
+    from viquae_tpu.core.profiling import StageTimer
+
+    timer = StageTimer("test", log_path=str(tmp_path / "t.jsonl"))
+    with timer.stage("work"):
+        _time.sleep(0.01)
+    with timer.stage("work"):
+        _time.sleep(0.01)
+    report = timer.report()
+    assert report["work"]["count"] == 2
+    assert report["work"]["total_s"] >= 0.02
+    assert (tmp_path / "t.jsonl").exists()
+    assert "work" in str(timer)

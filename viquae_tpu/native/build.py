@@ -1,0 +1,69 @@
+"""Build + load the native components (ctypes over g++-compiled .so).
+
+Compilation happens lazily at first use and is cached next to the source
+(mtime-checked). Set VIQUAE_NO_NATIVE=1 to force the pure-Python paths.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+from typing import Optional
+
+_HERE = Path(__file__).parent
+_CACHE: dict = {}
+
+
+def _compile(source: Path, out: Path):
+    cmd = [
+        "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+        str(source), "-o", str(out),
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def _load(name: str) -> Optional[ctypes.CDLL]:
+    if os.environ.get("VIQUAE_NO_NATIVE"):
+        return None
+    if name in _CACHE:
+        return _CACHE[name]
+    source = _HERE / f"{name}.cpp"
+    out = _HERE / f"_{name}.so"
+    try:
+        if not out.exists() or out.stat().st_mtime < source.stat().st_mtime:
+            _compile(source, out)
+        lib = ctypes.CDLL(str(out))
+    except (subprocess.CalledProcessError, OSError):
+        lib = None
+    _CACHE[name] = lib
+    return lib
+
+
+def load_bm25_scorer():
+    """ctypes handle to bm25_score_batch, or None (fallback to numpy)."""
+    lib = _load("bm25_scorer")
+    if lib is None:
+        return None
+    import numpy as np
+    from numpy.ctypeslib import ndpointer
+
+    fn = lib.bm25_score_batch
+    fn.restype = None
+    fn.argtypes = [
+        ndpointer(np.int64, flags="C_CONTIGUOUS"),    # offsets
+        ndpointer(np.int32, flags="C_CONTIGUOUS"),    # docs
+        ndpointer(np.float32, flags="C_CONTIGUOUS"),  # tfs
+        ndpointer(np.float32, flags="C_CONTIGUOUS"),  # idf
+        ndpointer(np.float32, flags="C_CONTIGUOUS"),  # norm
+        ctypes.c_int64,                               # n_docs
+        ndpointer(np.int32, flags="C_CONTIGUOUS"),    # query_terms
+        ndpointer(np.float32, flags="C_CONTIGUOUS"),  # query_tfs
+        ndpointer(np.int64, flags="C_CONTIGUOUS"),    # query_offsets
+        ctypes.c_int64,                               # n_queries
+        ctypes.c_int32,                               # k
+        ndpointer(np.float32, flags="C_CONTIGUOUS"),  # out_scores
+        ndpointer(np.int32, flags="C_CONTIGUOUS"),    # out_indices
+        ndpointer(np.int32, flags="C_CONTIGUOUS"),    # out_counts
+    ]
+    return fn

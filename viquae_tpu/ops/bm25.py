@@ -130,11 +130,65 @@ class BM25Index:
 
     def search_batch(self, queries: Sequence[str], k: int = 100
                      ) -> Tuple[List[List[float]], List[List[int]]]:
+        native = self._native_scorer()
+        if native is not None:
+            return self._search_batch_native(native, queries, k)
         scores_batch, indices_batch = [], []
         for q in queries:
             s, i = self.search(q, k=k)
             scores_batch.append(s)
             indices_batch.append(i)
+        return scores_batch, indices_batch
+
+    def _native_scorer(self):
+        if not hasattr(self, "_native"):
+            from viquae_tpu.native import load_bm25_scorer
+
+            self._native = load_bm25_scorer()
+        return self._native
+
+    def _search_batch_native(self, native, queries: Sequence[str], k: int):
+        """C++ CSR scorer (viquae_tpu/native/bm25_scorer.cpp): identical
+        math + tie order to the numpy path, one pass per query."""
+        term_ids: List[int] = []
+        term_qtfs: List[float] = []
+        offsets = [0]
+        for q in queries:
+            counts: dict = {}
+            for tok in analyze(q):
+                tid = self.vocab.get(tok)
+                if tid is not None:
+                    counts[tid] = counts.get(tid, 0) + 1
+            term_ids.extend(counts.keys())
+            term_qtfs.extend(float(v) for v in counts.values())
+            offsets.append(len(term_ids))
+        n_queries = len(queries)
+        k_eff = min(k, self.n_docs)
+        out_scores = np.zeros((n_queries, k_eff), np.float32)
+        out_indices = np.zeros((n_queries, k_eff), np.int32)
+        out_counts = np.zeros(n_queries, np.int32)
+        native(
+            np.ascontiguousarray(self.offsets, np.int64),
+            np.ascontiguousarray(self.docs, np.int32),
+            np.ascontiguousarray(self.tfs, np.float32),
+            np.ascontiguousarray(self.idf, np.float32),
+            np.ascontiguousarray(self.norm, np.float32),
+            np.int64(self.n_docs),
+            np.ascontiguousarray(term_ids, np.int32)
+            if term_ids else np.zeros(0, np.int32),
+            np.ascontiguousarray(term_qtfs, np.float32)
+            if term_qtfs else np.zeros(0, np.float32),
+            np.ascontiguousarray(offsets, np.int64),
+            np.int64(n_queries),
+            np.int32(k_eff),
+            out_scores, out_indices, out_counts,
+        )
+        scores_batch = [
+            out_scores[q, : out_counts[q]].tolist() for q in range(n_queries)
+        ]
+        indices_batch = [
+            out_indices[q, : out_counts[q]].tolist() for q in range(n_queries)
+        ]
         return scores_batch, indices_batch
 
     # ---- persistence ---------------------------------------------------
