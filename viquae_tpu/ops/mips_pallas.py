@@ -1,0 +1,140 @@
+"""Pallas fused MIPS scoring kernel.
+
+The XLA path (ops.mips.topk_single) runs matmul and segment-max as separate
+HLOs per chunk: the (Q, C) f32 scores are written to HBM by the matmul and
+re-read by the reduction, and selection runs per chunk with a merge chain.
+This kernel fuses them: one pass over the KB computes each score tile on
+the MXU in VMEM and emits BOTH the scores and the per-128-lane segment
+maxima, so
+
+- the KB is streamed exactly once,
+- segment maxima cost no extra HBM read,
+- selection happens ONCE globally (two-level segmented top-k over the
+  (Q, N/128) maxima, then a single candidate gather + final sort) instead
+  of per-chunk select + merge.
+
+Exactness contract matches ops.mips mode="fast" (ties at the k-th segment/
+candidate boundary may swap equal-scored duplicates; impossible for
+distinct scores).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from viquae_tpu.ops import mips
+
+_SEG = 128
+
+
+def _score_segmax_kernel(q_ref, kb_ref, scores_ref, segmax_ref):
+    """One grid step: scores tile = q @ kb_tile.T, plus per-128 seg max."""
+    scores = jnp.dot(
+        q_ref[:], kb_ref[:].T, preferred_element_type=jnp.float32
+    )
+    scores_ref[:] = scores
+    q_count, tile = scores.shape
+    seg = scores.reshape(q_count, tile // _SEG, _SEG)
+    segmax_ref[:] = seg.max(axis=2)
+
+
+@functools.partial(jax.jit, static_argnames=("tile",))
+def fused_score_segmax(queries: jnp.ndarray, kb: jnp.ndarray,
+                       tile: int = 512) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(Q, d) x (N, d) -> scores (Q, N) f32 + segmax (Q, N/128) f32.
+
+    N must be a multiple of `tile`; `tile` a multiple of 128. Queries stay
+    resident in VMEM across the whole grid (constant index map); KB tiles
+    stream through double-buffered DMA managed by the Pallas pipeline.
+    """
+    q_count, dim = queries.shape
+    n = kb.shape[0]
+    assert n % tile == 0 and tile % _SEG == 0, (n, tile)
+    grid = (n // tile,)
+    interpret = jax.default_backend() == "cpu"  # tests on the virtual mesh
+    return pl.pallas_call(
+        _score_segmax_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((q_count, dim), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, dim), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((q_count, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_count, tile // _SEG), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((q_count, n), jnp.float32),
+            jax.ShapeDtypeStruct((q_count, n // _SEG), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * q_count * n * dim,
+            bytes_accessed=(
+                queries.size * queries.dtype.itemsize
+                + kb.size * kb.dtype.itemsize
+                + q_count * n * 4
+            ),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(queries, kb)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile"))
+def topk_pallas(
+    queries: jnp.ndarray,
+    kb: jnp.ndarray,
+    k: int,
+    valid_rows: Optional[jnp.ndarray] = None,
+    tile: int = 512,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Full MIPS top-k via the fused kernel + one global selection.
+
+    Same contract as ops.mips.topk_single(mode="fast"); kb rows beyond
+    `valid_rows` are masked out.
+    """
+    q_count, dim = queries.shape
+    n = kb.shape[0]
+    pad = (-n) % tile
+    if pad:
+        kb = jnp.concatenate([kb, jnp.zeros((pad, dim), kb.dtype)])
+        n += pad
+    nv = jnp.int32(kb.shape[0] if valid_rows is None else valid_rows)
+
+    scores, segmax = fused_score_segmax(queries, kb, tile=tile)
+
+    # mask padded/invalid segments out of the maxima (scores of invalid rows
+    # can only win via the segment gate, so masking segmax suffices unless a
+    # partially-valid segment's invalid rows dominate — handle those by
+    # masking the candidate gather below as well)
+    n_seg = n // _SEG
+    seg_ids = jax.lax.broadcasted_iota(jnp.int32, (q_count, n_seg), 1)
+    first_invalid_seg = nv // _SEG  # segment containing the boundary
+    segmax = jnp.where(seg_ids * _SEG < nv, segmax, mips.NEG_INF)
+
+    # top-k segments via the two-level scheme (exact modulo equal-score ties)
+    _, seg_idx = mips._select_topk(segmax, min(k, n_seg), "fast")
+
+    # gather the selected segments' scores + global ids
+    gather_cols = (
+        seg_idx[:, :, None] * _SEG
+        + jax.lax.broadcasted_iota(jnp.int32, (q_count, seg_idx.shape[1], _SEG), 2)
+    ).reshape(q_count, -1)
+    cand = jnp.take_along_axis(scores, gather_cols, axis=1)
+    cand = jnp.where(gather_cols < nv, cand, mips.NEG_INF)
+    top_scores, pos = jax.lax.top_k(cand, k)
+    top_idx = jnp.take_along_axis(gather_cols, pos, axis=1)
+    neg, top_idx = jax.lax.sort(
+        (-top_scores, top_idx), dimension=-1, num_keys=2
+    )
+    return -neg[:, :k], top_idx[:, :k]
