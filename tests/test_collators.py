@@ -186,3 +186,28 @@ def test_ict_pseudo_question_masking(tokenizer):
         q, t = coll.get_pseudo_question(item)
         # with mask rate 1.0 the query sentence never appears in the target
         assert q["text"] not in t["text"]
+
+
+def test_map_run():
+    from viquae_tpu.rankeval import Run
+
+    run = Run({"q1": {"a0": 3.0, "a1": 2.0}})
+    mapping = {"a0": [10, 11], "a1": [20]}
+    out = tdata.map_run(run, mapping, k=3)
+    assert out["q1"] == {"10": 3.0, "11": 3.0, "20": 2.0}
+    out2 = tdata.map_run(run, mapping, k=2)
+    assert set(out2["q1"]) == {"10", "11"}
+
+
+def test_crossmodal_collator(tokenizer):
+    coll = tdata.CrossModalCollator(tokenizer, max_length=12)
+    items = [
+        {"text": "question about ent0",
+         "pixel_values": np.zeros((8, 8, 3), np.float32)},
+        {"text": "question about ent1",
+         "pixel_values": np.ones((8, 8, 3), np.float32)},
+    ]
+    batch = coll.collate_fn(items)
+    assert batch["text_inputs"]["input_ids"].shape == (2, 12)
+    assert batch["pixel_values"].shape == (2, 8, 8, 3)
+    np.testing.assert_array_equal(batch["labels"], [0, 1])

@@ -89,3 +89,11 @@ def test_uniform_sents_overlong_sentence():
 def test_map_if_not_None():
     out = loading.map_if_not_None(lambda x: x * 2, [1, None, 3])
     assert out == [2, None, 6]
+
+
+def test_make_sentences_item():
+    item = {"text": "First sentence here. Second one! Third?"}
+    loading.make_sentences_item(item)
+    assert len(item["sentences"]) == 3
+    assert item["sentences"][0]["text"] == "First sentence here."
+    assert item["sentences"][0]["n_tokens"] == 4

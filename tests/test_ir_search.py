@@ -179,3 +179,51 @@ def test_hybrid_dense_plus_bm25(setup, tmp_path):
     )
     assert report.scores["bm25"]["precision@1"] == 1.0
     assert (tmp_path / "out" / "min-max_wsum_best_params.yaml").exists()
+
+
+def test_mm_embedder(devices):
+    """MMEmbedder drives an ECA encoder over a column batch."""
+    import jax
+
+    from viquae_tpu.ir.embedding import MMEmbedder
+    from viquae_tpu.models import bert, mm
+    from viquae_tpu.train.data import PreComputedImageFeatures
+
+    cfg = mm.MMConfig(
+        bert=bert.BertConfig(
+            vocab_size=64, hidden_size=16, num_hidden_layers=1,
+            num_attention_heads=2, intermediate_size=32,
+            max_position_embeddings=32, add_pooler=False,
+        ),
+        n_faces=2, face_dim=4, bbox_dim=7, image_dims=(("clip", 5),),
+    )
+    params = mm.eca_init(jax.random.key(0), cfg)
+
+    def apply_fn(p, text_inputs, face_inputs, image_inputs, **kw):
+        return mm.eca_apply(p, cfg, text_inputs, face_inputs, image_inputs, **kw)
+
+    class Tok:
+        def __call__(self, texts, **kw):
+            import numpy as np
+
+            n = len(texts)
+            L = kw["max_length"]
+            return {
+                "input_ids": np.ones((n, L), np.int64),
+                "attention_mask": np.ones((n, L), np.int64),
+            }
+
+    feats = PreComputedImageFeatures(
+        n_faces=2, face_dim=4, bbox_dim=7, image_dims={"clip": 5}
+    )
+    emb = MMEmbedder(apply_fn, params, Tok(), feats, key="input",
+                     max_length=8, batch_size=4)
+    batch = {
+        "input": ["q0", "q1", "q2"],
+        "face_embedding": [[[1.0] * 4], None, [[2.0] * 4]],
+        "face_box": [[[0.1] * 7], None, [[0.2] * 7]],
+        "clip": [[1.0] * 5, None, [3.0] * 5],
+    }
+    out = emb(dict(batch))
+    assert out["mm_embedding"].shape == (3, 16)
+    assert np.isfinite(out["mm_embedding"]).all()

@@ -168,6 +168,32 @@ def json_integer_keys(d: dict) -> dict:
     return {int(k): v for k, v in d.items()}
 
 
+def make_sentences_item(item: dict, text_key: str = "text") -> dict:
+    """Segment an item's text into sentences with token counts — the
+    'sentences' column the ICT collator consumes (parity
+    data/loading.py:425-441 with the in-repo sentencizer)."""
+    item["sentences"] = [
+        {"text": s, "n_tokens": sentencize.count_tokens(s)}
+        for s in sentencize.sentences(item[text_key])
+    ]
+    return item
+
+
+def make_sentences_dataset(dataset_path, text_key: str = "text",
+                           map_kwargs: Optional[dict] = None):
+    from datasets import load_from_disk
+
+    dataset = load_from_disk(str(dataset_path))
+    dataset = dataset.map(
+        make_sentences_item, fn_kwargs={"text_key": text_key},
+        **(map_kwargs or {}),
+    )
+    from viquae_tpu.ir.embedding import save_in_place
+
+    save_in_place(dataset, dataset_path)
+    return dataset
+
+
 # --------------------------------------------------------------------------
 # image io (host-side; error-tolerant -> None, consumers mask)
 # --------------------------------------------------------------------------

@@ -136,6 +136,86 @@ class TextEmbedder:
         return np.concatenate(chunks, axis=0)
 
 
+class MMEmbedder:
+    """Multimodal query/passage embedding (ECA/ILF encoders): tokenized text
+    + precomputed face/image feature columns -> embedding column (parity
+    ir/embedding.py:29-107 `get_face_inputs`/`get_image_inputs` +
+    multimodal `embed`)."""
+
+    def __init__(self, apply_fn, params, tokenizer, image_features,
+                 key: str = "input", save_as: str = "mm_embedding",
+                 max_length: int = 256, batch_size: int = 64,
+                 mesh_ctx=None, compute_dtype=jnp.float32,
+                 kb=None, kb_features=None):
+        from viquae_tpu.train.data import PreComputedImageFeatures
+
+        self.tokenizer = tokenizer
+        self.features: "PreComputedImageFeatures" = image_features
+        self.key = key
+        self.save_as = save_as
+        self.max_length = max_length
+        self.batch_size = batch_size
+        self.mesh_ctx = mesh_ctx or meshlib.current()
+        self.params = params
+        self.kb = kb                    # article KB for passage joins
+        self.kb_features = kb_features  # feature column names to join
+
+        @jax.jit
+        def forward(params, text_inputs, face_inputs, image_inputs):
+            out = apply_fn(
+                params,
+                text_inputs=text_inputs,
+                face_inputs=face_inputs,
+                image_inputs=image_inputs,
+                deterministic=True,
+                compute_dtype=compute_dtype,
+            )
+            return out.pooler_output if hasattr(out, "pooler_output") else out
+
+        self._forward = forward
+
+    def __call__(self, batch: dict) -> dict:
+        items = [
+            {k: batch[k][i] for k in batch} for i in range(len(batch[self.key]))
+        ]
+        if self.kb is not None and self.kb_features:
+            joined = map_passage_to_kb(batch, self.kb, self.kb_features)
+            for i, item in enumerate(items):
+                for f in self.kb_features:
+                    item[f] = joined[f][i]
+        embeddings = []
+        for start in range(0, len(items), self.batch_size):
+            chunk = items[start: start + self.batch_size]
+            n_real = len(chunk)
+            if n_real < self.batch_size:
+                chunk = chunk + [
+                    {self.key: ""} for _ in range(self.batch_size - n_real)
+                ]
+            enc = self.tokenizer(
+                [item.get(self.key, "") for item in chunk],
+                padding="max_length", truncation=True,
+                max_length=self.max_length, return_tensors="np",
+            )
+            text_inputs = {
+                "input_ids": jnp.asarray(enc["input_ids"].astype(np.int32)),
+                "attention_mask": jnp.asarray(
+                    enc["attention_mask"].astype(np.int32)
+                ),
+            }
+            face_inputs = jax.tree_util.tree_map(
+                jnp.asarray, self.features.get_face_inputs(chunk)
+            )
+            image_inputs = jax.tree_util.tree_map(
+                jnp.asarray, self.features.get_image_inputs(chunk)
+            )
+            out = np.asarray(self._forward(
+                self.params, text_inputs, face_inputs, image_inputs
+            ))[:n_real]
+            embeddings.append(out)
+        batch[self.save_as] = np.concatenate(embeddings, axis=0)
+        return batch
+
+
 def map_passage_to_kb(batch: dict, kb, features) -> Dict[str, list]:
     """Join per-article `features` columns onto a passage batch via
     batch['index'] (parity ir/embedding.py:110-125)."""

@@ -449,6 +449,50 @@ class ReaderCollator(QADataModule):
         return batch
 
 
+def map_run(run, mapping: Dict[str, list], k: int = 100):
+    """Expand run doc ids through a one2many mapping (e.g. article ->
+    passages), capping at k per query (parity train/data.py:864-874)."""
+    from viquae_tpu.rankeval import Run
+
+    new_run = {}
+    for q_id, results in run.items():
+        new_results: Dict[str, float] = {}
+        for doc_id, score in results.items():
+            for i in mapping[doc_id]:
+                new_results[str(i)] = score
+            if len(new_results) >= k:
+                break
+        new_run[q_id] = new_results
+    return Run(new_run, name=run.name)
+
+
+class CrossModalCollator(QADataModule):
+    """(text, image-feature) pairs for CLIP-style contrastive training
+    (parity CrossModalDataModule, train/data.py:394-498 precomputed mode):
+    tokenized captions/titles + pixel values or precomputed features."""
+
+    def __init__(self, *args, text_key: str = "text",
+                 pixels_key: str = "pixel_values", **kwargs):
+        super().__init__(*args, **kwargs)
+        self.text_key = text_key
+        self.pixels_key = pixels_key
+
+    def collate_fn(self, items: Sequence[dict]) -> dict:
+        text_inputs = tokenize(
+            self.tokenizer, [item[self.text_key] for item in items],
+            max_length=self.max_length,
+        )
+        batch = {"text_inputs": text_inputs}
+        if self.pixels_key in items[0]:
+            batch["pixel_values"] = np.stack(
+                [np.asarray(item[self.pixels_key], np.float32) for item in items]
+            )
+        elif self.image_formatter.precomputed:
+            batch["image_inputs"] = self.image_formatter.features.get_image_inputs(items)
+        batch["labels"] = np.arange(len(items), dtype=np.int32)
+        return batch
+
+
 # --------------------------------------------------------------------------
 # reranker
 # --------------------------------------------------------------------------
