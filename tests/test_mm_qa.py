@@ -283,3 +283,78 @@ def test_clip_for_ir():
         jnp.asarray(rng.standard_normal((1, 16, 16, 3)).astype(np.float32)),
     )
     assert out.pooler_output.shape == (1, 8)
+
+
+def test_multi_passage_eca_reader():
+    cfg = mm.MMConfig(
+        bert=TINY_BERT, n_faces=2, face_dim=8, bbox_dim=7,
+        image_dims=(("clip", 10),),
+    )
+    params = qa.eca_reader_init(jax.random.key(0), cfg)
+    n, m, L, A = 2, 2, 6, 2
+    text, face, image = make_inputs(b=n * m, l=L)
+    # make_inputs only defines 3 face-mask rows; rebuild for b = n*m
+    face["attention_mask"] = jnp.ones((n * m, 1, 2), jnp.int32)
+    image = {"clip": image["clip"]}
+    rng = np.random.default_rng(0)
+    out = qa.eca_reader_apply(
+        params, cfg, text, face, image,
+        start_positions=jnp.asarray(rng.integers(1, L - 1, (n, m, A))),
+        end_positions=jnp.asarray(rng.integers(1, L - 1, (n, m, A))),
+        answer_mask=jnp.ones((n, m, A), jnp.int32),
+        m_passages=m,
+    )
+    # span logits cover only the TEXT tokens despite the longer mm sequence
+    assert out.start_logits.shape == (n * m, L)
+    assert np.isfinite(float(out.loss))
+
+
+def test_joint_mono_cross_modal_trainee():
+    from viquae_tpu.models import clip as clip_lib
+    from viquae_tpu.train import trainee as trainee_lib
+
+    tcfg = clip_lib.CLIPTextConfig(
+        vocab_size=50, hidden_size=16, num_layers=1, num_heads=2,
+        intermediate_size=32, max_positions=16, projection_dim=8,
+        eos_token_id=49,
+    )
+    vcfg = clip_lib.CLIPVisionConfig(
+        hidden_size=16, num_layers=1, num_heads=2, intermediate_size=32,
+        image_size=16, patch_size=8, projection_dim=8,
+    )
+
+    class TextModel:
+        params = clip_lib.text_init(jax.random.key(0), tcfg)
+
+        def apply_fn(self, p, input_ids, attention_mask=None, **kw):
+            return clip_lib.text_apply(p, tcfg, input_ids, attention_mask)
+
+    class VisionModel:
+        params = clip_lib.vit_init(jax.random.key(1), vcfg)
+
+        def apply_fn(self, p, pixels):
+            return clip_lib.vit_apply(p, vcfg, pixels)
+
+    trainee = trainee_lib.JointMonoAndCrossModalTrainee(
+        TextModel(), VisionModel(), learn_weights=False
+    )
+    rng = np.random.default_rng(0)
+    n = 3
+    batch = {
+        "pixel_values": jnp.asarray(
+            rng.standard_normal((n, 16, 16, 3)).astype(np.float32)
+        ),
+        "paired_pixel_values": jnp.asarray(
+            rng.standard_normal((n, 16, 16, 3)).astype(np.float32)
+        ),
+        "text_inputs": {
+            "input_ids": jnp.asarray([[0, 5, 49, 1]] * n),
+            "attention_mask": jnp.ones((n, 4), jnp.int32),
+        },
+        "labels": jnp.arange(n),
+    }
+    loss, aux = trainee.loss_fn(trainee.params, batch, jax.random.key(0))
+    assert np.isfinite(float(loss))
+    metrics = trainee.eval_fn([aux])
+    assert "image_MRR@N*M" in metrics and "cm_MRR@N*M" in metrics
+    assert trainee.freeze_weights_regex() is not None

@@ -98,6 +98,61 @@ def reader_apply(
     )
 
 
+def eca_reader_init(key, mm_cfg) -> Dict[str, Any]:
+    """MultiPassageECA (parity models/qa.py:184-241): the multi-passage
+    reader with an ECA multimodal backbone."""
+    from viquae_tpu.models import mm
+
+    assert not mm_cfg.no_text, "no_text is only for IR"
+    params = mm.eca_init(key, mm_cfg)
+    params["qa_outputs"] = L.dense_init(
+        jax.random.fold_in(key, 55), mm_cfg.bert.hidden_size, 2
+    )
+    return params
+
+
+def eca_reader_apply(
+    params,
+    mm_cfg,
+    text_inputs,
+    face_inputs,
+    image_inputs=None,
+    start_positions=None,
+    end_positions=None,
+    answer_mask=None,
+    m_passages: int = 24,
+    deterministic: bool = True,
+    rng=None,
+    compute_dtype=jnp.float32,
+) -> "ReaderOutput":
+    """Span extraction over the TEXT portion of the ECA sequence with the
+    global multi-passage softmax."""
+    from viquae_tpu.models import mm
+
+    out = mm.eca_apply(
+        params, mm_cfg, text_inputs, face_inputs, image_inputs,
+        deterministic=deterministic, rng=rng, compute_dtype=compute_dtype,
+    )
+    lt = text_inputs["input_ids"].shape[1]
+    sequence = out.last_hidden_state[:, :lt]
+    logits = L.dense(params["qa_outputs"], sequence)
+    start_logits, end_logits = logits[..., 0], logits[..., 1]
+    loss = start_lp = end_lp = None
+    if start_positions is not None and end_positions is not None:
+        nm = start_logits.shape[0]
+        loss, start_lp, end_lp = multi_passage_rc_loss(
+            start_logits, end_logits,
+            start_positions.reshape(nm, -1),
+            end_positions.reshape(nm, -1),
+            answer_mask.reshape(nm, -1),
+            m_passages=m_passages,
+        )
+    return ReaderOutput(
+        loss=loss, start_logits=start_logits, end_logits=end_logits,
+        start_log_probs=start_lp, end_log_probs=end_lp,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("cannot_be_first_token",))
 def get_best_spans(
     start_probs: jnp.ndarray,   # (N, M, L)

@@ -138,6 +138,96 @@ class CrossModalTrainee:
         return tmetrics.accumulate_batch_metrics(batch_metrics)
 
 
+class JointMonoAndCrossModalTrainee:
+    """CLIP trained with weighted image-image + image-title similarities
+    (trainee.py:234-338): asymmetric NLL over
+    image_weight * (q_img @ c_img.T) + cm_weight * (q_img @ c_title.T)."""
+
+    def __init__(self, clip_text_model, clip_vision_model,
+                 image_weight: float = 0.5, cm_weight: float = 0.5,
+                 learn_weights: bool = False, logit_scale_init: float = 2.6592):
+        self.text_model = clip_text_model
+        self.vision_model = clip_vision_model
+        self._weights_init = (image_weight, cm_weight)
+        self.learn_weights = learn_weights
+        self.logit_scale_init = logit_scale_init
+
+    @property
+    def params(self):
+        iw, cw = self._weights_init
+        return {
+            "text": self.text_model.params,
+            "vision": self.vision_model.params,
+            "image_weight": jnp.asarray([iw]),
+            "cm_weight": jnp.asarray([cw]),
+            "logit_scale": jnp.asarray(self.logit_scale_init),
+        }
+
+    def freeze_weights_regex(self):
+        if self.learn_weights:
+            return None
+        return r"(image_weight|cm_weight)"
+
+    def loss_fn(self, params, batch, rng, deterministic: bool = False):
+        from viquae_tpu.models.clip import l2norm
+
+        q_img = l2norm(self.vision_model.apply_fn(
+            params["vision"], batch["pixel_values"]
+        )["image_embeds"])
+        c_img = l2norm(self.vision_model.apply_fn(
+            params["vision"], batch["paired_pixel_values"]
+        )["image_embeds"])
+        titles = l2norm(self.text_model.apply_fn(
+            params["text"], **_text_kwargs(batch["text_inputs"])
+        )["text_embeds"])
+        scale = jnp.exp(params["logit_scale"])
+        image_sim = scale * (q_img @ c_img.T)
+        cm_sim = scale * (q_img @ titles.T)
+        similarities = (
+            params["image_weight"] * image_sim + params["cm_weight"] * cm_sim
+        )
+        loss, log_probs = objectives._nll_from_similarities(
+            similarities, batch["labels"]
+        )
+        return loss, {
+            "log_probs": log_probs,
+            "labels": batch["labels"],
+            "image_similarities": image_sim,
+            "cm_similarities": cm_sim,
+        }
+
+    def eval_fn(self, outputs):
+        metrics = tmetrics.accumulate_batch_metrics([
+            tmetrics.batch_retrieval(
+                np.asarray(o["log_probs"]), np.asarray(o["labels"])
+            )
+            for o in outputs
+        ])
+        for model in ("image", "cm"):
+            sub = tmetrics.accumulate_batch_metrics([
+                tmetrics.batch_retrieval(
+                    np.asarray(o[f"{model}_similarities"]),
+                    np.asarray(o["labels"]),
+                )
+                for o in outputs
+            ])
+            metrics.update({f"{model}_{k}": v for k, v in sub.items()})
+        return metrics
+
+    def export(self, path, params=None):
+        import json as _json
+
+        params = params or self.params
+        ckpt_lib.export_params(Path(path), {
+            "text": params["text"], "vision": params["vision"],
+        })
+        scale = float(np.exp(np.asarray(params["logit_scale"])))
+        (Path(path) / "mm_weights.json").write_text(_json.dumps({
+            "image_weight": float(np.asarray(params["image_weight"])[0]) * scale,
+            "cm_weight": float(np.asarray(params["cm_weight"])[0]) * scale,
+        }))
+
+
 class JointBiEncoderAndClipTrainee(BiEncoderTrainee):
     """3-way similarity: text-text + image-image + image-title
     (trainee.py:490-626), with learnable weights/temperature."""
