@@ -227,3 +227,38 @@ def test_mm_embedder(devices):
     out = emb(dict(batch))
     assert out["mm_embedding"].shape == (3, 16)
     assert np.isfinite(out["mm_embedding"]).all()
+
+
+def test_text_embedder_layers(devices):
+    """Per-layer CLS extraction writes {save_as}_layer_{i} columns."""
+    import jax
+
+    from viquae_tpu.ir.embedding import TextEmbedder
+    from viquae_tpu.models import bert
+
+    cfg = bert.BertConfig(
+        vocab_size=40, hidden_size=8, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=16,
+        max_position_embeddings=16, add_pooler=False,
+    )
+    params = bert.init(jax.random.key(0), cfg)
+
+    class Tok:
+        def __call__(self, texts, **kw):
+            n, L = len(texts), kw["max_length"]
+            return {
+                "input_ids": np.ones((n, L), np.int64),
+                "attention_mask": np.ones((n, L), np.int64),
+            }
+
+    def apply_fn(p, **kw):
+        return bert.apply(p, cfg, kw.pop("input_ids"),
+                          kw.pop("attention_mask"),
+                          kw.pop("token_type_ids"), **kw)
+
+    emb = TextEmbedder(apply_fn, params, Tok(), key="t", save_as="e",
+                       max_length=8, batch_size=2, layers=[0, 2])
+    batch = emb({"t": ["a", "b", "c"]})
+    assert batch["e_layer_0"].shape == (3, 8)
+    assert batch["e_layer_2"].shape == (3, 8)
+    assert not np.allclose(batch["e_layer_0"], batch["e_layer_2"])

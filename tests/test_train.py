@@ -191,3 +191,21 @@ def test_export_import_params(tmp_path, biencoder_setup):
     got = jax.tree_util.tree_leaves(restored)
     for a, b in zip(ref, got):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_remat_gradients_match():
+    """jax.checkpoint wrapper yields identical gradients."""
+    cfg = dpr.DPRConfig(bert=bert.BertConfig(**TINY))
+    params = dpr.init(jax.random.key(0), cfg)
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 50, (2, 8)))
+
+    def forward(p, i):
+        return dpr.apply(p, cfg, i, deterministic=True)["pooler_output"].sum()
+
+    plain = jax.grad(lambda p: forward(p, ids))(params)
+    # configs/flags are not pytrees: close over them before wrapping
+    rematted = optim.remat(forward)
+    rmt = jax.grad(lambda p: rematted(p, ids))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(plain),
+                    jax.tree_util.tree_leaves(rmt)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

@@ -58,6 +58,7 @@ class TextEmbedder:
         mesh_ctx: Optional[meshlib.MeshContext] = None,
         compute_dtype=jnp.float32,
         extra_input_fn: Optional[Callable] = None,
+        layers: Optional[list] = None,
     ):
         self.tokenizer = tokenizer
         self.key = key
@@ -68,6 +69,9 @@ class TextEmbedder:
         self.mesh_ctx = mesh_ctx or meshlib.current()
         self.extra_input_fn = extra_input_fn
         self.params = params
+        # per-layer CLS extraction (parity ir/embedding.py:228-244):
+        # saves {save_as}_layer_{i} columns instead of the pooled output
+        self.layers = layers
 
         data_sharding = self.mesh_ctx.batch_sharded
         replicated = self.mesh_ctx.replicated
@@ -88,7 +92,12 @@ class TextEmbedder:
                 token_type_ids=token_type_ids,
                 deterministic=True,
                 compute_dtype=compute_dtype,
+                **({"output_hidden_states": True} if self.layers else {}),
             )
+            if self.layers:
+                return tuple(
+                    out["hidden_states"][layer][:, 0] for layer in self.layers
+                )
             return out[self.output_key]
 
         self._forward = _forward
@@ -112,15 +121,19 @@ class TextEmbedder:
         return out
 
     def __call__(self, batch: dict) -> dict:
-        """dataset.map(batched=True) entry — writes the `save_as` column."""
+        """dataset.map(batched=True) entry — writes the `save_as` column(s)."""
         texts = batch[self.key]
         if self.extra_input_fn is not None:
             texts = self.extra_input_fn(batch, texts)
         embeddings = self.embed_texts(texts)
-        batch[self.save_as] = embeddings
+        if self.layers:
+            for layer, emb in zip(self.layers, embeddings):
+                batch[f"{self.save_as}_layer_{layer}"] = emb
+        else:
+            batch[self.save_as] = embeddings
         return batch
 
-    def embed_texts(self, texts) -> np.ndarray:
+    def embed_texts(self, texts):
         chunks = []
         for start in range(0, len(texts), self.batch_size):
             sub = texts[start: start + self.batch_size]
@@ -132,7 +145,15 @@ class TextEmbedder:
                 jnp.asarray(enc["attention_mask"]),
                 jnp.asarray(enc["token_type_ids"]),
             )
-            chunks.append(np.asarray(out)[:n_real])
+            if self.layers:
+                chunks.append([np.asarray(o)[:n_real] for o in out])
+            else:
+                chunks.append(np.asarray(out)[:n_real])
+        if self.layers:
+            return [
+                np.concatenate([c[i] for c in chunks], axis=0)
+                for i in range(len(self.layers))
+            ]
         return np.concatenate(chunks, axis=0)
 
 

@@ -150,8 +150,13 @@ def encode(
     deterministic: bool = True,
     rng=None,
     compute_dtype=jnp.float32,
+    output_hidden_states: bool = False,
 ) -> jnp.ndarray:
-    """Encoder stack over pre-built (B, L, D) hidden states."""
+    """Encoder stack over pre-built (B, L, D) hidden states.
+
+    With output_hidden_states, returns (final, [embedding_out, layer1_out,
+    ...]) — the per-layer seam the reference's ir/embedding `layers` CLS
+    extraction uses (ir/embedding.py:228-244)."""
     b, l = hidden.shape[:2]
     if attention_mask is None:
         attention_mask = jnp.ones((b, l), jnp.int32)
@@ -162,6 +167,7 @@ def encode(
         else [None] * (2 * cfg.num_hidden_layers)
     )
     x = hidden
+    all_hidden = [x]
     for i, layer in enumerate(params["layers"]):
         attn = L.mha(
             layer["attention"], x, bias=bias,
@@ -176,6 +182,10 @@ def encode(
         ff = L.mlp(layer["mlp"], x, cfg.hidden_act, compute_dtype)
         ff = L.dropout(ff, cfg.hidden_dropout_prob, deterministic, rngs[2 * i + 1])
         x = L.layer_norm(layer["output_ln"], x + ff, cfg.layer_norm_eps)
+        if output_hidden_states:
+            all_hidden.append(x)
+    if output_hidden_states:
+        return x, all_hidden
     return x
 
 
@@ -190,6 +200,7 @@ def apply(
     deterministic: bool = True,
     rng=None,
     compute_dtype=jnp.float32,
+    output_hidden_states: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Full forward: embed -> encode -> optional tanh pooler.
 
@@ -211,8 +222,14 @@ def apply(
         params, cfg, x, attention_mask,
         deterministic=deterministic, rng=rng_enc,
         compute_dtype=compute_dtype,
+        output_hidden_states=output_hidden_states,
     )
+    hidden_states = None
+    if output_hidden_states:
+        x, hidden_states = x
     out = {"last_hidden_state": x}
+    if hidden_states is not None:
+        out["hidden_states"] = hidden_states
     if cfg.add_pooler and "pooler" in params:
         out["pooler_output"] = jnp.tanh(L.dense(params["pooler"], x[:, 0]))
     return out

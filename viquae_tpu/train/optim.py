@@ -19,6 +19,14 @@ import jax.numpy as jnp
 import optax
 
 
+def remat(apply_fn, static_argnums=()):
+    """Rematerialization wrapper (the torch gradient-checkpointing
+    counterpart, trainee.py:168-196): recompute activations in the backward
+    pass. Non-pytree args (configs) must be closed over or listed in
+    static_argnums."""
+    return jax.checkpoint(apply_fn, static_argnums=static_argnums)
+
+
 def linear_warmup_schedule(lr: float, warmup_steps: int, total_steps: int):
     """Linear 0->lr over warmup_steps then linear lr->0 at total_steps."""
 
