@@ -44,6 +44,8 @@ class TrainerConfig:
     early_stop_patience: Optional[int] = None  # in eval rounds
     seed: int = DEFAULT_SEED
     grad_accum: int = 1
+    # torch detect_anomaly counterpart (SURVEY §5.2): fail fast on NaN/Inf
+    debug_nans: bool = False
 
 
 class Trainer:
@@ -66,6 +68,8 @@ class Trainer:
         batch_spec: Optional[dict] = None,
     ):
         self.cfg = config
+        if config.debug_nans:
+            jax.config.update("jax_debug_nans", True)
         self.mesh_ctx = mesh_ctx or meshlib.current()
         self.loss_fn = loss_fn
         self.eval_fn = eval_fn
