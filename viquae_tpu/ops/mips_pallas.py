@@ -33,31 +33,45 @@ from viquae_tpu.ops import mips
 _SEG = 128
 
 
-def _score_segmax_kernel(q_ref, kb_ref, scores_ref, segmax_ref):
-    """One grid step: scores tile = q @ kb_tile.T, plus per-128 seg max."""
+def _score_segmax_kernel(q_ref, kb_ref, scores_ref, segmax_t_ref):
+    """One grid step: scores tile = q @ kb_tile.T, plus per-128 seg max.
+
+    Mosaic requires VMEM stores aligned to (8, 128) tiles, so the segment
+    maxima are emitted TRANSPOSED: with tile=1024 each step owns a
+    (tile/128, Q) = (8, Q) output block — 8-divisible sublanes, full-width
+    lanes — avoiding narrow column-slice stores entirely."""
     scores = jnp.dot(
         q_ref[:], kb_ref[:].T, preferred_element_type=jnp.float32
     )
-    scores_ref[:] = scores
+    scores_ref[:] = scores.astype(scores_ref.dtype)
     q_count, tile = scores.shape
     seg = scores.reshape(q_count, tile // _SEG, _SEG)
-    segmax_ref[:] = seg.max(axis=2)
+    segmax_t_ref[:] = seg.max(axis=2).T
 
 
 @functools.partial(jax.jit, static_argnames=("tile",))
 def fused_score_segmax(queries: jnp.ndarray, kb: jnp.ndarray,
-                       tile: int = 512) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """(Q, d) x (N, d) -> scores (Q, N) f32 + segmax (Q, N/128) f32.
+                       tile: int = 1024) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(Q, d) x (N, d) -> scores (Q, N) + segmax TRANSPOSED (N/128, Q) f32.
 
-    N must be a multiple of `tile`; `tile` a multiple of 128. Queries stay
-    resident in VMEM across the whole grid (constant index map); KB tiles
-    stream through double-buffered DMA managed by the Pallas pipeline.
+    Scores inherit bf16 when inputs are bf16 (halves the HBM write) and are
+    f32 for f32 inputs. N must be a multiple of `tile` (>= 1024). Queries
+    stay resident in VMEM across the whole grid (constant index map); KB
+    tiles stream through double-buffered DMA managed by the Pallas
+    pipeline.
     """
     q_count, dim = queries.shape
     n = kb.shape[0]
-    assert n % tile == 0 and tile % _SEG == 0, (n, tile)
+    segs_per_step = tile // _SEG
+    assert tile % _SEG == 0 and segs_per_step % 8 == 0, (
+        f"tile={tile} must give >= 8 segments per step (tile >= 1024)"
+    )
+    assert n % tile == 0, (n, tile)
     grid = (n // tile,)
     interpret = jax.default_backend() == "cpu"  # tests on the virtual mesh
+    scores_dtype = (
+        jnp.float32 if queries.dtype == jnp.float32 else jnp.bfloat16
+    )
     return pl.pallas_call(
         _score_segmax_kernel,
         grid=grid,
@@ -70,12 +84,12 @@ def fused_score_segmax(queries: jnp.ndarray, kb: jnp.ndarray,
         out_specs=[
             pl.BlockSpec((q_count, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((q_count, tile // _SEG), lambda i: (0, i),
+            pl.BlockSpec((segs_per_step, q_count), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((q_count, n), jnp.float32),
-            jax.ShapeDtypeStruct((q_count, n // _SEG), jnp.float32),
+            jax.ShapeDtypeStruct((q_count, n), scores_dtype),
+            jax.ShapeDtypeStruct((n // _SEG, q_count), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * q_count * n * dim,
@@ -96,7 +110,7 @@ def topk_pallas(
     kb: jnp.ndarray,
     k: int,
     valid_rows: Optional[jnp.ndarray] = None,
-    tile: int = 512,
+    tile: int = 1024,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full MIPS top-k via the fused kernel + one global selection.
 
@@ -111,7 +125,8 @@ def topk_pallas(
         n += pad
     nv = jnp.int32(kb.shape[0] if valid_rows is None else valid_rows)
 
-    scores, segmax = fused_score_segmax(queries, kb, tile=tile)
+    scores, segmax_t = fused_score_segmax(queries, kb, tile=tile)
+    segmax = segmax_t.T
 
     # mask padded/invalid segments out of the maxima (scores of invalid rows
     # can only win via the segment gate, so masking segmax suffices unless a
