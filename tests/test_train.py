@@ -209,3 +209,40 @@ def test_remat_gradients_match():
     for a, b in zip(jax.tree_util.tree_leaves(plain),
                     jax.tree_util.tree_leaves(rmt)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_prefetch_loader():
+    import threading
+    import time as _time
+
+    from viquae_tpu.train.prefetch import CollatorLoader, PrefetchIterable
+
+    produced = []
+
+    def slow_batches():
+        for i in range(5):
+            _time.sleep(0.01)
+            produced.append(i)
+            yield {"x": np.full((2,), i)}
+
+    out = [b["x"][0] for b in PrefetchIterable(slow_batches(), buffer_size=2)]
+    assert out == [0, 1, 2, 3, 4]
+
+    # loader: deterministic order per epoch, drops partial batch
+    dataset = [{"v": i} for i in range(10)]
+    loader = CollatorLoader(
+        dataset, lambda items: {"v": np.array([it["v"] for it in items])},
+        batch_size=3, shuffle=True, seed=0,
+    )
+    epoch1 = [b["v"].tolist() for b in loader]
+    assert len(epoch1) == 3 and all(len(b) == 3 for b in epoch1)
+    epoch2 = [b["v"].tolist() for b in loader]
+    assert epoch1 != epoch2  # reshuffled per epoch
+
+    # producer exceptions propagate
+    def bad():
+        yield {"x": 1}
+        raise RuntimeError("boom")
+
+    with pytest.raises(RuntimeError, match="boom"):
+        list(PrefetchIterable(bad()))

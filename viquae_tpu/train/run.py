@@ -43,14 +43,12 @@ def _build_tokenizer(spec):
 
 
 def _batches(dataset, collate_fn, batch_size: int, shuffle_seed=None):
-    import numpy as np
+    from viquae_tpu.train.prefetch import CollatorLoader
 
-    order = np.arange(len(dataset))
-    if shuffle_seed is not None:
-        np.random.default_rng(shuffle_seed).shuffle(order)
-    for start in range(0, len(order) - batch_size + 1, batch_size):
-        items = [dataset[int(i)] for i in order[start: start + batch_size]]
-        yield collate_fn(items)
+    return CollatorLoader(
+        dataset, collate_fn, batch_size,
+        shuffle=shuffle_seed is not None, seed=shuffle_seed or 0,
+    )
 
 
 def build_trainee(config: dict, tokenizer=None):
@@ -155,8 +153,8 @@ def run_from_config(config_path, subcommand: str = "fit") -> dict:
         )
         if subcommand == "fit":
             result = trainer.fit(
-                list(_batches(dataset, collator.collate_fn, batch_size,
-                              shuffle_seed=seed))
+                _batches(dataset, collator.collate_fn, batch_size,
+                         shuffle_seed=seed)
             )
             export = config.get("export")
             if export and hasattr(trainee, "export"):
