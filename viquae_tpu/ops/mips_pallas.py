@@ -49,9 +49,10 @@ def _score_segmax_kernel(q_ref, kb_ref, scores_ref, segmax_t_ref):
     segmax_t_ref[:] = seg.max(axis=2).T
 
 
-@functools.partial(jax.jit, static_argnames=("tile",))
+@functools.partial(jax.jit, static_argnames=("tile", "q_block"))
 def fused_score_segmax(queries: jnp.ndarray, kb: jnp.ndarray,
-                       tile: int = 1024) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                       tile: int = 1024, q_block: int = 640
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(Q, d) x (N, d) -> scores (Q, N) + segmax TRANSPOSED (N/128, Q) f32.
 
     Scores inherit bf16 when inputs are bf16 (halves the HBM write) and are
@@ -67,7 +68,12 @@ def fused_score_segmax(queries: jnp.ndarray, kb: jnp.ndarray,
         f"tile={tile} must give >= 8 segments per step (tile >= 1024)"
     )
     assert n % tile == 0, (n, tile)
-    grid = (n // tile,)
+    q_block = min(q_block, q_count)
+    assert q_count % q_block == 0, (q_count, q_block)
+    # grid (q_tiles, kb_tiles): kb streams innermost so a query block stays
+    # resident while its KB pass runs; VMEM budget (v5e: 16MB scoped) caps
+    # q_block x tile (f32 matmul intermediate + bf16 scores out + kb tiles)
+    grid = (q_count // q_block, n // tile)
     interpret = jax.default_backend() == "cpu"  # tests on the virtual mesh
     scores_dtype = (
         jnp.float32 if queries.dtype == jnp.float32 else jnp.bfloat16
@@ -76,15 +82,15 @@ def fused_score_segmax(queries: jnp.ndarray, kb: jnp.ndarray,
         _score_segmax_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((q_count, dim), lambda i: (0, 0),
+            pl.BlockSpec((q_block, dim), lambda qi, ki: (qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, dim), lambda i: (i, 0),
+            pl.BlockSpec((tile, dim), lambda qi, ki: (ki, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((q_count, tile), lambda i: (0, i),
+            pl.BlockSpec((q_block, tile), lambda qi, ki: (qi, ki),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((segs_per_step, q_count), lambda i: (i, 0),
+            pl.BlockSpec((segs_per_step, q_block), lambda qi, ki: (ki, qi),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
