@@ -304,3 +304,141 @@ def test_image_embedder_none_masking(devices):
     assert np.isnan(out[1]).all()
     assert np.isfinite(out[0]).all() and np.isfinite(out[2]).all()
     assert out[2, 0] == pytest.approx(1.0, abs=1e-3)  # white -> normalized 1
+
+
+def _torch_modified_resnet(cfg):
+    """Compact torch oracle of OpenAI CLIP's ModifiedResNet (public arch)."""
+    import torch
+    import torch.nn as nn
+
+    class Bottleneck(nn.Module):
+        expansion = 4
+
+        def __init__(self, inplanes, planes, stride=1):
+            super().__init__()
+            self.conv1 = nn.Conv2d(inplanes, planes, 1, bias=False)
+            self.bn1 = nn.BatchNorm2d(planes)
+            self.conv2 = nn.Conv2d(planes, planes, 3, padding=1, bias=False)
+            self.bn2 = nn.BatchNorm2d(planes)
+            self.avgpool = nn.AvgPool2d(stride) if stride > 1 else nn.Identity()
+            self.conv3 = nn.Conv2d(planes, planes * 4, 1, bias=False)
+            self.bn3 = nn.BatchNorm2d(planes * 4)
+            self.relu = nn.ReLU()
+            self.downsample = None
+            self.stride = stride
+            if stride > 1 or inplanes != planes * 4:
+                self.downsample = nn.Sequential(
+                    nn.AvgPool2d(stride) if stride > 1 else nn.Identity(),
+                    nn.Conv2d(inplanes, planes * 4, 1, stride=1, bias=False),
+                    nn.BatchNorm2d(planes * 4),
+                )
+
+        def forward(self, x):
+            identity = x
+            out = self.relu(self.bn1(self.conv1(x)))
+            out = self.relu(self.bn2(self.conv2(out)))
+            out = self.avgpool(out)
+            out = self.bn3(self.conv3(out))
+            if self.downsample is not None:
+                identity = self.downsample(x)
+            return self.relu(out + identity)
+
+    class AttentionPool2d(nn.Module):
+        def __init__(self, spacial_dim, embed_dim, num_heads, output_dim):
+            super().__init__()
+            self.positional_embedding = nn.Parameter(
+                torch.randn(spacial_dim ** 2 + 1, embed_dim) / embed_dim ** 0.5
+            )
+            self.k_proj = nn.Linear(embed_dim, embed_dim)
+            self.q_proj = nn.Linear(embed_dim, embed_dim)
+            self.v_proj = nn.Linear(embed_dim, embed_dim)
+            self.c_proj = nn.Linear(embed_dim, output_dim)
+            self.num_heads = num_heads
+
+        def forward(self, x):
+            import torch.nn.functional as F
+
+            x = x.flatten(start_dim=2).permute(2, 0, 1)  # (HW, N, C)
+            x = torch.cat([x.mean(dim=0, keepdim=True), x], dim=0)
+            x = x + self.positional_embedding[:, None, :]
+            x, _ = F.multi_head_attention_forward(
+                query=x[:1], key=x, value=x,
+                embed_dim_to_check=x.shape[-1], num_heads=self.num_heads,
+                q_proj_weight=self.q_proj.weight,
+                k_proj_weight=self.k_proj.weight,
+                v_proj_weight=self.v_proj.weight,
+                in_proj_weight=None,
+                in_proj_bias=torch.cat(
+                    [self.q_proj.bias, self.k_proj.bias, self.v_proj.bias]
+                ),
+                bias_k=None, bias_v=None, add_zero_attn=False,
+                dropout_p=0, out_proj_weight=self.c_proj.weight,
+                out_proj_bias=self.c_proj.bias, use_separate_proj_weight=True,
+                training=False, need_weights=False,
+            )
+            return x.squeeze(0)
+
+    class Net(nn.Module):
+        def __init__(self):
+            super().__init__()
+            w = cfg.width
+            self.conv1 = nn.Conv2d(3, w // 2, 3, 2, 1, bias=False)
+            self.bn1 = nn.BatchNorm2d(w // 2)
+            self.conv2 = nn.Conv2d(w // 2, w // 2, 3, padding=1, bias=False)
+            self.bn2 = nn.BatchNorm2d(w // 2)
+            self.conv3 = nn.Conv2d(w // 2, w, 3, padding=1, bias=False)
+            self.bn3 = nn.BatchNorm2d(w)
+            self.avgpool = nn.AvgPool2d(2)
+            self.relu = nn.ReLU()
+            self._inplanes = w
+            self.layer1 = self._make_layer(w, cfg.stage_sizes[0])
+            self.layer2 = self._make_layer(w * 2, cfg.stage_sizes[1], 2)
+            self.layer3 = self._make_layer(w * 4, cfg.stage_sizes[2], 2)
+            self.layer4 = self._make_layer(w * 8, cfg.stage_sizes[3], 2)
+            embed_dim = w * 32
+            self.attnpool = AttentionPool2d(
+                cfg.image_size // 32, embed_dim, cfg.heads, cfg.output_dim
+            )
+
+        def _make_layer(self, planes, blocks, stride=1):
+            import torch.nn as nn
+
+            layers = [Bottleneck(self._inplanes, planes, stride)]
+            self._inplanes = planes * Bottleneck.expansion
+            for _ in range(1, blocks):
+                layers.append(Bottleneck(self._inplanes, planes))
+            return nn.Sequential(*layers)
+
+        def forward(self, x):
+            x = self.relu(self.bn1(self.conv1(x)))
+            x = self.relu(self.bn2(self.conv2(x)))
+            x = self.relu(self.bn3(self.conv3(x)))
+            x = self.avgpool(x)
+            x = self.layer4(self.layer3(self.layer2(self.layer1(x))))
+            return self.attnpool(x)
+
+    return Net()
+
+
+def test_modified_resnet_matches_torch_oracle():
+    import torch
+
+    cfg = clip_lib.ModifiedResNetConfig(
+        stage_sizes=(1, 1, 1, 1), width=16, output_dim=24, heads=4,
+        image_size=64,
+    )
+    torch.manual_seed(0)
+    oracle = _torch_modified_resnet(cfg).eval()
+    with torch.no_grad():
+        for m in oracle.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.2, 0.2)
+                m.running_var.uniform_(0.5, 1.5)
+    sd = {f"visual.{k}": v for k, v in oracle.state_dict().items()}
+    params = clip_lib.visual_params_from_openai(sd, cfg)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = oracle(torch.tensor(x.transpose(0, 3, 1, 2))).numpy()
+    out = np.asarray(clip_lib.modified_resnet_apply(params, cfg, jnp.asarray(x)))
+    np.testing.assert_allclose(out, ref, atol=2e-3, rtol=1e-2)
