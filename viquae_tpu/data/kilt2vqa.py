@@ -34,6 +34,34 @@ HE_SHE_DEP = {"nsubj", "nsubjpass"}           # subject deps -> he/she
 HIM_HER_DEP = {"dobj", "pobj", "iobj", "dative"}
 
 
+def map_kilt_triviaqa(cache_dir=None):
+    """Join KILT-TriviaQA question ids with the original TriviaQA questions
+    (parity data/loading.py:184-210; network-gated: requires the HF hub)."""
+    from datasets import load_dataset
+
+    kilt_tasks = load_dataset("kilt_tasks", cache_dir=cache_dir)
+    trivia_qa = load_dataset(
+        "trivia_qa", "unfiltered.nocontext", cache_dir=cache_dir
+    )
+    for split in ("train", "validation", "test"):
+        qid2row = {
+            q_id: i
+            for i, q_id in enumerate(trivia_qa[split]["question_id"])
+        }
+        subset = kilt_tasks[f"{split}_triviaqa"].filter(
+            lambda x: x["id"] in qid2row
+        )
+
+        def add_missing(x):
+            row = trivia_qa[split][qid2row[x["id"]]]
+            x["input"] = row["question"]
+            x["output"]["original_answer"] = row["answer"]["value"]
+            return x
+
+        kilt_tasks[f"{split}_triviaqa"] = subset.map(add_missing)
+    return kilt_tasks
+
+
 # --------------------------------------------------------------------------
 # word error rate
 # --------------------------------------------------------------------------
