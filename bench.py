@@ -72,10 +72,7 @@ def main():
             deterministic=True, compute_dtype=jnp.bfloat16,
         )["pooler_output"]
         q = q.astype(jnp.bfloat16)
-        return mips.topk_single(
-            q, kb, k, chunk_size=262144, compute_dtype=jnp.bfloat16,
-            mode="fast",
-        )
+        return mips.topk_global(q, kb, k, compute_dtype=jnp.bfloat16)
 
     # compile + warmup
     t0 = time.time()
@@ -129,7 +126,7 @@ def main():
             "compile_s": round(compile_s, 1),
             "r_at_20_parity_vs_flat_fp32": round(float(overlap), 4),
             "encoder": "dpr-bert-base bf16 seq64",
-            "topk_mode": "fast",
+            "topk_mode": "global",
         },
     }
     print(json.dumps(result))

@@ -111,3 +111,24 @@ def test_approx_mode_high_recall(data):
         len(set(idx[i]) & set(ref_idx[i])) / 20 for i in range(len(idx))
     ])
     assert recall > 0.8, recall
+
+
+def test_topk_global_parity(data):
+    queries, kb = data
+    ref_scores, ref_idx = mips.exact_topk_numpy(queries, kb, 20)
+    scores, idx = mips.topk_global(
+        jnp.asarray(queries), jnp.asarray(kb), 20,
+        compute_dtype=jnp.float32,
+    )
+    np.testing.assert_array_equal(np.asarray(idx), ref_idx)
+    np.testing.assert_allclose(np.asarray(scores), ref_scores, rtol=2e-5, atol=2e-5)
+
+
+def test_topk_global_valid_rows(data):
+    queries, kb = data
+    padded = np.concatenate([kb, 100 * np.ones((13, kb.shape[1]), np.float32)])
+    _, idx = mips.topk_global(
+        jnp.asarray(queries), jnp.asarray(padded), 10,
+        valid_rows=jnp.int32(len(kb)), compute_dtype=jnp.float32,
+    )
+    assert np.asarray(idx).max() < len(kb)

@@ -20,11 +20,13 @@ def test_fused_score_segmax():
     rng = np.random.default_rng(1)
     kb = rng.standard_normal((4096, 64)).astype(np.float32)
     queries = rng.standard_normal((16, 64)).astype(np.float32)
-    scores, segmax_t = mips_pallas.fused_score_segmax(
+    scores_t, segmax_t = mips_pallas.fused_score_segmax(
         jnp.asarray(queries), jnp.asarray(kb), tile=1024
     )
     ref = queries @ kb.T
-    np.testing.assert_allclose(np.asarray(scores), ref, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(scores_t).T, ref, rtol=2e-5, atol=2e-5
+    )
     ref_seg = ref.reshape(16, -1, 128).max(axis=2)
     np.testing.assert_allclose(
         np.asarray(segmax_t).T, ref_seg, rtol=2e-5, atol=2e-5

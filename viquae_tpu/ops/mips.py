@@ -184,6 +184,62 @@ def topk_single(
     return scores, idx
 
 
+@functools.partial(jax.jit, static_argnames=("k", "compute_dtype"))
+def topk_global(
+    queries: jnp.ndarray,
+    kb: jnp.ndarray,
+    k: int,
+    valid_rows: Optional[jnp.ndarray] = None,
+    compute_dtype=jnp.bfloat16,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Single-pass MIPS: materialize ALL scores once (bf16 for bf16 inputs,
+    halving the HBM write vs chunked f32), then ONE global two-level
+    segmented selection — no per-chunk select/merge chain. Fastest exact
+    path when the (Q, N) score matrix fits HBM (1280 x 1.5M bf16 = 3.8GB);
+    fall back to `topk_single` beyond that.
+
+    Outcome of the Pallas fused-kernel experiment (ops/mips_pallas.py): the
+    matmul itself was already at parity with XLA; the whole win is score
+    dtype + single global selection, which plain XLA expresses fine.
+    """
+    n = kb.shape[0]
+    nv = jnp.int32(n if valid_rows is None else valid_rows)
+    pad = (-n) % _SEG
+    if pad:
+        kb = jnp.concatenate([kb, jnp.zeros((pad, kb.shape[1]), kb.dtype)])
+        n += pad
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if compute_dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    scores = jnp.dot(
+        queries.astype(compute_dtype), kb.astype(compute_dtype).T,
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+    if compute_dtype != jnp.float32:
+        scores = scores.astype(jnp.bfloat16)
+    q_count = queries.shape[0]
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (q_count, n), 1)
+    scores = jnp.where(col_ids < nv, scores, jnp.asarray(NEG_INF, scores.dtype))
+    n_seg = n // _SEG
+    seg = scores.reshape(q_count, n_seg, _SEG)
+    seg_max = seg.max(axis=2)
+    p = min(n_seg, k)
+    # segments selected with the two-level scheme (n_seg itself is wide)
+    _, seg_idx = _select_topk(seg_max.astype(jnp.float32), p, "fast")
+    cand = jnp.take_along_axis(seg, seg_idx[:, :, None], axis=1)
+    cand = cand.reshape(q_count, p * _SEG).astype(jnp.float32)
+    cand_idx = (
+        seg_idx[:, :, None] * _SEG
+        + jax.lax.broadcasted_iota(jnp.int32, (q_count, p, _SEG), 2)
+    ).reshape(q_count, p * _SEG)
+    top_scores, pos = jax.lax.top_k(cand, k)
+    top_idx = jnp.take_along_axis(cand_idx, pos, axis=1)
+    neg, top_idx = jax.lax.sort((-top_scores, top_idx), dimension=-1, num_keys=2)
+    return -neg[:, :k], top_idx[:, :k]
+
+
 def topk_sharded(
     queries: jnp.ndarray,
     kb_shards: jnp.ndarray,
@@ -289,6 +345,16 @@ class DenseIndex:
                 q, self.matrix, k, mesh_ctx=self.mesh_ctx,
                 chunk_size=self.chunk_size, valid_rows=self.n,
                 compute_dtype=self.dtype, mode=self.mode,
+            )
+        elif self.mode == "global" or (
+            self.mode == "fast"
+            and q.shape[0] * self.matrix.shape[0] * 2 <= 4 * 2 ** 30
+        ):
+            # single-pass global selection: 2x the chunked path when the
+            # (Q, N) bf16 score matrix fits comfortably in HBM
+            scores, idx = topk_global(
+                q, self.matrix, k, valid_rows=jnp.int32(self.n),
+                compute_dtype=self.dtype,
             )
         else:
             scores, idx = topk_single(
