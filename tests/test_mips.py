@@ -132,3 +132,21 @@ def test_topk_global_valid_rows(data):
         valid_rows=jnp.int32(len(kb)), compute_dtype=jnp.float32,
     )
     assert np.asarray(idx).max() < len(kb)
+
+
+def test_sharded_global_mode(data, devices):
+    queries, kb = data
+    ctx = meshlib.make_kb_mesh()
+    with meshlib.use(ctx):
+        n_pad = meshlib.pad_to_multiple(len(kb), 8 * 8)
+        kb_pad = np.zeros((n_pad, kb.shape[1]), np.float32)
+        kb_pad[: len(kb)] = kb
+        import jax
+        kb_sharded = jax.device_put(jnp.asarray(kb_pad), ctx.kb_sharded)
+        scores, idx = mips.topk_sharded(
+            jnp.asarray(queries), kb_sharded, 20,
+            mesh_ctx=ctx, valid_rows=len(kb),
+            compute_dtype=jnp.float32, mode="global",
+        )
+    _, ref_idx = mips.exact_topk_numpy(queries, kb, 20)
+    np.testing.assert_array_equal(np.asarray(idx), ref_idx)

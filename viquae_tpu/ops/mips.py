@@ -268,10 +268,16 @@ def topk_sharded(
         shard_i = jax.lax.axis_index(meshlib.KB_AXIS)
         base = shard_i * rows_per_shard
         local_valid = jnp.clip(jnp.int32(nv) - base, 0, rows_per_shard)
-        s, i = topk_single(
-            q, kb_local, k, chunk_size=chunk_size,
-            valid_rows=local_valid, compute_dtype=compute_dtype, mode=mode,
-        )
+        if mode == "global":
+            s, i = topk_global(
+                q, kb_local, k, valid_rows=local_valid,
+                compute_dtype=compute_dtype,
+            )
+        else:
+            s, i = topk_single(
+                q, kb_local, k, chunk_size=chunk_size,
+                valid_rows=local_valid, compute_dtype=compute_dtype, mode=mode,
+            )
         i = i + base
         # gather candidates from every shard: (n_dev, Q, k) -> merge
         all_s = jax.lax.all_gather(s, meshlib.KB_AXIS)
