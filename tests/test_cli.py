@@ -114,3 +114,44 @@ def test_cli_train_fit(workspace, tmp_path, capsys):
     result = run_from_config(cfg_path, subcommand="fit")
     assert result["final_step"] == 2
     assert (tmp_path / "export" / "question_model" / "params.npz").exists()
+
+
+def test_cli_faces_random_weights(workspace, tmp_path):
+    """Face-detection stage through the CLI with random-init MTCNN
+    (thresholds 0 so the random cascade emits detections)."""
+    import json
+
+    from datasets import Dataset
+    from PIL import Image
+    import numpy as np
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        Image.fromarray(
+            rng.integers(0, 255, (100, 80, 3), dtype=np.uint8), "RGB"
+        ).save(img_dir / f"im{i}.jpg")
+    ds_dir = tmp_path / "faces_ds"
+    Dataset.from_dict({"image": [f"im{i}.jpg" for i in range(2)]}).save_to_disk(
+        str(ds_dir)
+    )
+    cfg = tmp_path / "faces.json"
+    cfg.write_text(json.dumps({
+        "mtcnn": {"canvas": 128, "min_face_size": 40, "max_faces": 2,
+                  "k_per_scale": 8, "k_stage1": 16, "k_stage2": 8,
+                  "thresholds": [0.0, 0.0, 0.0]},
+        "batch_size": 2,
+    }))
+    import os
+
+    os.environ["VIQUAE_IMAGES_PATH"] = str(img_dir)
+    try:
+        cli_main(["faces", str(ds_dir), "--config", str(cfg)])
+    finally:
+        del os.environ["VIQUAE_IMAGES_PATH"]
+    from datasets import load_from_disk
+
+    out = load_from_disk(str(ds_dir))
+    assert "face_prob" in out.column_names
+    assert "face_landmarks" in out.column_names

@@ -146,6 +146,110 @@ def cmd_hp(args):
     ))
 
 
+def cmd_faces(args):
+    import torch
+
+    from viquae_tpu.image.face_detection import FaceDetector, dataset_detect_faces
+    from viquae_tpu.models import mtcnn
+
+    config = load_config(args.config) if args.config else {}
+    weights = config.pop("weights", None)
+    if weights:
+        params = mtcnn.params_from_facenet(
+            torch.load(weights, map_location="cpu")
+        )
+    else:
+        import jax
+
+        params = mtcnn.init(jax.random.key(0))
+    mtcnn_kwargs = config.pop("mtcnn", {})
+    if "thresholds" in mtcnn_kwargs:  # JSON lists are unhashable for jit
+        mtcnn_kwargs["thresholds"] = tuple(mtcnn_kwargs["thresholds"])
+    cfg = mtcnn.MTCNNConfig(**mtcnn_kwargs)
+    detector = FaceDetector(params, cfg=cfg, **config)
+    dataset_detect_faces(args.dataset, detector)
+
+
+def cmd_face_embed(args):
+    import torch
+
+    from viquae_tpu.image.face_recognition import (
+        FaceEmbedder,
+        dataset_compute_face_embedding,
+    )
+    from viquae_tpu.models import arcface
+
+    config = load_config(args.config) if args.config else {}
+    cfg = arcface.ArcFaceConfig(**config.pop("arcface", {}))
+    weights = config.pop("weights", None)
+    if weights:
+        params = arcface.params_from_insightface(
+            torch.load(weights, map_location="cpu"), cfg
+        )
+    else:
+        import jax
+
+        params = arcface.init(jax.random.key(0), cfg)
+    embedder = FaceEmbedder(params, cfg=cfg, **config)
+    dataset_compute_face_embedding(args.dataset, embedder)
+
+
+def cmd_embed_image(args):
+    from viquae_tpu.image.embedding import ImageEmbedder, dataset_embed_images
+
+    config = load_config(args.config)
+    model_kind = config.pop("model", "clip-vit")
+    weights = config.pop("weights", None)
+    import jax
+    import jax.numpy as jnp
+
+    if model_kind in ("clip-vit", "clip"):
+        from viquae_tpu.models import clip as clip_lib
+
+        vcfg = clip_lib.CLIPVisionConfig(**config.pop("model_config", {}))
+        if weights:
+            import torch
+
+            params = clip_lib.params_from_hf(
+                torch.load(weights, map_location="cpu")
+            )["vision"]
+        else:
+            params = clip_lib.vit_init(jax.random.key(0), vcfg)
+        apply_fn = lambda p, x: clip_lib.vit_apply(p, vcfg, x)["image_embeds"]
+        preprocessing = "clip"
+    elif model_kind == "clip-RN50":
+        from viquae_tpu.models import clip as clip_lib
+
+        mcfg = clip_lib.ModifiedResNetConfig(**config.pop("model_config", {}))
+        import torch
+
+        params = clip_lib.visual_params_from_openai(
+            torch.load(weights, map_location="cpu"), mcfg
+        )
+        apply_fn = lambda p, x: clip_lib.modified_resnet_apply(p, mcfg, x)
+        preprocessing = "clip"
+    elif model_kind == "imagenet-RN50":
+        from viquae_tpu.models import resnet
+
+        rcfg = resnet.ResNetConfig(**config.pop("model_config", {}))
+        if weights:
+            import torch
+
+            params = resnet.params_from_torchvision(
+                torch.load(weights, map_location="cpu"), rcfg
+            )
+        else:
+            params = resnet.init(jax.random.key(0), rcfg)
+        apply_fn = lambda p, x: resnet.apply(p, rcfg, x)
+        preprocessing = "imagenet"
+    else:
+        raise ValueError(f"Unknown image model {model_kind!r}")
+    embedder = ImageEmbedder(
+        apply_fn, params, preprocessing=preprocessing, **config
+    )
+    dataset_embed_images(args.dataset, embedder)
+
+
 def cmd_resize(args):
     from viquae_tpu.image.resize import dataset_resize
 
@@ -209,6 +313,18 @@ def main(argv=None):
     p = sub.add_parser("hp", help="BM25 hyperparameter grid search")
     p.add_argument("config")
     p.set_defaults(fn=cmd_hp)
+
+    p = sub.add_parser("faces", help="MTCNN face detection stage")
+    p.add_argument("dataset"), _add_config_arg(p)
+    p.set_defaults(fn=cmd_faces)
+
+    p = sub.add_parser("face-embed", help="align + ArcFace embedding stage")
+    p.add_argument("dataset"), _add_config_arg(p)
+    p.set_defaults(fn=cmd_face_embed)
+
+    p = sub.add_parser("embed-image", help="global image embedding stage")
+    p.add_argument("dataset"), p.add_argument("config")
+    p.set_defaults(fn=cmd_embed_image)
 
     p = sub.add_parser("resize", help="thumbnail the image corpus")
     p.add_argument("dataset"), p.add_argument("root"), p.add_argument("save_root")
