@@ -125,3 +125,23 @@ def test_tensor_parallel_forward(devices):
             lambda p, i: bert.apply(p, cfg, i)["last_hidden_state"]
         )(sharded_params, ids)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_hf_export_roundtrip(tmp_path):
+    """params -> HF dir -> torch BertModel matches our forward."""
+    import torch
+    from transformers import BertModel
+
+    cfg = bert.BertConfig(**TINY)
+    params = bert.init(jax.random.key(3), cfg)
+    out_dir = bert.save_pretrained_hf(params, cfg, tmp_path / "hf")
+    model = BertModel.from_pretrained(str(out_dir)).eval()
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, TINY["vocab_size"], (2, 7))
+    with torch.no_grad():
+        ref = model(input_ids=torch.tensor(ids)).last_hidden_state.numpy()
+    ours = np.asarray(
+        bert.apply(params, cfg, jnp.asarray(ids))["last_hidden_state"]
+    )
+    np.testing.assert_allclose(ours, ref, atol=3e-5, rtol=1e-3)

@@ -286,3 +286,80 @@ def params_from_hf(state_dict, cfg: BertConfig, prefix: str = "") -> Dict[str, A
     if cfg.add_pooler and (prefix + "pooler.dense.weight") in state_dict:
         params["pooler"] = lin("pooler.dense")
     return params
+
+
+def params_to_hf_state_dict(params, cfg: BertConfig, prefix: str = ""):
+    """Inverse of :func:`params_from_hf`: export trained params as a torch
+    `BertModel` state_dict — the save_ptm inter-stage contract
+    (meerqat/train/save_ptm.py exports HF `save_pretrained` dirs consumed
+    by downstream embedding stages and external HF users)."""
+    import numpy as np
+    import torch
+
+    def t(x):
+        return torch.from_numpy(np.asarray(x))
+
+    sd = {
+        f"{prefix}embeddings.word_embeddings.weight": t(params["embeddings"]["word"]),
+        f"{prefix}embeddings.position_embeddings.weight": t(
+            params["embeddings"]["position"]
+        ),
+        f"{prefix}embeddings.token_type_embeddings.weight": t(
+            params["embeddings"]["token_type"]
+        ),
+        f"{prefix}embeddings.LayerNorm.weight": t(params["embeddings"]["ln"]["scale"]),
+        f"{prefix}embeddings.LayerNorm.bias": t(params["embeddings"]["ln"]["bias"]),
+    }
+    for i, layer in enumerate(params["layers"]):
+        base = f"{prefix}encoder.layer.{i}"
+        for hf_name, ours in (
+            ("attention.self.query", layer["attention"]["q"]),
+            ("attention.self.key", layer["attention"]["k"]),
+            ("attention.self.value", layer["attention"]["v"]),
+            ("attention.output.dense", layer["attention"]["o"]),
+            ("intermediate.dense", layer["mlp"]["in"]),
+            ("output.dense", layer["mlp"]["out"]),
+        ):
+            sd[f"{base}.{hf_name}.weight"] = t(ours["kernel"]).T.contiguous()
+            sd[f"{base}.{hf_name}.bias"] = t(ours["bias"])
+        for hf_name, ours in (
+            ("attention.output.LayerNorm", layer["attention_ln"]),
+            ("output.LayerNorm", layer["output_ln"]),
+        ):
+            sd[f"{base}.{hf_name}.weight"] = t(ours["scale"])
+            sd[f"{base}.{hf_name}.bias"] = t(ours["bias"])
+    if cfg.add_pooler and "pooler" in params:
+        sd[f"{prefix}pooler.dense.weight"] = t(
+            params["pooler"]["kernel"]
+        ).T.contiguous()
+        sd[f"{prefix}pooler.dense.bias"] = t(params["pooler"]["bias"])
+    return sd
+
+
+def save_pretrained_hf(params, cfg: BertConfig, path):
+    """Write an HF-loadable BertModel dir (config.json + pytorch_model.bin)."""
+    import json as _json
+    from pathlib import Path
+
+    import torch
+
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    hf_config = {
+        "architectures": ["BertModel"],
+        "model_type": "bert",
+        "vocab_size": cfg.vocab_size,
+        "hidden_size": cfg.hidden_size,
+        "num_hidden_layers": cfg.num_hidden_layers,
+        "num_attention_heads": cfg.num_attention_heads,
+        "intermediate_size": cfg.intermediate_size,
+        "max_position_embeddings": cfg.max_position_embeddings,
+        "type_vocab_size": cfg.type_vocab_size,
+        "hidden_act": cfg.hidden_act,
+        "layer_norm_eps": cfg.layer_norm_eps,
+        "hidden_dropout_prob": cfg.hidden_dropout_prob,
+        "attention_probs_dropout_prob": cfg.attention_probs_dropout_prob,
+    }
+    (path / "config.json").write_text(_json.dumps(hf_config, indent=2))
+    torch.save(params_to_hf_state_dict(params, cfg), path / "pytorch_model.bin")
+    return path
