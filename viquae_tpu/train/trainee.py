@@ -91,13 +91,26 @@ class BiEncoderTrainee:
         ]
         return tmetrics.accumulate_batch_metrics(batch_metrics)
 
-    def export(self, path, params=None):
-        """Split-export question/context towers (save_ptm contract)."""
+    def export(self, path, params=None, hf: bool = False):
+        """Split-export question/context towers (save_ptm contract).
+
+        With hf=True also writes HF-loadable BertModel dirs (the reference's
+        save_ptm --bert behavior of exporting bare BERT weights)."""
         params = params or self.params
         path = Path(path)
         ckpt_lib.export_params(path / "question_model", params["question"])
         if not self.shared_encoders:
             ckpt_lib.export_params(path / "context_model", params["context"])
+        if hf:
+            q_cfg = self.question_model.cfg.bert
+            bert.save_pretrained_hf(
+                params["question"], q_cfg, path / "question_model_hf"
+            )
+            if not self.shared_encoders:
+                bert.save_pretrained_hf(
+                    params["context"], self.context_model.cfg.bert,
+                    path / "context_model_hf",
+                )
 
 
 class CrossModalTrainee:

@@ -124,17 +124,18 @@ class Trainer:
     # ------------------------------------------------------------------
     def _shard_batch(self, batch):
         """Device-put a (possibly nested) batch pytree, sharding the leading
-        dim over `data`. Non-array leaves (e.g. answer strings) pass through
-        on host."""
+        dim over `data`. Non-array leaves (answer strings etc.) are DROPPED
+        — they are host-side bookkeeping the jitted step cannot take (the
+        reference pops them in transfer_batch_to_device the same way)."""
         ctx = self.mesh_ctx
 
-        def put(path, v):
-            if isinstance(v, (str, bytes)) or (
+        def is_host_only(v):
+            return isinstance(v, (str, bytes)) or (
                 isinstance(v, list) and v and isinstance(v[0], (str, list))
-            ):
-                return v
+            )
+
+        def put(key, v):
             arr = jnp.asarray(v)
-            key = path[0].key if path else None
             spec = self._batch_sharding.get(key)
             if spec is not None:
                 sharding = ctx.sharding(*spec)
@@ -144,7 +145,17 @@ class Trainer:
                 sharding = ctx.replicated
             return jax.device_put(arr, sharding)
 
-        return jax.tree_util.tree_map_with_path(put, batch)
+        def walk(node, key=None):
+            if isinstance(node, dict):
+                out = {}
+                for k, v in node.items():
+                    if is_host_only(v):
+                        continue
+                    out[k] = walk(v, k)
+                return out
+            return put(key, node)
+
+        return walk(batch)
 
     def fit(
         self,
