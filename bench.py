@@ -113,6 +113,43 @@ def main():
         len(set(idx[i]) & set(ref_idx[i])) / 20 for i in range(n_check)
     ])
 
+    # ---- reader throughput vs the reference's headline number -----------
+    # (MultiPassageBERT test: 2.505 samples/sec on 1xV100,
+    # experiments/rc/viquae/metrics.json) — bert-base reader, M=24 passages
+    # of seq 256 per question
+    from viquae_tpu.models import qa
+
+    rcfg = qa.ReaderConfig(bert=bert.BertConfig(add_pooler=False))
+    r_params = qa.init(jax.random.fold_in(key, 3), rcfg)
+    m_passages, r_seq, n_q = 24, 256, 8 if small else 16
+    r_ids = jnp.asarray(
+        rng.integers(1000, 10_000, (n_q * m_passages, r_seq)), jnp.int32
+    )
+    r_mask = jnp.ones_like(r_ids)
+
+    @jax.jit
+    def reader_step(params, ids, mask):
+        out = qa.reader_apply(
+            params, rcfg, ids, attention_mask=mask,
+            m_passages=m_passages, deterministic=True,
+            compute_dtype=jnp.bfloat16,
+        )
+        start_p = jnp.exp(jax.nn.log_softmax(out.start_logits, -1)).reshape(
+            n_q, m_passages, r_seq
+        )
+        end_p = jnp.exp(jax.nn.log_softmax(out.end_logits, -1)).reshape(
+            n_q, m_passages, r_seq
+        )
+        return qa.get_best_spans(start_p, end_p)
+
+    out_r = reader_step(r_params, r_ids, r_mask)
+    sync(out_r)
+    t0 = time.time()
+    for _ in range(reps):
+        out_r = reader_step(r_params, r_ids, r_mask)
+    sync(out_r)
+    reader_sps = n_q / ((time.time() - t0) / reps)
+
     result = {
         "metric": "embed+search queries/sec over 1.5M-entity KB (1 chip)",
         "value": round(qps, 1),
@@ -127,6 +164,8 @@ def main():
             "r_at_20_parity_vs_flat_fp32": round(float(overlap), 4),
             "encoder": "dpr-bert-base bf16 seq64",
             "topk_mode": "global",
+            "reader_samples_per_sec": round(reader_sps, 2),
+            "reader_vs_reference_v100": round(reader_sps / 2.505, 1),
         },
     }
     print(json.dumps(result))

@@ -211,3 +211,48 @@ def test_crossmodal_collator(tokenizer):
     assert batch["text_inputs"]["input_ids"].shape == (2, 12)
     assert batch["pixel_values"].shape == (2, 8, 8, 3)
     np.testing.assert_array_equal(batch["labels"], [0, 1])
+
+
+def test_answer_positions_native_matches_python(tokenizer):
+    import os
+
+    coll = tdata.ReaderCollator(
+        tokenizer, kb=make_kb(), M=2, max_length=24, max_n_answers=3,
+        seed=0, train=True,
+    )
+    items = make_items(3)
+    native_batch = coll.collate_fn(items)
+    os.environ["VIQUAE_NO_NATIVE"] = "1"
+    try:
+        coll2 = tdata.ReaderCollator(
+            tokenizer, kb=make_kb(), M=2, max_length=24, max_n_answers=3,
+            seed=0, train=True,
+        )
+        py_batch = coll2.collate_fn(items)
+    finally:
+        del os.environ["VIQUAE_NO_NATIVE"]
+    for key in ("start_positions", "end_positions", "answer_mask"):
+        np.testing.assert_array_equal(native_batch[key], py_batch[key])
+
+
+def test_answer_positions_native_dedupe_rule():
+    """Repeated answers + overlapping matches follow the reference rule."""
+    from viquae_tpu.native import load_answer_span_matcher
+
+    native = load_answer_span_matcher()
+    assert native is not None
+    ids = np.array([[7, 8, 7, 8, 7, 8, 0, 0]], np.int32)
+    # answers: [7 8] (matches at 0, 2, 4) then [8 7] (matches at 1, 3)
+    answer_tokens = np.array([7, 8, 8, 7], np.int32)
+    answer_offsets = np.array([0, 2, 4], np.int64)
+    row_offsets = np.array([0, 2], np.int64)
+    out_s = np.zeros((1, 4), np.int32)
+    out_e = np.zeros((1, 4), np.int32)
+    out_c = np.zeros(1, np.int32)
+    native(ids, np.int64(1), np.int64(8), answer_tokens, answer_offsets,
+           row_offsets, np.int32(4), out_s, out_e, out_c)
+    assert out_c[0] == 4
+    # [7 8] at starts 0, 2, 4; then [8 7] at 1 (start 1/end 2 unused), 3 dup-
+    # start? start 3 unused, end 4 unused -> kept
+    assert out_s[0, :4].tolist() == [0, 2, 4, 1]
+    assert out_e[0, :4].tolist() == [1, 3, 5, 2]

@@ -1,1 +1,4 @@
-from viquae_tpu.native.build import load_bm25_scorer  # noqa: F401
+from viquae_tpu.native.build import (  # noqa: F401
+    load_answer_span_matcher,
+    load_bm25_scorer,
+)

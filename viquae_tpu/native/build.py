@@ -40,6 +40,30 @@ def _load(name: str) -> Optional[ctypes.CDLL]:
     return lib
 
 
+def load_answer_span_matcher():
+    """ctypes handle to match_batch, or None (fallback to numpy)."""
+    lib = _load("answer_spans")
+    if lib is None:
+        return None
+    import numpy as np
+    from numpy.ctypeslib import ndpointer
+
+    fn = lib.match_batch
+    fn.restype = None
+    fn.argtypes = [
+        ndpointer(np.int32, flags="C_CONTIGUOUS"),    # input_ids
+        ctypes.c_int64, ctypes.c_int64,               # n_rows, seq_len
+        ndpointer(np.int32, flags="C_CONTIGUOUS"),    # answer_tokens
+        ndpointer(np.int64, flags="C_CONTIGUOUS"),    # answer_offsets
+        ndpointer(np.int64, flags="C_CONTIGUOUS"),    # row_answer_offsets
+        ctypes.c_int32,                               # max_n
+        ndpointer(np.int32, flags="C_CONTIGUOUS"),    # out_starts
+        ndpointer(np.int32, flags="C_CONTIGUOUS"),    # out_ends
+        ndpointer(np.int32, flags="C_CONTIGUOUS"),    # out_counts
+    ]
+    return fn
+
+
 def load_bm25_scorer():
     """ctypes handle to bm25_score_batch, or None (fallback to numpy)."""
     lib = _load("bm25_scorer")

@@ -349,8 +349,16 @@ class ReaderCollator(QADataModule):
     def get_answer_position(self, input_ids: np.ndarray,
                             answers: List[List[np.ndarray]],
                             answer_mask: np.ndarray) -> Dict[str, np.ndarray]:
-        """Token-level answer spans per passage, vectorized sliding-window
-        matching (train/data.py:947-975 semantics)."""
+        """Token-level answer spans per passage (train/data.py:947-975
+        semantics): the C++ matcher (viquae_tpu/native/answer_spans.cpp)
+        when available, numpy sliding windows otherwise."""
+        from viquae_tpu.native import load_answer_span_matcher
+
+        native = load_answer_span_matcher()
+        if native is not None:
+            return self._answer_positions_native(
+                native, input_ids, answers, answer_mask
+            )
         start_positions = np.zeros_like(answer_mask)
         end_positions = np.zeros_like(answer_mask)
         length = input_ids.shape[1]
@@ -381,6 +389,39 @@ class ReaderCollator(QADataModule):
         return {
             "start_positions": start_positions.reshape(-1, m, a),
             "end_positions": end_positions.reshape(-1, m, a),
+            "answer_mask": answer_mask.reshape(-1, m, a),
+        }
+
+    def _answer_positions_native(self, native, input_ids, answers,
+                                 answer_mask):
+        n_rows, length = input_ids.shape
+        answer_tokens: List[int] = []
+        answer_offsets = [0]
+        row_offsets = [0]
+        for answer_list in answers:
+            for a in answer_list:
+                answer_tokens.extend(int(t) for t in a)
+                answer_offsets.append(len(answer_tokens))
+            row_offsets.append(len(answer_offsets) - 1)
+        out_starts = np.zeros((n_rows, self.max_n_answers), np.int32)
+        out_ends = np.zeros((n_rows, self.max_n_answers), np.int32)
+        out_counts = np.zeros(n_rows, np.int32)
+        native(
+            np.ascontiguousarray(input_ids, np.int32),
+            np.int64(n_rows), np.int64(length),
+            np.ascontiguousarray(answer_tokens, np.int32)
+            if answer_tokens else np.zeros(0, np.int32),
+            np.ascontiguousarray(answer_offsets, np.int64),
+            np.ascontiguousarray(row_offsets, np.int64),
+            np.int32(self.max_n_answers),
+            out_starts, out_ends, out_counts,
+        )
+        for r in range(n_rows):
+            answer_mask[r, : out_counts[r]] = 1
+        m, a = self.M, self.max_n_answers
+        return {
+            "start_positions": out_starts.reshape(-1, m, a),
+            "end_positions": out_ends.reshape(-1, m, a),
             "answer_mask": answer_mask.reshape(-1, m, a),
         }
 
