@@ -23,7 +23,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import sys
 from pathlib import Path
 
 from viquae_tpu.core.config import load_config
@@ -201,7 +200,6 @@ def cmd_embed_image(args):
     model_kind = config.pop("model", "clip-vit")
     weights = config.pop("weights", None)
     import jax
-    import jax.numpy as jnp
 
     if model_kind in ("clip-vit", "clip"):
         from viquae_tpu.models import clip as clip_lib

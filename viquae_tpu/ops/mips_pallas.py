@@ -24,7 +24,6 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -143,7 +142,6 @@ def topk_pallas(
     # masking the candidate gather below as well)
     n_seg = n // _SEG
     seg_ids = jax.lax.broadcasted_iota(jnp.int32, (q_count, n_seg), 1)
-    first_invalid_seg = nv // _SEG  # segment containing the boundary
     segmax = jnp.where(seg_ids * _SEG < nv, segmax, mips.NEG_INF)
 
     # top-k segments via the two-level scheme (exact modulo equal-score ties)

@@ -243,11 +243,13 @@ class Trainer:
 
     def evaluate(self, eval_batches: Iterable) -> Dict[str, float]:
         """Mean loss + eval_fn aggregation over batches (no grad)."""
+        if not hasattr(self, "_eval_step"):
+            self._eval_step = jax.jit(self.loss_fn)
         outputs = []
         losses = []
         for batch in eval_batches:
             rng = self.seeds.split("eval")
-            loss, aux = jax.jit(self.loss_fn)(
+            loss, aux = self._eval_step(
                 self.state["params"], self._shard_batch(batch), rng
             )
             losses.append(float(loss))
