@@ -201,3 +201,151 @@ def test_face_align_maps_landmarks_to_template():
     for x, y in SRC:
         patch = crop[int(y) - 2: int(y) + 3, int(x) - 2: int(x) + 3]
         assert patch.max() > 100.0, (x, y)
+
+
+# --------------------------------------------------------------------------
+# MTCNN networks vs compact torch oracles (facenet_pytorch architecture)
+# --------------------------------------------------------------------------
+def _torch_pnet():
+    import torch.nn as nn
+
+    class PNet(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = nn.Conv2d(3, 10, 3)
+            self.prelu1 = nn.PReLU(10)
+            self.pool1 = nn.MaxPool2d(2, 2, ceil_mode=True)
+            self.conv2 = nn.Conv2d(10, 16, 3)
+            self.prelu2 = nn.PReLU(16)
+            self.conv3 = nn.Conv2d(16, 32, 3)
+            self.prelu3 = nn.PReLU(32)
+            self.conv4_1 = nn.Conv2d(32, 2, 1)
+            self.softmax4_1 = nn.Softmax(dim=1)
+            self.conv4_2 = nn.Conv2d(32, 4, 1)
+
+        def forward(self, x):
+            x = self.prelu1(self.conv1(x))
+            x = self.pool1(x)
+            x = self.prelu2(self.conv2(x))
+            x = self.prelu3(self.conv3(x))
+            a = self.softmax4_1(self.conv4_1(x))
+            b = self.conv4_2(x)
+            return b, a
+
+    return PNet()
+
+
+def _torch_rnet():
+    import torch.nn as nn
+
+    class Flatten(nn.Module):
+        def forward(self, x):
+            # facenet_pytorch: x.transpose(3, 2) on NCHW -> (B, C, W, H)
+            return x.transpose(3, 2).contiguous().view(x.shape[0], -1)
+
+    class RNet(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = nn.Conv2d(3, 28, 3)
+            self.prelu1 = nn.PReLU(28)
+            self.pool1 = nn.MaxPool2d(3, 2, ceil_mode=True)
+            self.conv2 = nn.Conv2d(28, 48, 3)
+            self.prelu2 = nn.PReLU(48)
+            self.pool2 = nn.MaxPool2d(3, 2, ceil_mode=True)
+            self.conv3 = nn.Conv2d(48, 64, 2)
+            self.prelu3 = nn.PReLU(64)
+            self.flatten = Flatten()
+            self.dense4 = nn.Linear(576, 128)
+            self.prelu4 = nn.PReLU(128)
+            self.dense5_1 = nn.Linear(128, 2)
+            self.softmax5_1 = nn.Softmax(dim=1)
+            self.dense5_2 = nn.Linear(128, 4)
+
+        def forward(self, x):
+            x = self.pool1(self.prelu1(self.conv1(x)))
+            x = self.pool2(self.prelu2(self.conv2(x)))
+            x = self.prelu3(self.conv3(x))
+            x = self.prelu4(self.dense4(self.flatten(x)))
+            return self.dense5_2(x), self.softmax5_1(self.dense5_1(x))
+
+    return RNet()
+
+
+def test_pnet_matches_torch_oracle():
+    import torch
+
+    torch.manual_seed(0)
+    oracle = _torch_pnet().eval()
+    sd = {f"pnet.{k}": v for k, v in oracle.state_dict().items()}
+    # pad with rnet/onet entries so params_from_facenet finds all keys
+    rnet = _torch_rnet()
+    sd.update({f"rnet.{k}": v for k, v in rnet.state_dict().items()})
+    for k, v in mtcnn.onet_init(jax.random.key(0)).items():
+        pass  # onet keys synthesized below from our init (port needs names)
+    onet_oracle_sd = {}
+    o = mtcnn.onet_init(jax.random.key(1))
+    import numpy as _np
+
+    for name, blk in o.items():
+        if name.startswith("conv"):
+            onet_oracle_sd[f"onet.{name}.weight"] = torch.tensor(
+                _np.transpose(_np.asarray(blk["kernel"]), (3, 2, 0, 1)))
+            onet_oracle_sd[f"onet.{name}.bias"] = torch.tensor(_np.asarray(blk["bias"]))
+        elif name.startswith("dense"):
+            onet_oracle_sd[f"onet.{name}.weight"] = torch.tensor(
+                _np.asarray(blk["kernel"]).T)
+            onet_oracle_sd[f"onet.{name}.bias"] = torch.tensor(_np.asarray(blk["bias"]))
+        elif name.startswith("prelu"):
+            onet_oracle_sd[f"onet.{name}.weight"] = torch.tensor(_np.asarray(blk["alpha"]))
+    sd.update(onet_oracle_sd)
+    params = mtcnn.params_from_facenet(sd)
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 30, 26, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref_reg, ref_prob = oracle(torch.tensor(x.transpose(0, 3, 1, 2)))
+    probs, reg = mtcnn.pnet_apply(params["pnet"], jnp.asarray(x))
+    np.testing.assert_allclose(
+        np.asarray(probs), ref_prob[:, 1].numpy(), atol=1e-5, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(reg), ref_reg.permute(0, 2, 3, 1).numpy(),
+        atol=1e-5, rtol=1e-4,
+    )
+
+
+def test_rnet_matches_torch_oracle():
+    import torch
+
+    torch.manual_seed(1)
+    oracle = _torch_rnet().eval()
+    sd = {f"rnet.{k}": v for k, v in oracle.state_dict().items()}
+    # fill pnet/onet sections with matching-name synthetic entries
+    pnet = _torch_pnet()
+    sd.update({f"pnet.{k}": v for k, v in pnet.state_dict().items()})
+    o = mtcnn.onet_init(jax.random.key(1))
+    import numpy as _np
+
+    for name, blk in o.items():
+        if name.startswith("conv"):
+            sd[f"onet.{name}.weight"] = torch.tensor(
+                _np.transpose(_np.asarray(blk["kernel"]), (3, 2, 0, 1)))
+            sd[f"onet.{name}.bias"] = torch.tensor(_np.asarray(blk["bias"]))
+        elif name.startswith("dense"):
+            sd[f"onet.{name}.weight"] = torch.tensor(_np.asarray(blk["kernel"]).T)
+            sd[f"onet.{name}.bias"] = torch.tensor(_np.asarray(blk["bias"]))
+        elif name.startswith("prelu"):
+            sd[f"onet.{name}.weight"] = torch.tensor(_np.asarray(blk["alpha"]))
+    params = mtcnn.params_from_facenet(sd)
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((3, 24, 24, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref_reg, ref_prob = oracle(torch.tensor(x.transpose(0, 3, 1, 2)))
+    probs, reg = mtcnn.rnet_apply(params["rnet"], jnp.asarray(x))
+    np.testing.assert_allclose(
+        np.asarray(probs), ref_prob[:, 1].numpy(), atol=1e-5, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(reg), ref_reg.numpy(), atol=1e-5, rtol=1e-4
+    )
