@@ -262,3 +262,27 @@ def test_text_embedder_layers(devices):
     assert batch["e_layer_0"].shape == (3, 8)
     assert batch["e_layer_2"].shape == (3, 8)
     assert not np.allclose(batch["e_layer_0"], batch["e_layer_2"])
+
+
+def test_retrieval_pipeline_streaming(devices):
+    from viquae_tpu.ir.serving import RetrievalPipeline
+    from viquae_tpu.ops import mips
+
+    rng = np.random.default_rng(0)
+    kb = rng.standard_normal((200, 16)).astype(np.float32)
+    index = mips.DenseIndex(kb, chunk_size=256)
+
+    def embed_fn(texts):
+        # fake embedder: query "qN" -> kb row N + noise
+        rows = [int(t[1:]) if t else 0 for t in texts]
+        return kb[rows] + 0.01
+
+    ids = [f"q{i}" for i in range(10)]
+    pipeline = RetrievalPipeline(embed_fn, index, batch_size=4, k=3)
+    run = pipeline.run(ids, ids)
+    assert len(run) == 10
+    for i in range(10):
+        top = max(run[f"q{i}"].items(), key=lambda kv: kv[1])[0]
+        assert top == str(i)
+    report = pipeline.report()
+    assert report["search"]["count"] == 3  # ceil(10/4) batches
