@@ -270,7 +270,8 @@ def test_retrieval_pipeline_streaming(devices):
 
     rng = np.random.default_rng(0)
     kb = rng.standard_normal((200, 16)).astype(np.float32)
-    index = mips.DenseIndex(kb, chunk_size=256)
+    # cosine mode: a row is its own nearest neighbor (plain IP favors norms)
+    index = mips.DenseIndex(kb, do_l2norm=True, chunk_size=256)
 
     def embed_fn(texts):
         # fake embedder: query "qN" -> kb row N + noise
