@@ -119,3 +119,24 @@ def test_compare_significance(qrels):
     assert report.scores["good"]["mrr@10"] == pytest.approx(1.0)
     assert report.scores["bad"]["mrr@10"] == pytest.approx(0.0)
     assert "good" in report.to_table()
+
+
+def test_ndcg_matches_sklearn_graded():
+    """Graded-relevance NDCG cross-checked against sklearn's oracle."""
+    from sklearn.metrics import ndcg_score
+
+    rng = np.random.default_rng(0)
+    n_docs = 12
+    qrels_data, run_data, y_true, y_score = {}, {}, [], []
+    for q in range(5):
+        grades = rng.integers(0, 4, n_docs)
+        scores = rng.standard_normal(n_docs)
+        qrels_data[f"q{q}"] = {
+            f"d{d}": int(g) for d, g in enumerate(grades) if g > 0
+        }
+        run_data[f"q{q}"] = {f"d{d}": float(s) for d, s in enumerate(scores)}
+        y_true.append(grades)
+        y_score.append(scores)
+    ours = evaluate(Qrels(qrels_data), Run(run_data), f"ndcg@{n_docs}")
+    ref = ndcg_score(np.array(y_true), np.array(y_score), k=n_docs)
+    assert ours == pytest.approx(ref, rel=1e-6)
