@@ -198,3 +198,78 @@ def test_interact_system(devices):
     out = system("question 2")
     assert out["results"][0][0] == "2"
     assert out["passages"][0] == "passage 2 with answer2"
+
+
+def test_fusion_rrf_optimization():
+    """Regression: optimize_fusion(method='rrf') used to crash on the report
+    key; and Fusion.test must unwrap single-element list norms."""
+    from viquae_tpu.ir.fuse import Fusion
+    from viquae_tpu.rankeval import optimize_fusion as opt
+
+    qrels = Qrels({"q1": {"d1": 1}, "q2": {"d2": 1}})
+    r1 = Run({"q1": {"d1": 1.0, "d2": 0.5}, "q2": {"d2": 1.0, "d1": 0.5}}, name="a")
+    r2 = Run({"q1": {"d1": 0.9, "d2": 0.4}, "q2": {"d2": 0.9, "d1": 0.4}}, name="b")
+    best = opt(qrels, [r1, r2], method="rrf", metric="mrr@10")
+    assert "k" in best
+    fusion = Fusion(qrels=qrels, runs=[r1, r2], norm=["zmuv"], method=["wsum"])
+    fusion.fit()
+    combined = fusion.test({"weights": (0.5, 0.5)}, metrics=["mrr@10"])
+    assert "q1" in combined
+    with pytest.raises(ValueError, match="single norm"):
+        Fusion(qrels=qrels, runs=[r1, r2], norm=["zmuv", "min-max"]).test({})
+
+
+def test_ndcg_idcg_from_full_qrels():
+    """Regression: IDCG must come from ALL qrels grades, not just retrieved."""
+    from viquae_tpu.rankeval import evaluate
+
+    qrels = Qrels({"q": {"A": 3, "B": 2}})
+    run = Run({"q": {"B": 1.0}})  # best doc (A) was never retrieved
+
+    got = evaluate(qrels, run, "ndcg@10")
+    expected = 2.0 / (3.0 + 2.0 / np.log2(3))
+    assert got == pytest.approx(expected, rel=1e-6)
+
+
+def test_interact_system_repeated_queries(devices):
+    """Regression: a second query must not return the first query's results."""
+    from viquae_tpu.interact.system import System
+    from viquae_tpu.ir.search import Searcher
+
+    kb_vectors = np.eye(4, 8, dtype=np.float32)
+    passages = [f"passage {i} with answer{i}" for i in range(4)]
+
+    class KB:
+        column_names = ["emb", "passage"]
+
+        def __getitem__(self, key):
+            if key == "emb":
+                return list(kb_vectors)
+            if key == "passage":
+                return passages
+            return {"emb": kb_vectors[key], "passage": passages[key]}
+
+        def remove_columns(self, cols):
+            return self
+
+        def __len__(self):
+            return 4
+
+    class FakeTextEmbedder:
+        save_as = "emb"
+        key = "input"
+
+        def embed_texts(self, texts):
+            i = int(texts[0].split()[-1])
+            return kb_vectors[i: i + 1] + 0.01
+
+    searcher = Searcher(
+        kb_kwargs={"kb": dict(kb_path=KB(), index_kwargs={
+            "emb": dict(column="emb", key="emb", chunk_size=64)
+        })},
+        reference_kb_path=KB(), k=2,
+    )
+    system = System(FakeTextEmbedder(), searcher, kb=KB(), k=1)
+    assert system("question 2")["results"][0][0] == "2"
+    assert system("question 1")["results"][0][0] == "1"
+    assert system("question 3")["results"][0][0] == "3"

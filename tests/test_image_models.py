@@ -442,3 +442,22 @@ def test_modified_resnet_matches_torch_oracle():
         ref = oracle(torch.tensor(x.transpose(0, 3, 1, 2))).numpy()
     out = np.asarray(clip_lib.modified_resnet_apply(params, cfg, jnp.asarray(x)))
     np.testing.assert_allclose(out, ref, atol=2e-3, rtol=1e-2)
+
+
+def test_clip_preprocess_preserves_aspect():
+    """A wide image must be shorter-side-resized + center-cropped, not
+    squashed: a vertical stripe at the horizontal center survives."""
+    img = np.zeros((1, 64, 128, 3), np.float32)
+    img[0, :, 62:66, :] = 255.0  # center stripe
+    out = np.asarray(image_ops.preprocess(jnp.asarray(img), size=32, kind="clip"))
+    assert out.shape == (1, 32, 32, 3)
+    # the stripe stays ~2px wide at the center (squashing would make it ~1px
+    # and shift content); compare de-normalized brightness profile
+    denorm = out[0, 16, :, 0] * image_ops.CLIP_STD[0] + image_ops.CLIP_MEAN[0]
+    # shorter-side resize halves width 128->64 then center-crops: the 4px
+    # stripe becomes ~2 bright pixels dead center (squashing 128->32 would
+    # leave ~1 dim pixel)
+    assert denorm[14:18].max() > 0.8
+    assert denorm[14:18].mean() >= 0.45
+    edges = np.concatenate([denorm[:8], denorm[-8:]]).mean()
+    assert edges < 0.1

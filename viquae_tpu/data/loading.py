@@ -138,10 +138,16 @@ def make_passage_dataset(input_path, output_path, prepend_title: bool = False,
         passage_dict["index"].extend([index] * len(passages))
         return item
 
-    dataset = dataset.map(per_item, with_indices=True)
+    # load_from_cache_file=False: per_item fills passage_dict as a side
+    # channel, which a cache replay would silently skip
+    dataset = dataset.map(
+        per_item, with_indices=True, load_from_cache_file=False
+    )
     passage_dataset = Dataset.from_dict(passage_dict)
     passage_dataset.save_to_disk(output_path)
-    dataset.save_to_disk(input_path)
+    from viquae_tpu.ir.embedding import save_in_place
+
+    save_in_place(dataset, input_path)  # Arrow forbids in-place overwrite
     return passage_dataset
 
 

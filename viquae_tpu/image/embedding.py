@@ -24,6 +24,21 @@ from viquae_tpu.data.loading import load_image_batch
 from viquae_tpu.ops import image as image_ops
 
 
+def _resize_center_crop(img, target: int) -> np.ndarray:
+    """Aspect-preserving shorter-side resize + center crop to a square
+    (the CLIP/torchvision transform; squashing to a square distorts
+    embeddings for every non-square corpus image)."""
+    w, h = img.size
+    if (w, h) != (target, target):
+        scale = target / min(w, h)
+        nw, nh = max(target, round(w * scale)), max(target, round(h * scale))
+        img = img.resize((nw, nh))
+        left = (nw - target) // 2
+        top = (nh - target) // 2
+        img = img.crop((left, top, left + target, top + target))
+    return np.asarray(img)
+
+
 class ImageEmbedder:
     """dataset.map(batched=True) callable writing an embedding column."""
 
@@ -73,9 +88,7 @@ class ImageEmbedder:
         for start in range(0, len(pil_images), self.batch_size):
             chunk = pil_images[start: start + self.batch_size]
             present = [
-                (i, np.asarray(img.resize((self.raw_size, self.raw_size)))
-                 if img.size != (self.raw_size, self.raw_size)
-                 else np.asarray(img))
+                (i, _resize_center_crop(img, self.raw_size))
                 for i, img in enumerate(chunk) if img is not None
             ]
             dim_probe = None

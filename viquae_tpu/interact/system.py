@@ -40,6 +40,13 @@ class System:
         self.k = k
 
     def __call__(self, question: str, image=None) -> Dict:
+        # clear state from the previous query: the Searcher accumulates runs
+        # and relevance caches by query id, and a stale 'interactive' entry
+        # would otherwise be returned for every later question
+        for run in self.searcher.runs.values():
+            run.pop("interactive", None)
+        self.searcher.qrels.pop("interactive", None)
+        self.searcher.qnonrels.pop("interactive", None)
         batch = {
             "id": ["interactive"],
             "output": [{"original_answer": "", "answer": []}],

@@ -89,13 +89,27 @@ class Fusion:
                         yaml.dump(json.loads(json.dumps(best_params)), f)
         return all_best
 
+    @staticmethod
+    def _single(value, what):
+        """fit() accepts lists of norms/methods; test() needs exactly one."""
+        if isinstance(value, list):
+            if len(value) != 1:
+                raise ValueError(
+                    f"Fusion.test needs a single {what}, got {value!r}; "
+                    "re-instantiate with the winning one from fit()"
+                )
+            return value[0]
+        return value
+
     def test(self, best_params: dict, metrics: Optional[List[str]] = None) -> Run:
         """Applies best parameters; returns (and saves) the combined run."""
         if metrics is None:
             metrics = ["mrr@100", "precision@1", "precision@20", "hit_rate@20"]
-        runs, norm = self._apply_norm(self.runs, self.norm)
+        norm = self._single(self.norm, "norm")
+        method = self._single(self.method, "method")
+        runs, norm = self._apply_norm(self.runs, norm)
         combined = fuse(
-            runs=runs, norm=norm, method=self.method, params=best_params
+            runs=runs, norm=norm, method=method, params=best_params
         )
         if self.output is not None:
             combined.save(self.output / "test_run.json")

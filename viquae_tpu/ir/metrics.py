@@ -104,8 +104,14 @@ def find_relevant_dataset(dataset_path, save_as: str = "provenance_indices",
     dataset = load_from_disk(dataset_path)
     qrels: dict = {}
     kwargs.update(save_as=save_as, qrels=qrels)
-    dataset = dataset.map(find_relevant_item, fn_kwargs=kwargs)
-    dataset.save_to_disk(dataset_path)
+    # load_from_cache_file=False: qrels fills as a side channel, which a
+    # cache replay would leave empty
+    dataset = dataset.map(
+        find_relevant_item, fn_kwargs=kwargs, load_from_cache_file=False
+    )
+    from viquae_tpu.ir.embedding import save_in_place
+
+    save_in_place(dataset, dataset_path)  # Arrow forbids in-place overwrite
     if isinstance(dataset, DatasetDict):
         for split, subset in dataset.items():
             Qrels({q: qrels[q] for q in subset["id"]}).save(

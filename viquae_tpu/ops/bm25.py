@@ -120,12 +120,15 @@ class BM25Index:
             contrib = self.idf[tid] * qtf * tf / (tf + self.norm[docs])
             scores[docs] += contrib
         k = min(k, self.n_docs)
-        # ties broken by ascending doc id (FAISS/rankeval contract)
-        cand = np.argpartition(-scores, kth=k - 1)[: max(k * 4, k)]
+        # exact tie order (ascending doc id — the framework contract, and
+        # what the C++ scorer enforces): select every doc scoring >= the
+        # k-th value so boundary ties are all present, then stable-sort
+        kth = -np.partition(-scores, k - 1)[k - 1]
+        if kth > 0:
+            cand = np.nonzero(scores >= kth)[0]
+        else:  # zero-score docs are "not retrieved"
+            cand = np.nonzero(scores > 0)[0]
         cand = cand[np.lexsort((cand, -scores[cand]))][:k]
-        # drop zero-score docs (not retrieved)
-        keep = scores[cand] > 0
-        cand = cand[keep]
         return scores[cand].tolist(), cand.tolist()
 
     def search_batch(self, queries: Sequence[str], k: int = 100

@@ -67,7 +67,15 @@ def preprocess(images: jnp.ndarray, size: int = 224, kind: str = "clip"
         x = center_crop(x, size)
         return normalize(x, IMAGENET_MEAN, IMAGENET_STD)
     if kind == "clip":
-        x = resize_bilinear(x, (size, size))
+        # CLIP transform: resize the SHORTER side to `size`, center crop —
+        # never squash the aspect ratio
+        h, w = x.shape[1], x.shape[2]
+        scale = size / min(h, w)
+        x = resize_bilinear(
+            x, (max(size, int(round(h * scale))),
+                max(size, int(round(w * scale))))
+        )
+        x = center_crop(x, size)
         return normalize(x, CLIP_MEAN, CLIP_STD)
     if kind == "face":
         x = resize_bilinear(x, (size, size))

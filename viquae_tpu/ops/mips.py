@@ -354,7 +354,8 @@ class DenseIndex:
             )
         elif self.mode == "global" or (
             self.mode == "fast"
-            and q.shape[0] * self.matrix.shape[0] * 2 <= 4 * 2 ** 30
+            and q.shape[0] * self.matrix.shape[0]
+            * (4 if self.dtype == jnp.float32 else 2) <= 4 * 2 ** 30
         ):
             # single-pass global selection: 2x the chunked path when the
             # (Q, N) bf16 score matrix fits comfortably in HBM

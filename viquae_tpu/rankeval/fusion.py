@@ -13,6 +13,7 @@ equal weights), max, min, mnz, rrf.
 from __future__ import annotations
 
 import itertools
+import json
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -207,8 +208,7 @@ def optimize_fusion(
     for params in candidates:
         combined = fuse(normed, norm=None, method=method, params=params)
         score = evaluate(qrels, combined, metric)
-        key = str(tuple(params.get("weights", params.get("k", ()))))
-        report[key] = score
+        report[json.dumps(params, sort_keys=True)] = score
         if score > best_score:
             best_score, best_params = score, params
     if return_optimization_report:

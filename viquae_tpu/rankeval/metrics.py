@@ -34,24 +34,30 @@ def parse_metric(metric: str):
 
 def relevance_matrix(qrels: Qrels, run: Run, k: int,
                      q_ids: Optional[Sequence[str]] = None):
-    """(Q, k) graded relevance at each rank + per-query total relevant count."""
+    """(Q, k) graded relevance at each rank, per-query total relevant count,
+    and the IDEAL top-k grades per query (from ALL qrels judgments, not just
+    the retrieved ones — the NDCG denominator)."""
     if q_ids is None:
         q_ids = list(qrels.keys())
     _, doc_mat, _ = run.to_padded(q_ids, k=k)
     rel = np.zeros(doc_mat.shape, dtype=np.float64)
     n_rel = np.zeros(len(q_ids), dtype=np.float64)
+    ideal = np.zeros((len(q_ids), k), dtype=np.float64)
     for row, q in enumerate(q_ids):
         judgments = qrels.to_dict().get(str(q), {})
         n_rel[row] = sum(1 for g in judgments.values() if g > 0)
+        grades = sorted(judgments.values(), reverse=True)[:k]
+        ideal[row, : len(grades)] = grades
         if judgments:
             for col in range(doc_mat.shape[1]):
                 d = doc_mat[row, col]
                 if d != "":
                     rel[row, col] = judgments.get(d, 0.0)
-    return rel, n_rel
+    return rel, n_rel, ideal
 
 
-def _scores_from_rel(name: str, rel: np.ndarray, n_rel: np.ndarray, k: int) -> np.ndarray:
+def _scores_from_rel(name: str, rel: np.ndarray, n_rel: np.ndarray, k: int,
+                     ideal: Optional[np.ndarray] = None) -> np.ndarray:
     binary = (rel > 0).astype(np.float64)
     hits = binary.sum(axis=1)
     if name in ("hits",):
@@ -77,23 +83,12 @@ def _scores_from_rel(name: str, rel: np.ndarray, n_rel: np.ndarray, k: int) -> n
         )
         return np.where(n_rel > 0, ap, 0.0)
     if name == "ndcg":
-        # Jarvelin formulation (ranx default): gain/log2(rank+1)
+        # Jarvelin formulation (ranx default): gain/log2(rank+1); IDCG from
+        # the full qrels' grade multiset (NOT just retrieved docs)
+        assert ideal is not None
         discounts = 1.0 / np.log2(ranks + 1)
         dcg = (rel * discounts).sum(axis=1)
-        ideal = -np.sort(-rel, axis=1)
-        # ideal ranking uses ALL relevant docs, graded, capped at k
-        idcg = np.zeros(len(rel))
-        for row in range(len(rel)):
-            grades = ideal[row]
-            idcg[row] = (grades * discounts).sum()
-        # note: ideal computed from retrieved grades only is wrong when not all
-        # relevant docs were retrieved; caller provides n_rel for binary case
-        binary_ideal = np.minimum(n_rel, k)
-        idcg_binary = np.array([
-            discounts[: int(m)].sum() for m in binary_ideal
-        ])
-        use_binary = np.all((rel == 0) | (rel == 1))
-        idcg = idcg_binary if use_binary else idcg
+        idcg = (ideal * discounts).sum(axis=1)
         return np.where(idcg > 0, dcg / np.maximum(idcg, 1e-12), 0.0)
     raise ValueError(f"Unknown metric {name!r}")
 
@@ -103,8 +98,8 @@ def per_query_scores(qrels: Qrels, run: Run, metric: str,
     name, k = parse_metric(metric)
     if k is None:
         k = max((len(r) for r in run.values()), default=0) or 1
-    rel, n_rel = relevance_matrix(qrels, run, k, q_ids=q_ids)
-    return _scores_from_rel(name, rel, n_rel, k)
+    rel, n_rel, ideal = relevance_matrix(qrels, run, k, q_ids=q_ids)
+    return _scores_from_rel(name, rel, n_rel, k, ideal=ideal)
 
 
 def evaluate(

@@ -242,9 +242,22 @@ class Trainer:
         }
 
     def evaluate(self, eval_batches: Iterable) -> Dict[str, float]:
-        """Mean loss + eval_fn aggregation over batches (no grad)."""
+        """Mean loss + eval_fn aggregation over batches (no grad, and with
+        dropout DISABLED when the loss_fn exposes a `deterministic` flag)."""
         if not hasattr(self, "_eval_step"):
-            self._eval_step = jax.jit(self.loss_fn)
+            import functools
+            import inspect
+
+            loss_fn = self.loss_fn
+            try:
+                accepts_det = "deterministic" in inspect.signature(
+                    loss_fn
+                ).parameters
+            except (TypeError, ValueError):
+                accepts_det = False
+            if accepts_det:
+                loss_fn = functools.partial(loss_fn, deterministic=True)
+            self._eval_step = jax.jit(loss_fn)
         outputs = []
         losses = []
         for batch in eval_batches:
