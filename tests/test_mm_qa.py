@@ -358,3 +358,33 @@ def test_joint_mono_cross_modal_trainee():
     metrics = trainee.eval_fn([aux])
     assert "image_MRR@N*M" in metrics and "cm_MRR@N*M" in metrics
     assert trainee.freeze_weights_regex() is not None
+
+
+def test_registry_wrappers_roundtrip(tmp_path):
+    """ECAEncoder/IntermediateLinearFusion are instantiable by class_name via
+    the config registry (get_pretrained contract) and reload exported params
+    (regression: models/__init__ must import mm for registration to run)."""
+    from viquae_tpu.core.config import get_class_from_name
+    from viquae_tpu.train.checkpoint import export_params
+
+    cfg_kwargs = dict(
+        bert={"vocab_size": 60, "hidden_size": 24, "num_hidden_layers": 1,
+              "num_attention_heads": 2, "intermediate_size": 48,
+              "max_position_embeddings": 40, "add_pooler": False},
+        n_faces=2, face_dim=8, image_dims={"clip": 10, "imagenet": 12},
+    )
+    text, face, image = make_inputs()
+    for name in ["ECAEncoder", "IntermediateLinearFusion"]:
+        cls = get_class_from_name(name)
+        bundle = cls(seed=0, **cfg_kwargs)
+        pooled = np.asarray(
+            bundle.apply_fn(bundle.params, text, face, image).pooler_output
+        )
+        assert pooled.shape == (3, 24)
+        path = tmp_path / name
+        export_params(path, bundle.params)
+        again = cls.from_pretrained(path, **cfg_kwargs)
+        pooled2 = np.asarray(
+            again.apply_fn(again.params, text, face, image).pooler_output
+        )
+        np.testing.assert_allclose(pooled, pooled2, atol=1e-5)

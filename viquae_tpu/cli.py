@@ -81,15 +81,35 @@ def cmd_embed(args):
     from transformers import AutoTokenizer
 
     from viquae_tpu.core.config import get_pretrained
-    from viquae_tpu.ir.embedding import TextEmbedder, dataset_embed
+    from viquae_tpu.ir.embedding import MMEmbedder, TextEmbedder, dataset_embed
 
     config = load_config(args.config)
     model_kwargs = config.pop("model")
     model = get_pretrained(**model_kwargs)
     tokenizer = AutoTokenizer.from_pretrained(config.pop("tokenizer"))
-    embedder = TextEmbedder(
-        model.apply_fn, model.params, tokenizer, **config
-    )
+    # an "image_features" block selects the multimodal path (ECAEncoder /
+    # IntermediateLinearFusion over precomputed face+image feature columns,
+    # parity with the reference's image_kwargs in ir/embedding.py configs)
+    image_features = config.pop("image_features", None)
+    if image_features is not None:
+        from viquae_tpu.train.data import PreComputedImageFeatures
+
+        embedder = MMEmbedder(
+            model.apply_fn, model.params, tokenizer,
+            PreComputedImageFeatures(**image_features), **config
+        )
+    else:
+        from viquae_tpu.models.mm import _MMEncoderBundle
+
+        if isinstance(model, _MMEncoderBundle):
+            raise ValueError(
+                f"{model_kwargs.get('class_name')} is multimodal: the embed "
+                "config needs an 'image_features' block (n_faces/face_dim/"
+                "image_dims) naming the precomputed feature columns"
+            )
+        embedder = TextEmbedder(
+            model.apply_fn, model.params, tokenizer, **config
+        )
     dataset_embed(args.dataset, embedder, output_path=args.output)
 
 

@@ -10,4 +10,6 @@ models/mm.py (ECA/ILF/Flamant/CLIPForIR), models/qa.py (MultiPassageBERT),
 models/rr.py (rerankers), models/image.py (face/image embeddings), plus the
 encoder dependencies meerqat pulls from torch hub (CLIP, ArcFace, MTCNN).
 """
-from viquae_tpu.models import bert, dpr  # noqa: F401
+# importing registers the config-registry entries (DPREncoder, ECAEncoder,
+# IntermediateLinearFusion, ...)
+from viquae_tpu.models import bert, dpr, mm  # noqa: F401

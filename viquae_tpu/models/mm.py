@@ -362,6 +362,71 @@ def flamant_apply(
 
 
 # --------------------------------------------------------------------------
+# config-registry wrappers (get_pretrained parity: named instantiation of
+# multimodal encoders from kwargs-tree configs, data/loading.py:167-183)
+# --------------------------------------------------------------------------
+from viquae_tpu.core.config import register as _register
+
+
+class _MMEncoderBundle:
+    """cfg + params + apply_fn triple the trainee/embedder layers consume."""
+
+    init_fn = None
+    forward = None
+
+    def __init__(self, cfg: Optional[MMConfig] = None, params=None,
+                 seed: int = 0, **cfg_kwargs):
+        if cfg is None:
+            cfg_kwargs = dict(cfg_kwargs)  # don't mutate the caller's tree
+            if "image_dims" in cfg_kwargs and isinstance(
+                cfg_kwargs["image_dims"], dict
+            ):
+                cfg_kwargs["image_dims"] = tuple(
+                    cfg_kwargs["image_dims"].items()
+                )
+            elif "image_dims" in cfg_kwargs:
+                # JSON lists of [name, dim] pairs -> hashable tuples
+                cfg_kwargs["image_dims"] = tuple(
+                    tuple(pair) for pair in cfg_kwargs["image_dims"]
+                )
+            if isinstance(cfg_kwargs.get("bert"), dict):
+                cfg_kwargs["bert"] = bert.BertConfig(**cfg_kwargs["bert"])
+            cfg = MMConfig(**cfg_kwargs)
+        self.cfg = cfg
+        self.params = (
+            params if params is not None
+            else type(self).init_fn(jax.random.key(seed), cfg)
+        )
+
+    @classmethod
+    def from_pretrained(cls, path, **kwargs):
+        """Load params from an export_params dir (the save_ptm contract)."""
+        from viquae_tpu.train.checkpoint import import_params
+
+        bundle = cls(**kwargs)
+        bundle.params = import_params(path, bundle.params)
+        return bundle
+
+    def apply_fn(self, params, text_inputs, face_inputs, image_inputs=None,
+                 **kw):
+        return type(self).forward(
+            params, self.cfg, text_inputs, face_inputs, image_inputs, **kw
+        )
+
+
+@_register("ECAEncoder")
+class ECAEncoder(_MMEncoderBundle):
+    init_fn = staticmethod(eca_init)
+    forward = staticmethod(eca_apply)
+
+
+@_register("IntermediateLinearFusion")
+class IntermediateLinearFusion(_MMEncoderBundle):
+    init_fn = staticmethod(ilf_init)
+    forward = staticmethod(ilf_apply)
+
+
+# --------------------------------------------------------------------------
 # CLIPForIR
 # --------------------------------------------------------------------------
 def clip_for_ir_apply(clip_params, text_cfg, vision_cfg, input_ids,
