@@ -88,6 +88,33 @@ def main():
     dt = (time.time() - t0) / reps
     qps = n_queries / dt  # count only the real 1,257 queries
 
+    # ---- approx variant (lax.approx_max_k fused into the matmul): faster,
+    # ~0.97 R@20 vs exact — reported in details, NOT the headline (the
+    # reference baseline is FAISS flat = exact)
+    @jax.jit
+    def embed_and_search_approx(params, input_ids, attention_mask, kb):
+        q = dpr.apply(
+            params, cfg, input_ids, attention_mask,
+            deterministic=True, compute_dtype=jnp.bfloat16,
+        )["pooler_output"].astype(jnp.bfloat16)
+        return mips.topk_global(
+            q, kb, k, compute_dtype=jnp.bfloat16, mode="approx"
+        )
+
+    out_a = embed_and_search_approx(params, input_ids, attention_mask, kb)
+    sync(out_a)
+    t0 = time.time()
+    for _ in range(reps):
+        out_a = embed_and_search_approx(params, input_ids, attention_mask, kb)
+    sync(out_a)
+    approx_qps = n_queries / ((time.time() - t0) / reps)
+    idx_exact = np.asarray(out[1])
+    idx_approx = np.asarray(out_a[1])
+    r20_approx = np.mean([
+        len(set(idx_approx[i][:20]) & set(idx_exact[i][:20])) / 20
+        for i in range(n_queries)
+    ])
+
     # ---- R@20 parity: fast selection vs exact full-sort, fp32 HIGHEST ---
     # over a single-chunk KB slice (keeps the exact-mode compile small; the
     # full-scale numpy FAISS-flat oracle parity is covered by
@@ -164,6 +191,8 @@ def main():
             "r_at_20_parity_vs_flat_fp32": round(float(overlap), 4),
             "encoder": "dpr-bert-base bf16 seq64",
             "topk_mode": "global",
+            "approx_qps": round(approx_qps, 1),
+            "approx_r_at_20_vs_exact": round(float(r20_approx), 4),
             "reader_samples_per_sec": round(reader_sps, 2),
             "reader_vs_reference_v100": round(reader_sps / 2.505, 1),
         },

@@ -155,3 +155,70 @@ def test_cli_faces_random_weights(workspace, tmp_path):
     out = load_from_disk(str(ds_dir))
     assert "face_prob" in out.column_names
     assert "face_landmarks" in out.column_names
+
+
+def test_cli_embed_multimodal(tmp_path, devices):
+    """`embed` routes configs with an image_features block to MMEmbedder
+    (ECAEncoder by class_name over precomputed face/image columns)."""
+    import jax
+    from datasets import Dataset, load_from_disk
+    from transformers import BertTokenizerFast
+
+    from viquae_tpu.models import bert as bert_lib
+    from viquae_tpu.models import mm
+    from viquae_tpu.train.checkpoint import export_params
+
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", "who", "is",
+             "this"] + [f"ent{i}" for i in range(10)]
+    tok_dir = tmp_path / "tok"
+    tok_dir.mkdir()
+    (tok_dir / "vocab.txt").write_text("\n".join(vocab))
+    BertTokenizerFast(
+        vocab_file=str(tok_dir / "vocab.txt"), do_lower_case=True
+    ).save_pretrained(tok_dir)
+
+    bcfg = dict(vocab_size=30, hidden_size=16, num_hidden_layers=1,
+                num_attention_heads=2, intermediate_size=32,
+                max_position_embeddings=16, add_pooler=False)
+    cfg = mm.MMConfig(bert=bert_lib.BertConfig(**bcfg), n_faces=2,
+                      face_dim=8, image_dims=(("clip", 10),))
+    export_params(tmp_path / "params", mm.eca_init(jax.random.key(0), cfg))
+
+    rng = np.random.default_rng(0)
+    rows = []
+    for i in range(3):
+        rows.append({
+            "input": f"who is this ent{i}",
+            "face_embedding": (None if i == 1 else
+                               rng.standard_normal((2, 8)).astype(np.float32).tolist()),
+            "face_box": (None if i == 1 else
+                         rng.standard_normal((2, 7)).astype(np.float32).tolist()),
+            "clip": rng.standard_normal(10).astype(np.float32).tolist(),
+        })
+    Dataset.from_list(rows).save_to_disk(str(tmp_path / "ds"))
+
+    config = {
+        "model": {"class_name": "ECAEncoder",
+                  "pretrained_model_name_or_path": str(tmp_path / "params"),
+                  "bert": bcfg, "n_faces": 2, "face_dim": 8,
+                  "image_dims": {"clip": 10}},
+        "tokenizer": str(tok_dir),
+        "image_features": {"n_faces": 2, "face_dim": 8,
+                           "image_dims": {"clip": 10}},
+        "key": "input", "save_as": "mm_embedding",
+        "max_length": 8, "batch_size": 2,
+    }
+    (tmp_path / "cfg.json").write_text(json.dumps(config))
+    cli_main(["embed", str(tmp_path / "ds"), str(tmp_path / "cfg.json"),
+              "--output", str(tmp_path / "out")])
+    out = load_from_disk(str(tmp_path / "out"))
+    emb = np.asarray(out["mm_embedding"])
+    assert emb.shape == (3, 16) and np.isfinite(emb).all()
+    assert len({tuple(r.round(5)) for r in emb}) == 3
+
+    # a multimodal model without image_features must fail with a clear error
+    del config["image_features"]
+    (tmp_path / "bad.json").write_text(json.dumps(config))
+    with pytest.raises(ValueError, match="image_features"):
+        cli_main(["embed", str(tmp_path / "ds"), str(tmp_path / "bad.json"),
+                  "--output", str(tmp_path / "out2")])

@@ -150,3 +150,36 @@ def test_sharded_global_mode(data, devices):
         )
     _, ref_idx = mips.exact_topk_numpy(queries, kb, 20)
     np.testing.assert_array_equal(np.asarray(idx), ref_idx)
+
+
+def test_topk_global_approx_mode(data):
+    """mode="approx" (lax.approx_max_k fused selection) keeps high recall and
+    respects valid_rows masking."""
+    queries, kb = data
+    _, ref_idx = mips.exact_topk_numpy(queries, kb, 20)
+    padded = np.concatenate([kb, 100 * np.ones((13, kb.shape[1]), np.float32)])
+    scores, idx = mips.topk_global(
+        jnp.asarray(queries), jnp.asarray(padded), 20,
+        valid_rows=jnp.int32(len(kb)), compute_dtype=jnp.float32,
+        mode="approx",
+    )
+    idx = np.asarray(idx)
+    assert idx.max() < len(kb)
+    recall = np.mean([
+        len(set(idx[i]) & set(ref_idx[i])) / 20 for i in range(len(idx))
+    ])
+    assert recall > 0.8, recall
+    # scores sorted descending, ties broken ascending by index
+    s = np.asarray(scores)
+    assert (np.diff(s, axis=1) <= 1e-6).all()
+
+
+def test_dense_index_approx_mode(data, devices):
+    queries, kb = data
+    _, ref_idx = mips.exact_topk_numpy(queries, kb, 10)
+    index = mips.DenseIndex(kb, mode="approx")
+    _, idx = index.search_batch(queries, k=10)
+    recall = np.mean([
+        len(set(idx[i]) & set(ref_idx[i])) / 10 for i in range(len(idx))
+    ])
+    assert recall > 0.8, recall
