@@ -83,33 +83,47 @@ class ImageEmbedder:
         self._forward = forward
 
     def embed_images(self, pil_images) -> np.ndarray:
-        """List of PIL images (or None) -> (N, D) float32 with NaN rows."""
+        """List of PIL images (or None) -> (N, D) float32 with NaN rows.
+
+        Host decode/resize runs in a prefetch thread so chunk i+1's CPU work
+        overlaps chunk i's device forward (the reference serializes these;
+        torch DataLoader workers play this role in image/embedding.py:125+).
+        """
+        from viquae_tpu.train.prefetch import PrefetchIterable
+
+        def decoded_chunks():
+            for start in range(0, len(pil_images), self.batch_size):
+                chunk = pil_images[start: start + self.batch_size]
+                present = [
+                    (i, _resize_center_crop(img, self.raw_size))
+                    for i, img in enumerate(chunk) if img is not None
+                ]
+                if present:
+                    idx, arrays = zip(*present)
+                    batch = np.zeros(
+                        (self.batch_size, self.raw_size, self.raw_size, 3),
+                        np.uint8,
+                    )
+                    for j, arr in enumerate(arrays):
+                        batch[j] = arr
+                else:
+                    idx, batch = (), None
+                yield len(chunk), idx, batch
+
         out_chunks = []
-        for start in range(0, len(pil_images), self.batch_size):
-            chunk = pil_images[start: start + self.batch_size]
-            present = [
-                (i, _resize_center_crop(img, self.raw_size))
-                for i, img in enumerate(chunk) if img is not None
-            ]
-            dim_probe = None
-            if present:
-                idx, arrays = zip(*present)
-                batch = np.zeros(
-                    (self.batch_size, self.raw_size, self.raw_size, 3),
-                    np.uint8,
-                )
-                for j, arr in enumerate(arrays):
-                    batch[j] = arr
+        for n_chunk, idx, batch in PrefetchIterable(
+            decoded_chunks(), buffer_size=2
+        ):
+            if batch is not None:
                 emb = np.asarray(
                     self._forward(self.params, jnp.asarray(batch))
-                )[: len(arrays)]
-                dim_probe = emb.shape[1]
-                rows = np.full((len(chunk), dim_probe), np.nan, np.float32)
+                )[: len(idx)]
+                rows = np.full((n_chunk, emb.shape[1]), np.nan, np.float32)
                 for j, i in enumerate(idx):
                     rows[i] = emb[j]
             else:
                 rows = None  # resolved once dim is known
-            out_chunks.append((rows, len(chunk)))
+            out_chunks.append((rows, n_chunk))
         dim = next(
             (c.shape[1] for c, _ in out_chunks if c is not None), 1
         )
