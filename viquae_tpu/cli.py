@@ -224,7 +224,18 @@ def cmd_embed_image(args):
     if model_kind in ("clip-vit", "clip"):
         from viquae_tpu.models import clip as clip_lib
 
-        vcfg = clip_lib.CLIPVisionConfig(**config.pop("model_config", {}))
+        mc = config.pop("model_config", {})
+        # accept HF CLIPVisionConfig field names
+        for hf_name, ours in [("num_hidden_layers", "num_layers"),
+                              ("num_attention_heads", "num_heads")]:
+            if hf_name in mc:
+                val = mc.pop(hf_name)
+                if mc.setdefault(ours, val) != val:
+                    raise ValueError(
+                        f"model_config sets both {hf_name!r}={val} and "
+                        f"{ours!r}={mc[ours]} — remove one"
+                    )
+        vcfg = clip_lib.CLIPVisionConfig(**mc)
         if weights:
             import torch
 
