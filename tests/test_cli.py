@@ -222,3 +222,23 @@ def test_cli_embed_multimodal(tmp_path, devices):
     with pytest.raises(ValueError, match="image_features"):
         cli_main(["embed", str(tmp_path / "ds"), str(tmp_path / "bad.json"),
                   "--output", str(tmp_path / "out2")])
+
+
+def test_cli_embed_image_hf_alias_conflict(tmp_path, devices):
+    """embed-image accepts HF CLIPVisionConfig names; conflicting old+new
+    spellings are rejected."""
+    from datasets import Dataset
+
+    Dataset.from_dict({"image": ["nope.png"]}).save_to_disk(
+        str(tmp_path / "ds")
+    )
+    cfg = {"model": "clip-vit",
+           "model_config": {"hidden_size": 16, "num_hidden_layers": 1,
+                            "num_layers": 3, "num_heads": 2,
+                            "intermediate_size": 32, "image_size": 32,
+                            "patch_size": 16, "projection_dim": 8},
+           "save_as": "emb", "image_size": 32, "batch_size": 1}
+    (tmp_path / "cfg.json").write_text(json.dumps(cfg))
+    with pytest.raises(ValueError, match="num_hidden_layers"):
+        cli_main(["embed-image", str(tmp_path / "ds"),
+                  str(tmp_path / "cfg.json")])
