@@ -201,4 +201,10 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001
+        # the tunneled TPU occasionally throws a transient INTERNAL error on
+        # a fresh process; one retry reliably clears it
+        print(f"bench attempt 1 failed ({e!r}); retrying once", file=sys.stderr)
+        main()
