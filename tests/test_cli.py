@@ -90,25 +90,19 @@ def test_cli_train_fit(workspace, tmp_path, capsys):
         "trainer": {"max_steps": 2, "log_every": 1},
         "export": str(tmp_path / "export"),
     }
-    # DPREncoder default config is bert-base (too big for a test) — use a
-    # tiny config via the registry-free path
     import yaml
 
-    from viquae_tpu.models import bert, dpr
     from viquae_tpu.train.run import run_from_config
 
-    tiny = dpr.DPRConfig(bert=bert.BertConfig(
-        vocab_size=64, hidden_size=16, num_hidden_layers=1,
-        num_attention_heads=2, intermediate_size=32,
-        max_position_embeddings=32, add_pooler=False,
-    ))
-    import viquae_tpu.core.config as cc
-
-    @cc.register("TinyDPR")
-    def tiny_dpr(seed=0):
-        return dpr.DPREncoder(cfg=tiny, seed=seed)
-
-    config["trainee"]["question_model"] = {"class_name": "TinyDPR", "seed": 0}
+    # size the tower from the config tree (the YAML-facing path)
+    config["trainee"]["question_model"] = {
+        "class_name": "DPREncoder", "seed": 0,
+        "bert_config": {
+            "vocab_size": 64, "hidden_size": 16, "num_hidden_layers": 1,
+            "num_attention_heads": 2, "intermediate_size": 32,
+            "max_position_embeddings": 32, "add_pooler": False,
+        },
+    }
     cfg_path = tmp_path / "train.yaml"
     cfg_path.write_text(yaml.safe_dump(config))
     result = run_from_config(cfg_path, subcommand="fit")

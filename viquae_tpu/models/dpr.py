@@ -82,8 +82,15 @@ class DPREncoder:
     configs; `from_pretrained` accepts an HF model dir/name.
     """
 
-    def __init__(self, cfg: Optional[DPRConfig] = None, params=None, seed: int = 0):
-        self.cfg = cfg or DPRConfig()
+    def __init__(self, cfg: Optional[DPRConfig] = None, params=None,
+                 seed: int = 0, bert_config: Optional[dict] = None):
+        if cfg is None:
+            # YAML/JSON configs size the tower via a nested bert dict
+            cfg = (
+                DPRConfig(bert=bert.BertConfig(**bert_config))
+                if bert_config is not None else DPRConfig()
+            )
+        self.cfg = cfg
         self.params = (
             params if params is not None else init(jax.random.key(seed), self.cfg)
         )
