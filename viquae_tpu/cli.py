@@ -32,6 +32,16 @@ def _add_config_arg(p):
     p.add_argument("--config", type=str, help="JSON/YAML kwargs-tree")
 
 
+def _add_config_positional(p):
+    """Positional config that can also be given as --config (both styles
+    appear in the reference's docopt scripts; accepting both avoids the
+    per-subcommand guessing game)."""
+    p.add_argument("config", nargs="?", default=None,
+                   help="JSON/YAML kwargs-tree (also accepted as --config)")
+    p.add_argument("--config", dest="config_opt", default=None,
+                   help=argparse.SUPPRESS)
+
+
 def cmd_passages(args):
     from viquae_tpu.data.loading import make_passage_dataset
 
@@ -324,12 +334,12 @@ def main(argv=None):
     p.set_defaults(fn=cmd_relevant)
 
     p = sub.add_parser("embed", help="embed a text column")
-    p.add_argument("dataset"), p.add_argument("config")
+    p.add_argument("dataset"), _add_config_positional(p)
     p.add_argument("--output")
     p.set_defaults(fn=cmd_embed)
 
     p = sub.add_parser("search", help="multi-index search + eval")
-    p.add_argument("dataset"), p.add_argument("config")
+    p.add_argument("dataset"), _add_config_positional(p)
     p.add_argument("--k", type=int, default=100)
     p.add_argument("--metrics")
     p.set_defaults(fn=cmd_search)
@@ -340,7 +350,7 @@ def main(argv=None):
     p.set_defaults(fn=cmd_fuse)
 
     p = sub.add_parser("hp", help="BM25 hyperparameter grid search")
-    p.add_argument("config")
+    _add_config_positional(p)
     p.set_defaults(fn=cmd_hp)
 
     p = sub.add_parser("faces", help="MTCNN face detection stage")
@@ -352,7 +362,7 @@ def main(argv=None):
     p.set_defaults(fn=cmd_face_embed)
 
     p = sub.add_parser("embed-image", help="global image embedding stage")
-    p.add_argument("dataset"), p.add_argument("config")
+    p.add_argument("dataset"), _add_config_positional(p)
     p.set_defaults(fn=cmd_embed_image)
 
     p = sub.add_parser("resize", help="thumbnail the image corpus")
@@ -366,10 +376,16 @@ def main(argv=None):
 
     p = sub.add_parser("train", help="config-driven training")
     p.add_argument("subcommand", choices=["fit", "test"])
-    p.add_argument("config")
+    _add_config_positional(p)
     p.set_defaults(fn=cmd_train)
 
     args = parser.parse_args(argv)
+    if getattr(args, "config_opt", None) is not None:
+        if args.config is not None:
+            parser.error("config given both positionally and via --config")
+        args.config = args.config_opt
+    if hasattr(args, "config_opt") and args.config is None:
+        parser.error("a config is required (positional or --config)")
     args.fn(args)
 
 
