@@ -145,3 +145,38 @@ def test_hf_export_roundtrip(tmp_path):
         bert.apply(params, cfg, jnp.asarray(ids))["last_hidden_state"]
     )
     np.testing.assert_allclose(ours, ref, atol=3e-5, rtol=1e-3)
+
+
+def test_sequence_sharding_seam(devices):
+    """activation_sharding (the SP seam): per-layer activations constrained
+    to a (batch, seq) sharding produce the same outputs as unsharded."""
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from viquae_tpu.core import mesh as meshlib
+    from viquae_tpu.models import bert
+
+    cfg = bert.BertConfig(
+        vocab_size=60, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=16, add_pooler=False,
+    )
+    params = bert.init(jax.random.key(0), cfg)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, 60, (4, 16)), jnp.int32)
+    mask = jnp.ones((4, 16), jnp.int32)
+
+    ref = bert.apply(params, cfg, ids, mask)["last_hidden_state"]
+    ctx = meshlib.make_mesh(data=2, model=4, kb=1)
+    with meshlib.use(ctx):
+        sharding = NamedSharding(ctx.mesh, P("data", "model", None))
+
+        @jax.jit
+        def fwd(params, ids, mask):
+            return bert.apply(
+                params, cfg, ids, mask, activation_sharding=sharding
+            )["last_hidden_state"]
+
+        out = fwd(params, ids, mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)

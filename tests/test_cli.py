@@ -236,3 +236,15 @@ def test_cli_embed_image_hf_alias_conflict(tmp_path, devices):
     with pytest.raises(ValueError, match="num_hidden_layers"):
         cli_main(["embed-image", str(tmp_path / "ds"),
                   str(tmp_path / "cfg.json")])
+
+
+def test_cli_config_both_styles(workspace, tmp_path, capsys):
+    """Configs are accepted positionally or via --config; both/neither fail."""
+    (tmp_path / "cfg.json").write_text("{}")
+    with pytest.raises(SystemExit):
+        cli_main(["hp"])  # neither
+    assert "config is required" in capsys.readouterr().err
+    with pytest.raises(SystemExit):
+        cli_main(["hp", str(tmp_path / "cfg.json"),
+                  "--config", str(tmp_path / "cfg.json")])  # both
+    assert "both positionally" in capsys.readouterr().err

@@ -151,12 +151,18 @@ def encode(
     rng=None,
     compute_dtype=jnp.float32,
     output_hidden_states: bool = False,
+    activation_sharding=None,
 ) -> jnp.ndarray:
     """Encoder stack over pre-built (B, L, D) hidden states.
 
     With output_hidden_states, returns (final, [embedding_out, layer1_out,
     ...]) — the per-layer seam the reference's ir/embedding `layers` CLS
-    extraction uses (ir/embedding.py:228-244)."""
+    extraction uses (ir/embedding.py:228-244).
+
+    `activation_sharding` (a PartitionSpec/NamedSharding over (B, L, D)) is
+    the sequence-parallel seam (SURVEY §5.7): constraining the L axis makes
+    XLA keep per-layer activations sequence-sharded and insert the gathers
+    attention needs — no model-code changes when scaling context."""
     b, l = hidden.shape[:2]
     if attention_mask is None:
         attention_mask = jnp.ones((b, l), jnp.int32)
@@ -182,6 +188,8 @@ def encode(
         ff = L.mlp(layer["mlp"], x, cfg.hidden_act, compute_dtype)
         ff = L.dropout(ff, cfg.hidden_dropout_prob, deterministic, rngs[2 * i + 1])
         x = L.layer_norm(layer["output_ln"], x + ff, cfg.layer_norm_eps)
+        if activation_sharding is not None:
+            x = jax.lax.with_sharding_constraint(x, activation_sharding)
         if output_hidden_states:
             all_hidden.append(x)
     if output_hidden_states:
@@ -201,11 +209,13 @@ def apply(
     rng=None,
     compute_dtype=jnp.float32,
     output_hidden_states: bool = False,
+    activation_sharding=None,
 ) -> Dict[str, jnp.ndarray]:
     """Full forward: embed -> encode -> optional tanh pooler.
 
     Returns {"last_hidden_state": (B, L, D), "pooler_output": (B, D)?}.
     `inputs_embeds` (B, L, D) bypasses word-embedding lookup.
+    `activation_sharding`: see `encode` (sequence-parallel seam).
     """
     rng_emb, rng_enc = (
         jax.random.split(rng) if rng is not None else (None, None)
@@ -223,6 +233,7 @@ def apply(
         deterministic=deterministic, rng=rng_enc,
         compute_dtype=compute_dtype,
         output_hidden_states=output_hidden_states,
+        activation_sharding=activation_sharding,
     )
     hidden_states = None
     if output_hidden_states:
