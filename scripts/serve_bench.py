@@ -1,0 +1,115 @@
+"""Serving-path benchmark: RetrievalPipeline (host tokenize -> device embed
+-> MIPS) over a query stream, with prefetch overlap vs naive serial stages.
+
+Not run by the driver (bench.py is the contract); this measures the
+deployment loop in ir/serving.py. Usage:
+
+    python scripts/serve_bench.py [--queries 5120] [--kb 1500000]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def sync(x):
+    import jax
+
+    return np.asarray(jax.tree_util.tree_leaves(x)[0].ravel()[:1])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--queries", type=int, default=5120)
+    ap.add_argument("--kb", type=int, default=1_500_000)
+    ap.add_argument("--batch", type=int, default=256)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
+    )
+
+    from transformers import BertTokenizerFast
+
+    from viquae_tpu.models import bert, dpr
+    from viquae_tpu.ir.serving import RetrievalPipeline
+    from viquae_tpu.ops import mips
+
+    # local offline tokenizer (no hub access in this environment)
+    with tempfile.TemporaryDirectory() as td:
+        vocab = (["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
+                 + [f"w{i}" for i in range(5000)])
+        vpath = os.path.join(td, "vocab.txt")
+        with open(vpath, "w") as f:
+            f.write("\n".join(vocab))
+        tokenizer = BertTokenizerFast(vocab_file=vpath, do_lower_case=True)
+
+    cfg = dpr.DPRConfig(bert=bert.BertConfig(add_pooler=False))
+    params = dpr.init(jax.random.key(0), cfg)
+    kb = (jax.random.normal(jax.random.key(1), (args.kb, 768), jnp.bfloat16)
+          / np.sqrt(768))
+    index = mips.DenseIndex(np.zeros((1, 768), np.float32), mode="global")
+    index.matrix, index.n = kb, args.kb  # device-resident bf16 KB
+    index.dtype = jnp.bfloat16
+
+    seq = 64
+
+    @jax.jit
+    def forward(params, ids, mask):
+        return dpr.apply(params, cfg, ids, mask, deterministic=True,
+                         compute_dtype=jnp.bfloat16)["pooler_output"]
+
+    def embed_fn(texts):
+        enc = tokenizer(texts, padding="max_length", truncation=True,
+                        max_length=seq, return_tensors="np")
+        # dispatch WITHOUT syncing: device embeds batch i while the
+        # prefetch thread tokenizes batch i+1
+        return forward(params,
+                       jnp.asarray(enc["input_ids"].astype(np.int32)),
+                       jnp.asarray(enc["attention_mask"].astype(np.int32)))
+
+    rng = np.random.default_rng(0)
+    queries = [" ".join(f"w{j}" for j in rng.integers(0, 5000, 12))
+               for _ in range(args.queries)]
+    ids = [str(i) for i in range(args.queries)]
+
+    pipe = RetrievalPipeline(embed_fn, index, batch_size=args.batch, k=100)
+    pipe.run(ids[: args.batch], queries[: args.batch])  # warmup/compile
+
+    t0 = time.time()
+    run = pipe.run(ids, queries)
+    dt = time.time() - t0
+    qps = args.queries / dt
+    assert len(run) == args.queries
+
+    # naive serial comparison: tokenize+embed+search one batch at a time,
+    # syncing each stage (no overlap)
+    t0 = time.time()
+    for start in range(0, args.queries, args.batch):
+        chunk = queries[start: start + args.batch]
+        pad = args.batch - len(chunk)
+        emb = np.asarray(embed_fn(list(chunk) + [""] * pad))  # sync
+        index.search_batch(emb, k=100)
+    serial_dt = time.time() - t0
+
+    print({
+        "serving_qps": round(qps, 1),
+        "serial_qps": round(args.queries / serial_dt, 1),
+        "overlap_speedup": round(serial_dt / dt, 3),
+        "stage_report": pipe.report(),
+    })
+
+
+if __name__ == "__main__":
+    main()

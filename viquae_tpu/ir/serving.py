@@ -61,8 +61,10 @@ class RetrievalPipeline:
             tokenized_stream(), buffer_size=2
         ):
             with self.timer.stage("search"):
+                # pass the device array straight through — pulling it to host
+                # first costs a device->host->device roundtrip per batch
                 scores, indices = self.index.search_batch(
-                    np.asarray(embeddings), k=self.k
+                    embeddings, k=self.k
                 )
             for row in range(n_real):
                 q_id = query_ids[start + row]

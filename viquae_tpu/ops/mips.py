@@ -361,10 +361,16 @@ class DenseIndex:
             device_mat = jax.device_put(device_mat, self.mesh_ctx.kb_sharded)
         self.matrix = device_mat
 
-    def search_batch(self, queries: np.ndarray, k: int = 100
+    def search_batch(self, queries, k: int = 100
                      ) -> Tuple[np.ndarray, np.ndarray]:
-        """(scores, indices) of the top-k KB rows per query."""
-        q = jnp.asarray(np.asarray(queries), dtype=jnp.float32)
+        """(scores, indices) of the top-k KB rows per query.
+
+        Accepts a device array (kept on device — the serving path) or any
+        array-like (uploaded once)."""
+        if isinstance(queries, jax.Array):
+            q = queries.astype(jnp.float32)
+        else:
+            q = jnp.asarray(np.asarray(queries), dtype=jnp.float32)
         if self.do_l2norm:
             q = l2_normalize(q)
         k = min(k, self.n)
