@@ -183,3 +183,14 @@ def test_dense_index_approx_mode(data, devices):
         len(set(idx[i]) & set(ref_idx[i])) / 10 for i in range(len(idx))
     ])
     assert recall > 0.8, recall
+
+
+def test_search_batch_device_array_input(data, devices):
+    """Regression: search_batch accepts a jax.Array (the serving path keeps
+    embeddings on device) and matches the host-array path exactly."""
+    queries, kb = data
+    index = mips.DenseIndex(kb)
+    s_host, i_host = index.search_batch(queries, k=10)
+    s_dev, i_dev = index.search_batch(jnp.asarray(queries), k=10)
+    np.testing.assert_array_equal(i_host, i_dev)
+    np.testing.assert_allclose(s_host, s_dev, rtol=1e-6)
