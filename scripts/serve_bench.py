@@ -29,7 +29,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--queries", type=int, default=5120)
     ap.add_argument("--kb", type=int, default=1_500_000)
-    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--batch", type=int, default=1280)
     args = ap.parse_args()
 
     import jax
@@ -43,6 +43,7 @@ def main():
     from transformers import BertTokenizerFast
 
     from viquae_tpu.models import bert, dpr
+    from viquae_tpu.ir.embedding import PackedTextEmbedder
     from viquae_tpu.ir.serving import RetrievalPipeline
     from viquae_tpu.ops import mips
 
@@ -63,25 +64,19 @@ def main():
     index.matrix, index.n = kb, args.kb  # device-resident bf16 KB
     index.dtype = jnp.bfloat16
 
-    seq = 64
+    # packed query embedder — the same path bench.py measures
+    embed_fn = PackedTextEmbedder(
+        dpr.make_packed_apply(cfg), params, tokenizer,
+        row_len=64, batch_size=args.batch, compute_dtype=jnp.bfloat16,
+    )
 
-    @jax.jit
-    def forward(params, ids, mask):
-        return dpr.apply(params, cfg, ids, mask, deterministic=True,
-                         compute_dtype=jnp.bfloat16)["pooler_output"]
-
-    def embed_fn(texts):
-        enc = tokenizer(texts, padding="max_length", truncation=True,
-                        max_length=seq, return_tensors="np")
-        # dispatch WITHOUT syncing: device embeds batch i while the
-        # prefetch thread tokenizes batch i+1
-        return forward(params,
-                       jnp.asarray(enc["input_ids"].astype(np.int32)),
-                       jnp.asarray(enc["attention_mask"].astype(np.int32)))
-
+    # bench-matching question lengths: lognormal(ln18, 0.35) words
     rng = np.random.default_rng(0)
-    queries = [" ".join(f"w{j}" for j in rng.integers(0, 5000, 12))
-               for _ in range(args.queries)]
+    n_words = np.clip(
+        np.round(rng.lognormal(np.log(16.0), 0.35, args.queries)), 6, 60
+    ).astype(int)
+    queries = [" ".join(f"w{j}" for j in rng.integers(0, 5000, w))
+               for w in n_words]
     ids = [str(i) for i in range(args.queries)]
 
     pipe = RetrievalPipeline(embed_fn, index, batch_size=args.batch, k=100)
@@ -93,18 +88,22 @@ def main():
     qps = args.queries / dt
     assert len(run) == args.queries
 
+    t0 = time.time()
+    scores, idx = pipe.run_arrays(queries)
+    arrays_qps = args.queries / (time.time() - t0)
+
     # naive serial comparison: tokenize+embed+search one batch at a time,
     # syncing each stage (no overlap)
     t0 = time.time()
     for start in range(0, args.queries, args.batch):
         chunk = queries[start: start + args.batch]
-        pad = args.batch - len(chunk)
-        emb = np.asarray(embed_fn(list(chunk) + [""] * pad))  # sync
-        index.search_batch(emb, k=100)
+        emb = embed_fn(list(chunk))
+        s, i = index.search_batch(emb, k=100)  # sync=True: host roundtrip
     serial_dt = time.time() - t0
 
     print({
-        "serving_qps": round(qps, 1),
+        "serving_qps_run": round(qps, 1),
+        "serving_qps_arrays": round(arrays_qps, 1),
         "serial_qps": round(args.queries / serial_dt, 1),
         "overlap_speedup": round(serial_dt / dt, 3),
         "stage_report": pipe.report(),

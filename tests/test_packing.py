@@ -1,0 +1,124 @@
+"""Sequence packing: packer invariants + packed-vs-unpacked forward parity.
+
+The packed query path (ops/packing.py + models/dpr.apply_packed) must give
+the SAME embedding for every question as the plain padded forward — the
+block-diagonal segment attention and per-segment position ids make packing
+invisible to the model.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from viquae_tpu.models import bert, dpr
+from viquae_tpu.ops import packing
+
+
+def make_seqs(rng, n, lo=4, hi=30):
+    return [
+        rng.integers(100, 900, size=rng.integers(lo, hi)).astype(np.int32)
+        for _ in range(n)
+    ]
+
+
+class TestPacker:
+    def test_shapes_and_roundtrip(self):
+        rng = np.random.default_rng(0)
+        seqs = make_seqs(rng, 17)
+        p = packing.pack_token_sequences(seqs, row_len=32)
+        assert p.input_ids.shape == p.segment_ids.shape == p.position_ids.shape
+        assert p.input_ids.shape[1] == 32
+        assert p.input_ids.shape[0] % 8 == 0
+        assert p.n_seqs == 17
+        # every sequence is recoverable at its cls position, in order
+        for i, s in enumerate(seqs):
+            r, c = p.cls_rows[i], p.cls_cols[i]
+            np.testing.assert_array_equal(p.input_ids[r, c: c + len(s)], s)
+            seg = p.segment_ids[r, c]
+            assert seg > 0
+            # contiguous segment of the right length
+            assert (p.segment_ids[r] == seg).sum() == len(s)
+            np.testing.assert_array_equal(
+                p.position_ids[r, c: c + len(s)], np.arange(len(s))
+            )
+
+    def test_padding_zero_segment(self):
+        rng = np.random.default_rng(1)
+        p = packing.pack_token_sequences(make_seqs(rng, 9), row_len=24)
+        total = sum(min(len(s), 24) for s in make_seqs(np.random.default_rng(1), 9))
+        assert (p.segment_ids > 0).sum() == total
+        assert packing.packing_efficiency(p) == pytest.approx(
+            total / p.input_ids.size
+        )
+
+    def test_truncation(self):
+        seqs = [np.arange(100, dtype=np.int32)]
+        p = packing.pack_token_sequences(seqs, row_len=16)
+        assert (p.segment_ids[0] > 0).sum() == 16
+
+    def test_fixed_shapes(self):
+        rng = np.random.default_rng(2)
+        p = packing.pack_token_sequences(
+            make_seqs(rng, 5), row_len=32, n_rows=16, n_cls=8
+        )
+        assert p.input_ids.shape == (16, 32)
+        assert p.cls_rows.shape == (8,)
+        with pytest.raises(ValueError):
+            packing.pack_token_sequences(
+                make_seqs(rng, 50), row_len=32, n_rows=2
+            )
+        with pytest.raises(ValueError):
+            packing.pack_token_sequences(make_seqs(rng, 5), row_len=32, n_cls=3)
+
+    def test_deterministic(self):
+        rng = np.random.default_rng(3)
+        seqs = make_seqs(rng, 20)
+        a = packing.pack_token_sequences(seqs, row_len=48)
+        b = packing.pack_token_sequences(seqs, row_len=48)
+        np.testing.assert_array_equal(a.input_ids, b.input_ids)
+        np.testing.assert_array_equal(a.cls_rows, b.cls_rows)
+
+    def test_efficiency_beats_padding(self):
+        rng = np.random.default_rng(4)
+        seqs = make_seqs(rng, 64, lo=8, hi=28)
+        p = packing.pack_token_sequences(seqs, row_len=64, pad_rows_to=1)
+        # padded-to-64 density for these lengths is < 0.45
+        assert packing.packing_efficiency(p) > 0.80
+
+
+class TestPackedForwardParity:
+    def test_packed_equals_padded_cls(self):
+        cfg = dpr.DPRConfig(
+            bert=bert.BertConfig(
+                vocab_size=1000, hidden_size=32, num_hidden_layers=2,
+                num_attention_heads=4, intermediate_size=64,
+                add_pooler=False,
+            )
+        )
+        params = dpr.init(jax.random.key(0), cfg)
+        rng = np.random.default_rng(5)
+        seqs = make_seqs(rng, 13, lo=3, hi=20)
+        row_len = 24
+
+        # reference: each sequence alone, padded, plain attention mask
+        ids = np.zeros((len(seqs), row_len), np.int32)
+        mask = np.zeros((len(seqs), row_len), np.int32)
+        for i, s in enumerate(seqs):
+            ids[i, : len(s)] = s
+            mask[i, : len(s)] = 1
+        ref = dpr.apply(
+            params, cfg, jnp.asarray(ids), jnp.asarray(mask),
+            deterministic=True,
+        )["pooler_output"]
+
+        p = packing.pack_token_sequences(seqs, row_len=row_len, n_cls=16)
+        got = dpr.apply_packed(
+            params, cfg,
+            jnp.asarray(p.input_ids), jnp.asarray(p.segment_ids),
+            jnp.asarray(p.position_ids),
+            jnp.asarray(p.cls_rows), jnp.asarray(p.cls_cols),
+            deterministic=True,
+        )[: p.n_seqs]
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5
+        )

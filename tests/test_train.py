@@ -246,3 +246,82 @@ def test_prefetch_loader():
 
     with pytest.raises(RuntimeError, match="boom"):
         list(PrefetchIterable(bad()))
+
+
+def test_grad_accum_matches_full_batch(devices, tmp_path):
+    """grad_accum=4 on batch B must equal grad_accum=1 on the SAME batch B
+    (mean-reduced per-example loss), to float32 tolerance — VERDICT item 4's
+    gradient-equality contract (Lightning accumulate_grad_batches parity)."""
+    import optax
+
+    cfg = dpr.DPRConfig(bert=bert.BertConfig(**TINY))
+    params = dpr.init(jax.random.key(0), cfg)
+    rng = np.random.default_rng(0)
+    batch = {
+        "ids": rng.integers(5, 50, (16, 8)).astype(np.int32),
+        "target": rng.normal(size=(16, 16)).astype(np.float32),
+    }
+
+    def loss_fn(params, batch, rng):
+        out = dpr.apply(params, cfg, batch["ids"],
+                        deterministic=True)["pooler_output"]
+        return jnp.mean((out - batch["target"]) ** 2), {}
+
+    ctx = meshlib.make_mesh(data=8)
+    results = {}
+    with meshlib.use(ctx):
+        for accum in (1, 4):
+            tx = optax.sgd(1.0)
+            t = Trainer(loss_fn, params, tx,
+                        TrainerConfig(max_steps=1, grad_accum=accum,
+                                      log_every=0),
+                        mesh_ctx=ctx)
+            t.fit([batch])
+            results[accum] = jax.tree_util.tree_leaves(t.state["params"])
+    for a, b in zip(results[1], results[4]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-6, atol=2e-6)
+
+
+def test_step_indexed_resume_is_o1(biencoder_setup, devices, tmp_path):
+    """A step-indexed batch source resumes WITHOUT re-collating skipped
+    batches and reproduces the uninterrupted loss trajectory exactly."""
+    from viquae_tpu.train.data import step_indexed_batches
+
+    cfg, params, loss_fn, make_batch = biencoder_setup
+    ctx = meshlib.make_mesh(data=8)
+    tx = optim.make_optimizer(params, lr=1e-3, total_steps=20)
+
+    dataset = list(range(6))  # 6 "examples"; each batch built from one slice
+    calls = []
+
+    def collate(items):
+        calls.append(tuple(items))
+        return make_batch(sum(items))
+
+    def make_source():
+        return step_indexed_batches(dataset, collate, batch_size=3, seed=7)
+
+    with meshlib.use(ctx):
+        t1 = Trainer(loss_fn, params, tx,
+                     TrainerConfig(max_steps=20, log_every=1), mesh_ctx=ctx)
+        out1 = t1.fit(make_source())
+
+        calls.clear()
+        t2 = Trainer(loss_fn, params, tx,
+                     TrainerConfig(max_steps=10, ckpt_dir=str(tmp_path / "s"),
+                                   ckpt_every=10, log_every=1), mesh_ctx=ctx)
+        t2.fit(make_source())
+        n_first = len(calls)
+        assert n_first == 10
+        calls.clear()
+        t3 = Trainer(loss_fn, params, tx,
+                     TrainerConfig(max_steps=20, ckpt_dir=str(tmp_path / "s"),
+                                   ckpt_every=10, log_every=1), mesh_ctx=ctx)
+        out3 = t3.fit(make_source(), resume=True)
+        # O(1) resume: only the 10 remaining batches were collated
+        assert len(calls) == 10, len(calls)
+
+    l1 = [h["loss"] for h in out1["history"] if "loss" in h][-10:]
+    l3 = [h["loss"] for h in out3["history"] if "loss" in h]
+    np.testing.assert_allclose(l1, l3, rtol=1e-4)

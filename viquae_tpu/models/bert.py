@@ -152,8 +152,13 @@ def encode(
     compute_dtype=jnp.float32,
     output_hidden_states: bool = False,
     activation_sharding=None,
+    segment_ids: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Encoder stack over pre-built (B, L, D) hidden states.
+
+    `segment_ids` (B, L), 0 = padding: packed-batch mode — attention is
+    block-diagonal per segment (ops/packing.py), overriding
+    `attention_mask`.
 
     With output_hidden_states, returns (final, [embedding_out, layer1_out,
     ...]) — the per-layer seam the reference's ir/embedding `layers` CLS
@@ -164,9 +169,12 @@ def encode(
     XLA keep per-layer activations sequence-sharded and insert the gathers
     attention needs — no model-code changes when scaling context."""
     b, l = hidden.shape[:2]
-    if attention_mask is None:
-        attention_mask = jnp.ones((b, l), jnp.int32)
-    bias = L.attention_bias_from_mask(attention_mask)
+    if segment_ids is not None:
+        bias = L.attention_bias_from_segments(segment_ids)
+    else:
+        if attention_mask is None:
+            attention_mask = jnp.ones((b, l), jnp.int32)
+        bias = L.attention_bias_from_mask(attention_mask)
     rngs = (
         jax.random.split(rng, 2 * cfg.num_hidden_layers)
         if rng is not None
@@ -210,12 +218,16 @@ def apply(
     compute_dtype=jnp.float32,
     output_hidden_states: bool = False,
     activation_sharding=None,
+    segment_ids: Optional[jnp.ndarray] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Full forward: embed -> encode -> optional tanh pooler.
 
     Returns {"last_hidden_state": (B, L, D), "pooler_output": (B, D)?}.
     `inputs_embeds` (B, L, D) bypasses word-embedding lookup.
     `activation_sharding`: see `encode` (sequence-parallel seam).
+    `segment_ids`: packed-batch block-diagonal attention (see `encode`);
+    pass packer-built `position_ids` alongside so positions restart per
+    segment.
     """
     rng_emb, rng_enc = (
         jax.random.split(rng) if rng is not None else (None, None)
@@ -234,6 +246,7 @@ def apply(
         compute_dtype=compute_dtype,
         output_hidden_states=output_hidden_states,
         activation_sharding=activation_sharding,
+        segment_ids=segment_ids,
     )
     hidden_states = None
     if output_hidden_states:

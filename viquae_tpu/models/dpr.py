@@ -57,6 +57,53 @@ def apply(
     return out
 
 
+def apply_packed(
+    params,
+    cfg: DPRConfig,
+    input_ids: jnp.ndarray,
+    segment_ids: jnp.ndarray,
+    position_ids: jnp.ndarray,
+    cls_rows: jnp.ndarray,
+    cls_cols: jnp.ndarray,
+    deterministic: bool = True,
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Packed-canvas forward: many questions per row (ops/packing.py).
+
+    Attention is block-diagonal per segment and each question's embedding is
+    its own first token's ([CLS]) hidden state, gathered at
+    (cls_rows, cls_cols). Returns (n_cls, D); entries past the packer's
+    `n_seqs` are garbage from the (0, 0) pad pointer — slice them off.
+
+    This replaces the reference's pad-everything-to-max_length question
+    embedding (meerqat experiments/ir/viquae/dpr/questions/config.json pads
+    questions to 256 tokens) with a ~95%-dense fixed-shape canvas — the
+    TPU-native answer to variable-length batches (one compile, no buckets).
+    """
+    out = bert.apply(
+        params, cfg.bert, input_ids,
+        position_ids=position_ids,
+        segment_ids=segment_ids,
+        deterministic=deterministic,
+        compute_dtype=compute_dtype,
+    )
+    hidden = out["last_hidden_state"]
+    return hidden[cls_rows, cls_cols]
+
+
+def make_packed_apply(cfg: DPRConfig):
+    """Bind cfg into an ir.embedding.PackedTextEmbedder-shaped apply:
+    fn(params, input_ids, segment_ids, position_ids, cls_rows, cls_cols,
+    **kw) -> (n_cls, D)."""
+    def fn(params, input_ids, segment_ids, position_ids, cls_rows, cls_cols,
+           **kw):
+        return apply_packed(
+            params, cfg, input_ids, segment_ids, position_ids,
+            cls_rows, cls_cols, **kw,
+        )
+    return fn
+
+
 def params_from_hf_dpr(state_dict, cfg: DPRConfig) -> Dict[str, Any]:
     """Port HF DPRQuestionEncoder/DPRContextEncoder weights.
 

@@ -170,5 +170,19 @@ def attention_bias_from_mask(mask: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarra
     ]
 
 
+def attention_bias_from_segments(
+    segment_ids: jnp.ndarray, dtype=jnp.float32
+) -> jnp.ndarray:
+    """(B, L) segment ids (0 = padding) -> (B, 1, L, L) block-diagonal bias.
+
+    Token q may attend to token k iff they carry the same non-zero segment
+    id — the packed-batch attention rule (ops/packing.py): independent
+    sequences share a row without seeing each other."""
+    same = segment_ids[:, :, None] == segment_ids[:, None, :]
+    valid = (segment_ids > 0)[:, None, :]
+    allowed = jnp.logical_and(same, valid)
+    return ((~allowed).astype(dtype) * jnp.finfo(dtype).min * 0.5)[:, None]
+
+
 def count_params(params) -> int:
     return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))

@@ -361,12 +361,16 @@ class DenseIndex:
             device_mat = jax.device_put(device_mat, self.mesh_ctx.kb_sharded)
         self.matrix = device_mat
 
-    def search_batch(self, queries, k: int = 100
+    def search_batch(self, queries, k: int = 100, sync: bool = True
                      ) -> Tuple[np.ndarray, np.ndarray]:
         """(scores, indices) of the top-k KB rows per query.
 
         Accepts a device array (kept on device — the serving path) or any
-        array-like (uploaded once)."""
+        array-like (uploaded once). With sync=False the results stay device
+        arrays and the call returns as soon as XLA dispatches — the serving
+        loop uses this to overlap host result-formatting of batch i with
+        device compute of batch i+1 (a per-batch np.asarray sync was the
+        dominant serving tax over the tunneled link)."""
         if isinstance(queries, jax.Array):
             q = queries.astype(jnp.float32)
         else:
@@ -399,6 +403,8 @@ class DenseIndex:
                 valid_rows=jnp.int32(self.n), compute_dtype=self.dtype,
                 mode=self.mode,
             )
+        if not sync:
+            return scores, idx
         return np.asarray(scores), np.asarray(idx)
 
     # ---- persistence (parity with faiss index save/load,

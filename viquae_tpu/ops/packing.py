@@ -1,0 +1,128 @@
+"""Sequence packing for the query-embedding hot path.
+
+The reference pads every question to ``max_length`` tokens
+(meerqat experiments/ir/viquae/dpr/questions/config.json uses
+``max_length: 256, padding: "max_length"``), so a 15-token question burns
+256 tokens of encoder FLOPs. On TPU the fix is NOT per-length bucketing
+(each bucket is a separate XLA compile) but *packing*: concatenate many
+short questions into each row of ONE fixed (rows, row_len) canvas, make
+attention block-diagonal via segment ids, restart position ids per segment,
+and gather each question's CLS hidden state afterwards. One compiled shape,
+~5% padding waste instead of ~70%.
+
+Pure-host packer (numpy); the device side lives in
+:func:`viquae_tpu.models.dpr.apply_packed` and the ``segment_ids`` seam of
+:func:`viquae_tpu.models.bert.encode`.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class PackedBatch:
+    """Fixed-shape packed canvas + bookkeeping to unpack results.
+
+    input_ids / segment_ids / position_ids: (rows, row_len) int32.
+    segment_ids are 1-based per row; 0 marks padding.
+    cls_rows / cls_cols: (n_cls,) int32 — position of sequence i's first
+    token (its [CLS]) in the canvas, in the ORIGINAL input order. Entries
+    beyond ``n_seqs`` point at (0, 0) and must be sliced off / ignored.
+    """
+
+    input_ids: np.ndarray
+    segment_ids: np.ndarray
+    position_ids: np.ndarray
+    cls_rows: np.ndarray
+    cls_cols: np.ndarray
+    n_seqs: int
+
+    @property
+    def rows(self) -> int:
+        return self.input_ids.shape[0]
+
+    @property
+    def row_len(self) -> int:
+        return self.input_ids.shape[1]
+
+
+def pack_token_sequences(
+    seqs: Sequence[np.ndarray],
+    row_len: int,
+    n_rows: Optional[int] = None,
+    n_cls: Optional[int] = None,
+    pad_rows_to: int = 8,
+    pad_token_id: int = 0,
+) -> PackedBatch:
+    """Pack variable-length token sequences into a (rows, row_len) canvas.
+
+    Greedy first-fit-decreasing bin packing (deterministic). Sequences
+    longer than ``row_len`` are truncated. ``n_rows``/``n_cls`` fix the
+    output shapes for XLA compile reuse; rows grow in multiples of
+    ``pad_rows_to`` when unset. Raises if a fixed ``n_rows`` can't hold
+    everything.
+    """
+    lengths = np.array([min(len(s), row_len) for s in seqs], dtype=np.int64)
+    n = len(seqs)
+    order = np.argsort(-lengths, kind="stable")  # longest first
+
+    # first-fit-decreasing over per-row remaining capacity
+    row_free: List[int] = []
+    placement = np.empty((n, 2), dtype=np.int64)  # (row, col) per seq
+    for i in order:
+        li = int(lengths[i])
+        for r, free in enumerate(row_free):
+            if free >= li:
+                placement[i] = (r, row_len - free)
+                row_free[r] = free - li
+                break
+        else:
+            placement[i] = (len(row_free), 0)
+            row_free.append(row_len - li)
+
+    rows_used = max(len(row_free), 1)
+    if n_rows is None:
+        n_rows = -(-rows_used // pad_rows_to) * pad_rows_to
+    elif rows_used > n_rows:
+        raise ValueError(
+            f"packing needs {rows_used} rows of {row_len}, but n_rows={n_rows}"
+        )
+    if n_cls is None:
+        n_cls = n
+    elif n > n_cls:
+        raise ValueError(f"{n} sequences but n_cls={n_cls}")
+
+    input_ids = np.full((n_rows, row_len), pad_token_id, dtype=np.int32)
+    segment_ids = np.zeros((n_rows, row_len), dtype=np.int32)
+    position_ids = np.zeros((n_rows, row_len), dtype=np.int32)
+    seg_counter = np.zeros(n_rows, dtype=np.int32)
+    cls_rows = np.zeros(n_cls, dtype=np.int32)
+    cls_cols = np.zeros(n_cls, dtype=np.int32)
+
+    # fill in original order so ties keep input order within each row
+    for i in range(n):
+        r, c = int(placement[i, 0]), int(placement[i, 1])
+        li = int(lengths[i])
+        seg_counter[r] += 1
+        input_ids[r, c: c + li] = np.asarray(seqs[i][:li], dtype=np.int32)
+        segment_ids[r, c: c + li] = seg_counter[r]
+        position_ids[r, c: c + li] = np.arange(li, dtype=np.int32)
+        cls_rows[i] = r
+        cls_cols[i] = c
+
+    return PackedBatch(
+        input_ids=input_ids,
+        segment_ids=segment_ids,
+        position_ids=position_ids,
+        cls_rows=cls_rows,
+        cls_cols=cls_cols,
+        n_seqs=n,
+    )
+
+
+def packing_efficiency(packed: PackedBatch) -> float:
+    """Fraction of canvas tokens that are real (non-padding)."""
+    return float((packed.segment_ids > 0).mean())

@@ -127,6 +127,40 @@ def tokenize(tokenizer, texts, pairs=None, max_length: int = 256
     return out
 
 
+def step_indexed_batches(dataset, collate_fn, batch_size: int, seed: int = 42,
+                         rng_owner=None):
+    """Deterministic ``step -> batch`` source for O(1) trainer resume.
+
+    The Lightning stack (and our legacy iterable path) fast-forwards the
+    data stream on resume, re-collating every skipped batch. This instead
+    derives batch ``step`` purely from ``(seed, step)``: a per-epoch
+    permutation picks the example indices and, when ``rng_owner`` is given
+    (a collator with a ``.rng`` attribute, e.g. QADataModule's passage
+    sampler), its RNG is reseeded per step — so a resumed run reproduces the
+    exact batch sequence without touching steps [0, start).
+    """
+    n = len(dataset)
+    batches_per_epoch = max(n // batch_size, 1)
+    perm_cache: Dict[int, np.ndarray] = {}
+
+    def source(step: int):
+        epoch, slot = divmod(step, batches_per_epoch)
+        if epoch not in perm_cache:
+            perm_cache.clear()  # keep one epoch resident
+            perm_cache[epoch] = np.random.default_rng(
+                [seed, epoch]
+            ).permutation(n)
+        idx = perm_cache[epoch][slot * batch_size: (slot + 1) * batch_size]
+        if len(idx) < batch_size:  # short tail epoch: wrap
+            idx = np.concatenate([idx, perm_cache[epoch][: batch_size - len(idx)]])
+        items = [dataset[int(i)] for i in idx]
+        if rng_owner is not None:
+            rng_owner.rng = np.random.default_rng([seed, 1 + step])
+        return collate_fn(items)
+
+    return source
+
+
 # --------------------------------------------------------------------------
 # base datamodule
 # --------------------------------------------------------------------------

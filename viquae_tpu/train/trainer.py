@@ -95,15 +95,46 @@ class Trainer:
             batch_spec or {}
         )  # key -> PartitionSpec; default data-sharded leading dim
 
+        accum = max(int(config.grad_accum), 1)
+
         @jax.jit
         def train_step(state, batch, rng):
-            def compute_loss(params):
-                loss, aux = self.loss_fn(params, batch, rng)
-                return loss, aux
+            grad_fn = jax.value_and_grad(
+                lambda p, b, r: self.loss_fn(p, b, r), has_aux=True
+            )
+            if accum == 1:
+                (loss, aux), grads = grad_fn(state["params"], batch, rng)
+            else:
+                # microbatch accumulation (Lightning accumulate_grad_batches
+                # parity): split the global batch into `accum` slices, scan a
+                # grad computation over them, average. Exactly equals the
+                # full-batch gradient for mean-reduced per-example losses;
+                # for batch-coupled losses (in-batch negatives) it has the
+                # standard smaller-negative-pool semantics, same as DDP+accum
+                # in the reference recipe (EXPERIMENTS.rst:274-279).
+                micro = jax.tree_util.tree_map(
+                    lambda x: x.reshape((accum, x.shape[0] // accum)
+                                        + x.shape[1:]),
+                    batch,
+                )
+                rngs = jax.random.split(rng, accum)
+                params = state["params"]
+                zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
 
-            (loss, aux), grads = jax.value_and_grad(
-                compute_loss, has_aux=True
-            )(state["params"])
+                def body(carry, xs):
+                    g_acc, l_acc = carry
+                    mb, r = xs
+                    (l, aux_i), g = grad_fn(params, mb, r)
+                    g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
+                    return (g_acc, l_acc + l), aux_i
+
+                (grads, loss), aux = jax.lax.scan(
+                    body, (zeros, jnp.zeros(())), (micro, rngs)
+                )
+                grads = jax.tree_util.tree_map(lambda g: g / accum, grads)
+                loss = loss / accum
+                # aux from the last microbatch (scan stacks; take index -1)
+                aux = jax.tree_util.tree_map(lambda a: a[-1], aux)
             updates, opt_state = self.tx.update(
                 grads, state["opt_state"], state["params"]
             )
@@ -159,10 +190,16 @@ class Trainer:
 
     def fit(
         self,
-        train_batches: Iterable[Dict[str, np.ndarray]],
+        train_batches,
         eval_batches: Optional[Callable[[], Iterable]] = None,
         resume: bool = False,
     ) -> Dict[str, Any]:
+        """train_batches is either an iterable of batches (legacy; resume
+        replays the stream to fast-forward, O(steps)) or a *step-indexed
+        source* — a callable ``step -> batch`` — which makes resume O(1):
+        the restored step simply indexes back into the same deterministic
+        batch sequence. Collator factories in train/data.py build such
+        sources via :func:`step_indexed_batches`."""
         cfg = self.cfg
         start_step = 0
         if resume and cfg.ckpt_dir and ckpt_lib.all_steps(cfg.ckpt_dir):
@@ -172,21 +209,33 @@ class Trainer:
         best_metric, best_step, since_best = None, None, 0
         t0 = time.time()
         step = start_step
-        train_iter = iter(train_batches)
-        # fast-forward the data stream so a resumed run sees the same batch
-        # sequence as an uninterrupted one
-        for _ in range(start_step):
-            try:
-                next(train_iter)
-            except StopIteration:
-                train_iter = iter(train_batches)
-                next(train_iter)
+        indexed = callable(train_batches) and not hasattr(
+            train_batches, "__iter__"
+        )
+        if indexed:
+            def next_batch(step):
+                return train_batches(step)
+        else:
+            train_iter = iter(train_batches)
+            # fast-forward the data stream so a resumed run sees the same
+            # batch sequence as an uninterrupted one
+            for _ in range(start_step):
+                try:
+                    next(train_iter)
+                except StopIteration:
+                    train_iter = iter(train_batches)
+                    next(train_iter)
+
+            def next_batch(step):
+                nonlocal train_iter
+                try:
+                    return next(train_iter)
+                except StopIteration:
+                    train_iter = iter(train_batches)
+                    return next(train_iter)
+
         while step < cfg.max_steps:
-            try:
-                batch = next(train_iter)
-            except StopIteration:
-                train_iter = iter(train_batches)
-                batch = next(train_iter)
+            batch = next_batch(step)
             rng = self.seeds.split(f"step{step}")
             self.state, metrics, _ = self._train_step(
                 self.state, self._shard_batch(batch), rng
