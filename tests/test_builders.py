@@ -268,3 +268,169 @@ def test_evqa_matching():
         {"q1": {"reference": "two"}, "q2": {"reference": "london"}},
     )
     assert out["accuracy"] == 0.5
+
+
+@pytest.fixture(scope="module")
+def bert_tokenizer(tmp_path_factory):
+    from transformers import BertTokenizerFast
+
+    vocab = (["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
+             + ["who", "is", "this", "alpha", "beta", "gamma", "two", "q"]
+             + [f"w{i}" for i in range(50)])
+    d = tmp_path_factory.mktemp("bemtok")
+    (d / "vocab.txt").write_text("\n".join(vocab))
+    return BertTokenizerFast(vocab_file=str(d / "vocab.txt"),
+                             do_lower_case=True)
+
+
+def test_bem_combine_segments():
+    from viquae_tpu.models import bem as bem_lib
+
+    out = bem_lib.combine_segments([10, 11], [20], [30, 31, 32],
+                                   cls_id=2, sep_id=3, max_length=16)
+    np.testing.assert_array_equal(
+        out["input_ids"][:10], [2, 10, 11, 3, 20, 3, 30, 31, 32, 3]
+    )
+    np.testing.assert_array_equal(
+        out["segment_ids"][:10], [0, 0, 0, 0, 1, 1, 2, 2, 2, 2]
+    )
+    np.testing.assert_array_equal(out["attention_mask"][:10], 1)
+    assert out["input_ids"][10:].sum() == 0
+    assert out["attention_mask"][10:].sum() == 0
+
+
+def test_bem_scoring_offline(bert_tokenizer):
+    """EVQA protocol runs offline with the in-repo BEM scorer: EM
+    short-circuits, BEM decides EM-failures, multi-answer '&&' -> ','."""
+    import jax
+    from viquae_tpu.models import bem as bem_lib
+    from viquae_tpu.models import bert as bert_lib
+
+    cfg = bem_lib.BEMConfig(
+        bert=bert_lib.BertConfig(
+            vocab_size=bert_tokenizer.vocab_size + 10, hidden_size=16,
+            num_hidden_layers=2, num_attention_heads=2,
+            intermediate_size=32, type_vocab_size=3, add_pooler=True,
+        ),
+        max_length=64,
+    )
+    scorer = bem_lib.BEMScorer(cfg=cfg, tokenizer=bert_tokenizer,
+                               max_length=64)
+    fn = evqa.initialize_bem_scoring_function(scorer=scorer)
+    ex = {"question": "who is this", "reference": "alpha beta",
+          "candidate": "gamma", "question_type": "single_answer"}
+    score = fn(ex, threshold_score=False)
+    assert 0.0 <= score <= 1.0
+    assert fn(ex) in (0.0, 1.0)
+    # batched scoring agrees with single scoring
+    s2 = scorer.score([ex, ex])
+    np.testing.assert_allclose(s2[0], s2[1], rtol=1e-5)
+    np.testing.assert_allclose(s2[0], score, rtol=1e-4, atol=1e-5)
+    # multi-answer reference is comma-joined before scoring
+    ex_m = {**ex, "question_type": "multi_answer",
+            "reference": "alpha&&beta"}
+    assert 0.0 <= fn(ex_m, threshold_score=False) <= 1.0
+
+    # EM-then-BEM: exact match short-circuits to 1.0 regardless of BEM
+    em_ex = {"question": "q", "reference": "two", "candidate": "2",
+             "question_type": "single_answer"}
+    assert evqa.encyclopedic_vqa_evaluation_function(em_ex, fn) == 1.0
+    # EM failure falls through to (thresholded) BEM
+    out = evqa.encyclopedic_vqa_evaluation_function(ex, fn)
+    assert out in (0.0, 1.0)
+
+    # weight-port roundtrip: synthesize a classification state_dict with
+    # REAL layout and check the port reproduces the head
+    import torch
+    sd = {}
+    hf_sd = bert_lib.params_to_hf_state_dict(
+        scorer.params["bert"], cfg.bert, prefix="bert."
+    )
+    sd.update(hf_sd)
+    sd["bert.pooler.dense.weight"] = torch.from_numpy(
+        np.asarray(scorer.params["bert"]["pooler"]["kernel"]).T.copy()
+    )
+    sd["bert.pooler.dense.bias"] = torch.from_numpy(
+        np.asarray(scorer.params["bert"]["pooler"]["bias"]).copy()
+    )
+    sd["classifier.weight"] = torch.from_numpy(
+        np.asarray(scorer.params["head"]["kernel"]).T.copy()
+    )
+    sd["classifier.bias"] = torch.from_numpy(
+        np.asarray(scorer.params["head"]["bias"]).copy()
+    )
+    ported = bem_lib.params_from_state_dict(sd, cfg)
+    ref_leaves = jax.tree_util.tree_leaves(scorer.params)
+    got_leaves = jax.tree_util.tree_leaves(ported)
+    assert len(ref_leaves) == len(got_leaves)
+    for a, b in zip(ref_leaves, got_leaves):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+# ---- kilt2vqa gazetteer NER -------------------------------------------------
+# reference-style TriviaQA questions with the gold placeholder span the
+# spaCy pipeline would replace (entity mention + determiner-phrase children,
+# meerqat/data/kilt2vqa.py:157-227)
+NER_FIXTURE = [
+    ("Who wrote the opera Carmen?", "the opera Carmen"),
+    ("In which country is the Great Barrier Reef?", "the Great Barrier Reef"),
+    ("Who painted the Mona Lisa?", "the Mona Lisa"),
+    ("What is the capital of Portugal?", "Portugal"),
+    ("Which actor starred in Casablanca?", "Casablanca"),
+    ("Who founded Microsoft?", "Microsoft"),
+    ("In what year did Elvis Presley die?", "Elvis Presley"),
+    ("Which river flows through Paris?", "Paris"),
+    ("Who directed the film Jaws?", "the film Jaws"),
+    ("What instrument did Louis Armstrong play?", "Louis Armstrong"),
+    ("Which team won the Super Bowl in 1990?", "the Super Bowl"),
+    ("Who is the author of War and Peace?", "War and Peace"),
+    ("What mountain range contains Mount Everest?", "Mount Everest"),
+    ("Which queen ruled England in 1588?", "England"),
+    ("Who composed the ballet Swan Lake?", "the ballet Swan Lake"),
+]
+GAZ_TITLES = [
+    "Carmen", "Great Barrier Reef", "Mona Lisa", "Portugal", "Casablanca",
+    "Microsoft", "Elvis Presley", "Paris", "Jaws", "Louis Armstrong",
+    "Super Bowl", "War and Peace", "Mount Everest", "England", "Swan Lake",
+    "The Beatles", "Albert Einstein",  # distractors
+]
+
+
+def _ner_recall(ner_fn):
+    hits = 0
+    for question, gold in NER_FIXTURE:
+        spans = kilt2vqa.keep_biggest_spans(ner_fn(question))
+        if any(t == gold for t, *_ in spans):
+            hits += 1
+    return hits / len(NER_FIXTURE)
+
+
+def test_gazetteer_ner_beats_capitalized_fallback():
+    gaz = kilt2vqa.GazetteerNER(GAZ_TITLES)
+    recall_gaz = _ner_recall(gaz)
+    recall_cap = _ner_recall(kilt2vqa.capitalized_span_ner)
+    # quantified in PARITY.md; the gazetteer must dominate
+    assert recall_gaz >= 0.9, recall_gaz
+    assert recall_gaz > recall_cap, (recall_gaz, recall_cap)
+
+
+def test_gazetteer_ner_spans_and_backoff():
+    gaz = kilt2vqa.GazetteerNER(["Mona Lisa"], backoff_capitalized=True)
+    spans = gaz("Who painted the Mona Lisa in Florence?")
+    texts = [s[0] for s in spans]
+    assert "the Mona Lisa" in texts          # determiner-phrase expansion
+    assert "Florence" in texts               # capitalized backoff
+    # label of a gazetteer hit is the matched KB title
+    hit = [s for s in spans if s[0] == "the Mona Lisa"][0]
+    assert hit[3] == "Mona Lisa"
+    # unigram gazetteer entries only fire on capitalized non-initial tokens
+    gaz2 = kilt2vqa.GazetteerNER(["It"], backoff_capitalized=False)
+    assert gaz2("It is what it is") == []
+
+
+def test_gazetteer_placeholder_integration():
+    gaz = kilt2vqa.GazetteerNER(GAZ_TITLES)
+    item = {"input": "Who wrote the opera Carmen?"}
+    kilt2vqa.item2placeholder(item, ner_fn=gaz)
+    assert item["placeholder"][0]["input"] == "Who wrote {mention}?"
+    assert item["placeholder"][0]["entity"]["text"] == "the opera Carmen"

@@ -349,3 +349,312 @@ def test_rnet_matches_torch_oracle():
     np.testing.assert_allclose(
         np.asarray(reg), ref_reg.numpy(), atol=1e-5, rtol=1e-4
     )
+
+
+# --------------------------------------------------------------------------
+# independent ONet oracle (VERDICT r1 item 6): a REAL torch module with the
+# facenet_pytorch ONet architecture, not a re-export of the JAX init
+# --------------------------------------------------------------------------
+def _torch_onet():
+    import torch.nn as nn
+
+    class Flatten(nn.Module):
+        def forward(self, x):
+            return x.transpose(3, 2).contiguous().view(x.shape[0], -1)
+
+    class ONet(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = nn.Conv2d(3, 32, 3)
+            self.prelu1 = nn.PReLU(32)
+            self.pool1 = nn.MaxPool2d(3, 2, ceil_mode=True)
+            self.conv2 = nn.Conv2d(32, 64, 3)
+            self.prelu2 = nn.PReLU(64)
+            self.pool2 = nn.MaxPool2d(3, 2, ceil_mode=True)
+            self.conv3 = nn.Conv2d(64, 64, 3)
+            self.prelu3 = nn.PReLU(64)
+            self.pool3 = nn.MaxPool2d(2, 2, ceil_mode=True)
+            self.conv4 = nn.Conv2d(64, 128, 2)
+            self.prelu4 = nn.PReLU(128)
+            self.flatten = Flatten()
+            self.dense5 = nn.Linear(1152, 256)
+            self.prelu5 = nn.PReLU(256)
+            self.dense6_1 = nn.Linear(256, 2)
+            self.softmax6_1 = nn.Softmax(dim=1)
+            self.dense6_2 = nn.Linear(256, 4)
+            self.dense6_3 = nn.Linear(256, 10)
+
+        def forward(self, x):
+            x = self.pool1(self.prelu1(self.conv1(x)))
+            x = self.pool2(self.prelu2(self.conv2(x)))
+            x = self.pool3(self.prelu3(self.conv3(x)))
+            x = self.prelu4(self.conv4(x))
+            x = self.prelu5(self.dense5(self.flatten(x)))
+            return (self.dense6_2(x), self.dense6_3(x),
+                    self.softmax6_1(self.dense6_1(x)))
+
+    return ONet()
+
+
+def _full_facenet_sd():
+    """Complete facenet-layout state_dict from the three torch oracles."""
+    import torch
+
+    torch.manual_seed(7)
+    sd = {}
+    sd.update({f"pnet.{k}": v for k, v in _torch_pnet().state_dict().items()})
+    sd.update({f"rnet.{k}": v for k, v in _torch_rnet().state_dict().items()})
+    sd.update({f"onet.{k}": v for k, v in _torch_onet().state_dict().items()})
+    return sd
+
+
+def test_onet_matches_torch_oracle():
+    import torch
+
+    torch.manual_seed(2)
+    oracle = _torch_onet().eval()
+    sd = _full_facenet_sd()
+    sd.update({f"onet.{k}": v for k, v in oracle.state_dict().items()})
+    params = mtcnn.params_from_facenet(sd)
+
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((3, 48, 48, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref_reg, ref_lm, ref_prob = oracle(torch.tensor(x.transpose(0, 3, 1, 2)))
+    probs, reg, lm = mtcnn.onet_apply(params["onet"], jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(probs), ref_prob[:, 1].numpy(),
+                               atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(reg), ref_reg.numpy(),
+                               atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(lm), ref_lm.numpy(),
+                               atol=1e-5, rtol=1e-4)
+
+
+# --------------------------------------------------------------------------
+# cascade-level e2e: our static-shape cascade vs an independent dynamic
+# numpy reference implementing the facenet_pytorch pipeline semantics with
+# the SAME torch-oracle networks
+# --------------------------------------------------------------------------
+def _reference_cascade_numpy(sd, image, cfg):
+    """Dynamic-shape reference: pyramid -> PNet boxgen -> NMS 0.5/0.7 ->
+    calibrate+rerec -> RNet -> NMS 0.7 -> calibrate+rerec -> ONet ->
+    landmarks -> calibrate -> NMS-min 0.7. Forwards run in torch."""
+    import torch
+    from scipy import ndimage as ndi
+
+    pnet, rnet, onet = _torch_pnet().eval(), _torch_rnet().eval(), _torch_onet().eval()
+    pnet.load_state_dict({k[5:]: v for k, v in sd.items() if k.startswith("pnet.")})
+    rnet.load_state_dict({k[5:]: v for k, v in sd.items() if k.startswith("rnet.")})
+    onet.load_state_dict({k[5:]: v for k, v in sd.items() if k.startswith("onet.")})
+
+    def norm(x):
+        return (x - 127.5) * 0.0078125
+
+    def np_nms(boxes, scores, thr, mode="union"):
+        order = np.argsort(-scores)
+        keep = []
+        while order.size:
+            i = order[0]
+            keep.append(i)
+            xx1 = np.maximum(boxes[i, 0], boxes[order[1:], 0])
+            yy1 = np.maximum(boxes[i, 1], boxes[order[1:], 1])
+            xx2 = np.minimum(boxes[i, 2], boxes[order[1:], 2])
+            yy2 = np.minimum(boxes[i, 3], boxes[order[1:], 3])
+            inter = np.maximum(0, xx2 - xx1) * np.maximum(0, yy2 - yy1)
+            area = lambda b: (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+            a_i = (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
+            a_o = area(boxes[order[1:]])
+            if mode == "min":
+                iou = inter / np.minimum(a_i, a_o)
+            else:
+                iou = inter / (a_i + a_o - inter)
+            order = order[1:][iou <= thr]
+        return np.asarray(keep, int)
+
+    def crop_resize(box, out):
+        x1, y1, x2, y2 = box
+        ys = y1 + (np.arange(out) + 0.5) * (y2 - y1) / out - 0.5
+        xs = x1 + (np.arange(out) + 0.5) * (x2 - x1) / out - 0.5
+        gy, gx = np.meshgrid(ys, xs, indexing="ij")
+        return np.stack([
+            ndi.map_coordinates(image[..., c], [gy.ravel(), gx.ravel()],
+                                order=1, mode="constant", cval=0.0
+                                ).reshape(out, out)
+            for c in range(3)
+        ], axis=-1)
+
+    # stage 1
+    boxes, scores, regs = [], [], []
+    for scale in cfg.scales:
+        size = max(12, int(round(cfg.canvas * scale)))
+        scaled = np.asarray(jax.image.resize(  # shared resize arithmetic
+            jnp.asarray(image), (size, size, 3), "bilinear"))
+        with torch.no_grad():
+            reg, prob = pnet(torch.tensor(
+                norm(scaled).transpose(2, 0, 1)[None]))
+        prob = prob[0, 1].numpy()
+        reg = reg[0].numpy().transpose(1, 2, 0)
+        rr, cc = np.where(prob >= cfg.thresholds[0])
+        if rr.size == 0:
+            continue
+        b = np.stack([
+            (cc * 2 + 1) / scale, (rr * 2 + 1) / scale,
+            (cc * 2 + 12) / scale, (rr * 2 + 12) / scale,
+        ], axis=1)
+        inside = (b[:, 0] < cfg.canvas) & (b[:, 1] < cfg.canvas)
+        s = prob[rr, cc]
+        r = reg[rr, cc]
+        keep = np_nms(b[inside], s[inside], 0.5)
+        boxes.append(b[inside][keep])
+        scores.append(s[inside][keep])
+        regs.append(r[inside][keep])
+    if not boxes:
+        return np.zeros((0, 4)), np.zeros((0,))
+    boxes = np.concatenate(boxes)
+    scores = np.concatenate(scores)
+    regs = np.concatenate(regs)
+    keep = np_nms(boxes, scores, 0.7)
+    boxes, scores, regs = boxes[keep], scores[keep], regs[keep]
+
+    def calibrate(b, r):
+        w = (b[:, 2] - b[:, 0])[:, None]
+        h = (b[:, 3] - b[:, 1])[:, None]
+        return b + r * np.concatenate([w, h, w, h], 1)
+
+    def rerec(b):
+        w, h = b[:, 2] - b[:, 0], b[:, 3] - b[:, 1]
+        side = np.maximum(w, h)
+        cx, cy = b[:, 0] + w / 2, b[:, 1] + h / 2
+        return np.stack([cx - side / 2, cy - side / 2,
+                         cx + side / 2, cy + side / 2], 1)
+
+    boxes = rerec(calibrate(boxes, regs))
+
+    # stage 2
+    crops = np.stack([crop_resize(b, 24) for b in boxes])
+    with torch.no_grad():
+        reg, prob = rnet(torch.tensor(norm(crops).transpose(0, 3, 1, 2)))
+    prob = prob[:, 1].numpy()
+    reg = reg.numpy()
+    ok = prob >= cfg.thresholds[1]
+    boxes, prob, reg = boxes[ok], prob[ok], reg[ok]
+    if len(boxes) == 0:
+        return np.zeros((0, 4)), np.zeros((0,))
+    keep = np_nms(boxes, prob, 0.7)
+    boxes, prob, reg = boxes[keep], prob[keep], reg[keep]
+    boxes = rerec(calibrate(boxes, reg))
+
+    # stage 3
+    crops = np.stack([crop_resize(b, 48) for b in boxes])
+    with torch.no_grad():
+        reg, lm, prob = onet(torch.tensor(norm(crops).transpose(0, 3, 1, 2)))
+    prob = prob[:, 1].numpy()
+    reg = reg.numpy()
+    ok = prob >= cfg.thresholds[2]
+    boxes, prob, reg = boxes[ok], prob[ok], reg[ok]
+    if len(boxes) == 0:
+        return np.zeros((0, 4)), np.zeros((0,))
+    boxes = calibrate(boxes, reg)
+    keep = np_nms(boxes, prob, 0.7, mode="min")
+    return boxes[keep], prob[keep]
+
+
+def _craft_blob_detector_sd():
+    """Hand-crafted MTCNN weights that detect BRIGHTNESS: every conv stage
+    passes through the local mean of channel 0, and each classifier head
+    computes sigmoid(s * (brightness - t)). Gives a real, sparse detector
+    (bright blobs = faces) so the cascade comparison exercises genuine
+    detections without exceeding the static proposal caps."""
+    import torch
+
+    sd = {k: torch.zeros_like(v) for k, v in _full_facenet_sd().items()}
+
+    def ones(name):
+        sd[name] = torch.ones_like(sd[name])
+
+    # --- PNet: conv1 mean(3x3x3) -> conv2/conv3 mean passthrough ---------
+    sd["pnet.conv1.weight"][0] = 1.0 / 27
+    sd["pnet.conv2.weight"][0, 0] = 1.0 / 9
+    sd["pnet.conv3.weight"][0, 0] = 1.0 / 9
+    for i in (1, 2, 3):
+        ones(f"pnet.prelu{i}.weight")
+    s_gain, thr = 8.0, 0.25
+    sd["pnet.conv4_1.weight"][0, 0] = -s_gain
+    sd["pnet.conv4_1.weight"][1, 0] = s_gain
+    sd["pnet.conv4_1.bias"][0] = s_gain * thr
+    sd["pnet.conv4_1.bias"][1] = -s_gain * thr
+
+    # --- RNet ------------------------------------------------------------
+    sd["rnet.conv1.weight"][0] = 1.0 / 27
+    sd["rnet.conv2.weight"][0, 0] = 1.0 / 9
+    sd["rnet.conv3.weight"][0, 0] = 1.0 / 4
+    for i in (1, 2, 3, 4):
+        ones(f"rnet.prelu{i}.weight")
+    # flatten(transpose(3,2)) puts channel 0's 3x3 block first
+    sd["rnet.dense4.weight"][0, :9] = 1.0 / 9
+    sd["rnet.dense5_1.weight"][0, 0] = -s_gain
+    sd["rnet.dense5_1.weight"][1, 0] = s_gain
+    sd["rnet.dense5_1.bias"][0] = s_gain * thr
+    sd["rnet.dense5_1.bias"][1] = -s_gain * thr
+
+    # --- ONet ------------------------------------------------------------
+    sd["onet.conv1.weight"][0] = 1.0 / 27
+    sd["onet.conv2.weight"][0, 0] = 1.0 / 9
+    sd["onet.conv3.weight"][0, 0] = 1.0 / 9
+    sd["onet.conv4.weight"][0, 0] = 1.0 / 4
+    for i in (1, 2, 3, 4, 5):
+        ones(f"onet.prelu{i}.weight")
+    sd["onet.dense5.weight"][0, :9] = 1.0 / 9
+    sd["onet.dense6_1.weight"][0, 0] = -s_gain
+    sd["onet.dense6_1.weight"][1, 0] = s_gain
+    sd["onet.dense6_1.bias"][0] = s_gain * thr
+    sd["onet.dense6_1.bias"][1] = -s_gain * thr
+    # landmarks at the box center
+    sd["onet.dense6_3.bias"] += 0.5
+    return sd
+
+
+def test_cascade_matches_reference_implementation():
+    """Synthetic bright blobs through BOTH cascades (same crafted
+    brightness-detector weights): detections must land on the blobs and
+    agree box-for-box with the independent dynamic numpy reference."""
+    sd = _craft_blob_detector_sd()
+    params = mtcnn.params_from_facenet(sd)
+    cfg = mtcnn.MTCNNConfig(canvas=64, min_face_size=20, max_faces=16,
+                            k_per_scale=64, k_stage1=64, k_stage2=32,
+                            thresholds=(0.6, 0.6, 0.6))
+
+    image = np.full((64, 64, 3), 40.0, np.float32)
+    blob_centers = ((18, 20), (44, 40))
+    for (cx, cy), r in zip(blob_centers, (7, 8)):
+        yy, xx = np.mgrid[0:64, 0:64]
+        blob = np.exp(-(((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * r ** 2)))
+        image += 215.0 * blob[..., None]
+    # tiny ramp breaks brightness ties (symmetric blobs otherwise give
+    # equal scores and NMS order becomes implementation-defined)
+    yy, xx = np.mgrid[0:64, 0:64]
+    image += (0.01 * xx + 0.003 * yy)[..., None]
+    image = np.clip(image, 0, 255)
+
+    ref_boxes, ref_probs = _reference_cascade_numpy(sd, image, cfg)
+    out = mtcnn.detect_faces(params, jnp.asarray(image),
+                             jnp.asarray([64.0, 64.0]), cfg)
+    got_boxes = np.asarray(out["boxes"])[np.asarray(out["valid"])]
+    got_probs = np.asarray(out["probs"])[np.asarray(out["valid"])]
+
+    # non-vacuous: the blobs ARE detected
+    assert len(ref_boxes) > 0
+    # every blob center is inside some detected box
+    for cx, cy in blob_centers:
+        assert any(b[0] <= cx <= b[2] and b[1] <= cy <= b[3]
+                   for b in got_boxes), (got_boxes, (cx, cy))
+
+    assert len(got_boxes) == len(ref_boxes), (len(got_boxes), len(ref_boxes))
+    # order by rounded coords: fp32-vs-fp64 ulps must not flip the sort
+    ref_r, got_r = np.round(ref_boxes, 2), np.round(got_boxes, 2)
+    order_ref = np.lexsort((ref_r[:, 1], ref_r[:, 0]))
+    order_got = np.lexsort((got_r[:, 1], got_r[:, 0]))
+    np.testing.assert_allclose(got_boxes[order_got],
+                               ref_boxes[order_ref], atol=0.05)
+    np.testing.assert_allclose(np.sort(got_probs), np.sort(ref_probs),
+                               atol=1e-4)

@@ -76,22 +76,60 @@ def exact_match_scoring_function(example: dict) -> bool:
     return singleanswer_exact_match(example["reference"], example["candidate"])
 
 
-def initialize_bem_scoring_function(model_url: Optional[str] = None,
-                                    vocab_path: Optional[str] = None
-                                    ) -> Callable[[dict], bool]:
-    """BEM (BERT answer equivalence) scoring — requires tensorflow-hub and
-    the BEM SavedModel; raises with a clear message when unavailable."""
+def initialize_bem_scoring_function(
+    scorer=None,
+    model_url: Optional[str] = None,
+    vocab_path: Optional[str] = None,
+) -> Callable[[dict], bool]:
+    """BEM (BERT answer equivalence, arxiv 2202.07654) scoring function —
+    parity with meerqat/data/evqa.py:295-386.
+
+    Pass a :class:`viquae_tpu.models.bem.BEMScorer` (the in-repo JAX BERT
+    scorer: offline-constructible, weight-portable) as `scorer`; the
+    original TF-hub SavedModel path stays available when tensorflow_hub is
+    installed and `model_url` is given."""
+    if scorer is None and model_url is not None:
+        try:
+            import tensorflow_hub  # noqa: F401
+        except ImportError as e:
+            raise RuntimeError(
+                "the TF-hub BEM path requires tensorflow_hub; construct a "
+                "viquae_tpu.models.bem.BEMScorer instead"
+            ) from e
+        raise NotImplementedError(
+            "load the BEM SavedModel on a TF-enabled host; the supported "
+            "path in this framework is models.bem.BEMScorer"
+        )
+    if scorer is None:
+        raise ValueError(
+            "pass scorer=models.bem.BEMScorer(params=..., tokenizer=...)"
+        )
+
+    def score_example(example: dict, threshold_score: bool = True):
+        if not example.get("reference"):
+            raise ValueError("Reference answer cannot be empty.")
+        if example.get("question_type") in ("list", "multianswer",
+                                            "multi_answer"):
+            example = {**example,
+                       "reference": example["reference"].replace("&&", ",")}
+        return scorer(example, threshold_score=threshold_score)
+
+    return score_example
+
+
+def encyclopedic_vqa_evaluation_function(example: dict,
+                                         bem_scoring_function: Callable
+                                         ) -> float:
+    """Official EVQA scoring (meerqat/data/evqa.py:389+): Exact Match
+    first; only when EM fails fall back to BEM (for single-answer
+    questions EM is strictly stricter than BEM, so this equals pure BEM
+    but much faster)."""
     try:
-        import tensorflow_hub  # noqa: F401
-    except ImportError as e:
-        raise RuntimeError(
-            "BEM scoring requires tensorflow_hub + the BEM SavedModel; "
-            "fall back to exact_match_scoring_function"
-        ) from e
-    raise NotImplementedError(
-        "load the BEM SavedModel on a TF-enabled host; see the reference "
-        "implementation meerqat/data/evqa.py:295-386"
-    )
+        if evaluate_example(example, exact_match_scoring_function):
+            return 1.0
+    except ValueError:
+        raise
+    return float(bem_scoring_function(example))
 
 
 def evaluate_example(example: dict,

@@ -100,13 +100,116 @@ def capitalized_span_ner(text: str) -> List[Tuple[str, int, int, str]]:
     return spans
 
 
+class GazetteerNER:
+    """Default entity extractor: longest-match gazetteer over KB titles (+
+    aliases) with capitalized-span backoff and determiner-phrase expansion.
+
+    Replaces the reference's spaCy NER + dependency parse
+    (meerqat/data/kilt2vqa.py:157-227) for offline use: the KB's
+    `wikipedia_title` column IS the closed world the questions mention, so
+    a title gazetteer recovers most reference placeholders, and expanding a
+    match left over a determiner phrase ("the opera Carmen" -> whole span)
+    mimics replacing the entity's syntactic children. Left-edge children of
+    other shapes (long appositives) are a documented divergence — plug a
+    spaCy `ner_fn` on a data-prep host for full parity.
+    """
+
+    _WORD = re.compile(r"[\w'’]+")
+    _DETERMINERS = {"the", "this", "that", "his", "her", "its", "their"}
+    # a preposition boundary ends the determiner phrase: in "the capital of
+    # Portugal" the entity's syntactic children do NOT include "the capital"
+    _PREPOSITIONS = {"of", "in", "on", "at", "for", "by", "from", "with",
+                     "about", "to", "and", "or"}
+
+    def __init__(self, titles, max_ngram: int = 8,
+                 expand_determiner_phrase: bool = True,
+                 backoff_capitalized: bool = True):
+        self.max_ngram = max_ngram
+        self.expand = expand_determiner_phrase
+        self.backoff = backoff_capitalized
+        self.entries: Dict[tuple, str] = {}
+        self.first_words: set = set()
+        for title in titles:
+            words = tuple(
+                w.lower() for w in self._WORD.findall(str(title))
+            )[: max_ngram]
+            if not words:
+                continue
+            self.entries[words] = str(title)
+            self.first_words.add(words[0])
+
+    def __call__(self, text: str) -> List[Tuple[str, int, int, str]]:
+        tokens = [(m.group(), m.start(), m.end())
+                  for m in self._WORD.finditer(text)]
+        lower = [t[0].lower() for t in tokens]
+        spans: List[Tuple[str, int, int, str]] = []
+        i = 0
+        while i < len(tokens):
+            matched = None
+            if lower[i] in self.first_words:
+                for n in range(min(self.max_ngram, len(tokens) - i), 0, -1):
+                    key = tuple(lower[i: i + n])
+                    if key in self.entries:
+                        # unigram matches must look like a name in context
+                        # (capitalized, not sentence-initial) to avoid
+                        # common-word titles swallowing the question
+                        if n == 1 and not (
+                            tokens[i][0][0].isupper() and tokens[i][1] > 0
+                        ):
+                            continue
+                        matched = (i, i + n - 1)
+                        break
+            if matched is None:
+                i += 1
+                continue
+            first, last = matched
+            start, end = tokens[first][1], tokens[last][2]
+            if self.expand:
+                # swallow a preceding determiner phrase of lowercase words:
+                # "the opera Carmen" -> the whole phrase, like the
+                # reference's left_edge expansion over syntactic children
+                j = first - 1
+                while (j > 0 and tokens[j][0].islower()
+                       and first - j <= 3
+                       and tokens[j][0] not in self._DETERMINERS
+                       and tokens[j][0] not in self._PREPOSITIONS):
+                    j -= 1
+            if self.expand and j > 0 and tokens[j][0] in self._DETERMINERS \
+                    and first - j <= 3:
+                start = tokens[j][1]
+            spans.append((text[start:end], start, end,
+                          self.entries[tuple(lower[first: last + 1])]))
+            i = last + 1
+        if self.backoff:
+            for cand in capitalized_span_ner(text):
+                if not any(s <= cand[1] < e or s < cand[2] <= e
+                           for _, s, e, _ in spans):
+                    spans.append(cand)
+        return sorted(spans, key=lambda s: s[1])
+
+
+def keep_biggest_spans(spans):
+    """Drop spans strictly contained in another (parity with the
+    overlapping-mention filter, meerqat/data/kilt2vqa.py:210-222)."""
+    out = []
+    for text, start, end, label in spans:
+        included = False
+        for _, os_, oe, _ in spans:
+            if (start >= os_ and end < oe) or (start > os_ and end <= oe):
+                included = True
+                break
+        if not included:
+            out.append((text, start, end, label))
+    return out
+
+
 def item2placeholder(item: dict,
                      ner_fn: Callable = capitalized_span_ner) -> dict:
     """Replace an explicit entity mention by '{mention}'
     ('Who wrote the opera Carmen?' -> 'Who wrote {mention}?')."""
     item["placeholder"] = []
     question = item["input"]
-    for text, start, end, label in ner_fn(question):
+    for text, start, end, label in keep_biggest_spans(ner_fn(question)):
         placeholder = question[:start] + "{mention}" + question[end:]
         item["placeholder"].append({
             "input": placeholder,

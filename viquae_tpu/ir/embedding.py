@@ -173,7 +173,9 @@ class PackedTextEmbedder:
     models.dpr.apply_packed.
     """
 
-    ROWS_LADDER = (32, 64, 96, 128, 192, 256, 384, 512, 768, 1024, 1280)
+    ROWS_GRANULARITY = 32  # canvas rows round up to this; a stable query-
+    # length distribution then re-uses 1-2 compiled shapes (persistent
+    # compile cache absorbs the rest)
 
     def __init__(
         self,
@@ -183,10 +185,16 @@ class PackedTextEmbedder:
         row_len: int = 64,
         batch_size: int = 1280,
         compute_dtype=jnp.bfloat16,
+        fixed_rows: Optional[int] = None,
     ):
+        """`fixed_rows` pins the canvas height to ONE compiled shape (size
+        it at the stream's p99 token budget); the ladder is the adaptive
+        default. Batches that overflow the pinned canvas fall back to the
+        one-row-per-sequence worst case."""
         self.tokenizer = tokenizer
         self.row_len = row_len
         self.batch_size = batch_size
+        self.fixed_rows = fixed_rows
         self.params = params
 
         @functools.partial(jax.jit, static_argnames=())
@@ -198,18 +206,10 @@ class PackedTextEmbedder:
 
         self._forward = _forward
 
-    def _n_rows(self, total_tokens: int) -> int:
-        # 93% target density leaves first-fit-decreasing headroom
-        need = max(int(np.ceil(total_tokens / self.row_len / 0.93)), 1)
-        for r in self.ROWS_LADDER:
-            if r >= need:
-                return r
-        return self.batch_size  # worst case: one row per sequence
-
-    def embed_texts(self, texts):
-        """Returns a DEVICE array (batch_size, D); rows past len(texts) are
-        garbage (pad pointers) — callers slice. Dispatch is async: no sync
-        here, so tokenization of the next batch overlaps device compute."""
+    def pack(self, texts):
+        """Host side only: tokenize without padding + pack into a canvas
+        rounded to ROWS_GRANULARITY rows (or the pinned `fixed_rows`).
+        Returns an ops.packing.PackedBatch."""
         from viquae_tpu.ops import packing
 
         assert len(texts) <= self.batch_size
@@ -217,17 +217,24 @@ class PackedTextEmbedder:
             list(texts), truncation=True, max_length=self.row_len,
         )["input_ids"]
         seqs = [np.asarray(s, np.int32) for s in enc]
-        total = sum(min(len(s), self.row_len) for s in seqs)
-        n_rows = self._n_rows(total)
-        try:
-            p = packing.pack_token_sequences(
-                seqs, self.row_len, n_rows=n_rows, n_cls=self.batch_size
-            )
-        except ValueError:  # pathological batch denser than the ladder slot
-            p = packing.pack_token_sequences(
-                seqs, self.row_len, n_rows=self.batch_size,
-                n_cls=self.batch_size,
-            )
+        if self.fixed_rows is not None:
+            try:
+                return packing.pack_token_sequences(
+                    seqs, self.row_len, n_rows=self.fixed_rows,
+                    n_cls=self.batch_size,
+                )
+            except ValueError:  # batch overflows the pinned canvas
+                pass
+        return packing.pack_token_sequences(
+            seqs, self.row_len, n_rows=None,
+            pad_rows_to=self.ROWS_GRANULARITY, n_cls=self.batch_size,
+        )
+
+    def embed_texts(self, texts):
+        """Returns a DEVICE array (batch_size, D); rows past len(texts) are
+        garbage (pad pointers) — callers slice. Dispatch is async: no sync
+        here, so tokenization of the next batch overlaps device compute."""
+        p = self.pack(texts)
         return self._forward(
             self.params,
             jnp.asarray(p.input_ids), jnp.asarray(p.segment_ids),

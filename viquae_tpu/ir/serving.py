@@ -83,6 +83,12 @@ class RetrievalPipeline:
                 scores, indices = self.index.search_batch(
                     embeddings, k=self.k, sync=False
                 )
+                # start the device->host copies NOW so they overlap the next
+                # batch's compute (a blocking np.asarray of ~1MB over the
+                # tunneled link costs ~as much as the search itself)
+                for arr in (scores, indices):
+                    if hasattr(arr, "copy_to_host_async"):
+                        arr.copy_to_host_async()
             pending.append((start, n_real, scores, indices))
             if len(pending) > 1:
                 drain()  # batch i-1 syncs while batch i computes
@@ -96,12 +102,140 @@ class RetrievalPipeline:
         scores, indices = self.run_arrays(queries)
         with self.timer.stage("build_run"):
             results: Dict[str, Dict[str, float]] = {}
+            score_rows = scores.tolist()   # bulk-convert: much faster than
+            idx_rows = indices.tolist()    # per-element float()/str()
             for row, q_id in enumerate(query_ids):
-                results[q_id] = {
-                    str(d): float(s)
-                    for s, d in zip(scores[row], indices[row])
-                }
+                results[q_id] = dict(
+                    zip(map(str, idx_rows[row]), score_rows[row])
+                )
         return Run(results, name="serving")
 
     def report(self) -> dict:
         return self.timer.report()
+
+
+class FusedRetrievalPipeline(RetrievalPipeline):
+    """Single-dispatch serving: tokenize+pack on host, then ONE jitted
+    program does packed embed -> MIPS -> bitcast-packed (2, B, k) int32
+    output (scores bitcast to int32, stacked with indices) so each batch
+    costs exactly one host->device upload, one XLA dispatch and one
+    device->host download over the tunneled link. This is the bench
+    protocol (bench.py) plus real result delivery.
+
+    embedder: ir.embedding.PackedTextEmbedder; index: ops.mips.DenseIndex
+    with mode 'global'/'approx' (single-pass selection).
+    """
+
+    def __init__(self, embedder, index, batch_size: int = 1280,
+                 k: int = 100, timer: Optional[StageTimer] = None,
+                 compact_transfer: bool = True):
+        super().__init__(embedder, index, batch_size=batch_size, k=k,
+                         timer=timer)
+        from viquae_tpu.ops import mips
+        import jax
+        import jax.numpy as jnp
+
+        sel_mode = "approx" if index.mode == "approx" else "exact"
+        packed_apply = embedder._forward  # jitted packed forward
+        # the tunneled link serializes transfers with compute, so bytes on
+        # the wire are throughput: ship the canvas as int16/int8 (token ids
+        # < 32768, positions/segments < 128) and the scores as bf16-bitcast
+        # int16; widen/bitcast back on device.
+        self.compact = compact_transfer
+
+        @jax.jit
+        def _retrieve(params, ids, seg, pos, cr, cc, matrix):
+            q = packed_apply(
+                params, ids.astype(jnp.int32), seg.astype(jnp.int32),
+                pos.astype(jnp.int32), cr.astype(jnp.int32),
+                cc.astype(jnp.int32),
+            )
+            scores, idx = mips.topk_global(
+                q.astype(index.dtype), matrix, k,
+                valid_rows=jnp.int32(index.n), compute_dtype=index.dtype,
+                mode=sel_mode,
+            )
+            scores16 = jax.lax.bitcast_convert_type(
+                scores.astype(jnp.bfloat16), jnp.int16
+            )
+            return scores16, idx.astype(jnp.int32)
+
+        self._retrieve = _retrieve
+
+    def _upload(self, p):
+        import jax.numpy as jnp
+
+        if self.compact:
+            if p.input_ids.max(initial=0) >= 2 ** 15:
+                raise ValueError("compact_transfer requires token ids < 32768")
+            return (
+                jnp.asarray(p.input_ids.astype(np.int16)),
+                jnp.asarray(p.segment_ids.astype(np.int8)),
+                jnp.asarray(p.position_ids.astype(np.int8)),
+                jnp.asarray(p.cls_rows.astype(np.int16)),
+                jnp.asarray(p.cls_cols.astype(np.int8)),
+            )
+        return (
+            jnp.asarray(p.input_ids), jnp.asarray(p.segment_ids),
+            jnp.asarray(p.position_ids),
+            jnp.asarray(p.cls_rows), jnp.asarray(p.cls_cols),
+        )
+
+    def run_device(self, queries: List[str]) -> List[Tuple[int, object, object]]:
+        """Device-handoff retrieval: returns [(start, scores16_dev,
+        idx_dev)] per batch WITHOUT pulling results to host — the
+        deployment-shaped path when retrieval feeds the on-device reader
+        (interact/system.py); only the final consumer pays a transfer.
+        Host tokenize+pack runs in a prefetch thread so device compute is
+        the critical path."""
+        emb = self.embed_fn
+
+        def stream():
+            for start, chunk in self._batches(queries):
+                with self.timer.stage("tokenize+pack+dispatch"):
+                    res = self._retrieve(emb.params,
+                                         *self._upload(emb.pack(list(chunk))),
+                                         self.index.matrix)
+                yield start, res[0], res[1]
+
+        return list(PrefetchIterable(stream(), buffer_size=2))
+
+    def run_arrays(self, queries: List[str]
+                   ) -> Tuple[np.ndarray, np.ndarray]:
+        import ml_dtypes
+
+        n = len(queries)
+        scores_out = np.empty((n, self.k), np.float32)
+        idx_out = np.empty((n, self.k), np.int64)
+        emb = self.embed_fn
+
+        def canvas_stream():
+            for start, chunk in self._batches(queries):
+                with self.timer.stage("tokenize+pack+dispatch"):
+                    p = emb.pack(list(chunk))
+                    scores16, idx = self._retrieve(
+                        emb.params, *self._upload(p), self.index.matrix
+                    )
+                    for arr in (scores16, idx):
+                        if hasattr(arr, "copy_to_host_async"):
+                            arr.copy_to_host_async()
+                yield start, len(chunk), scores16, idx
+
+        pending: deque = deque()
+
+        def drain():
+            start, n_real, scores16, idx = pending.popleft()
+            with self.timer.stage("drain_to_host"):
+                scores_out[start: start + n_real] = (
+                    np.asarray(scores16)[:n_real]
+                    .view(ml_dtypes.bfloat16).astype(np.float32)
+                )
+                idx_out[start: start + n_real] = np.asarray(idx)[:n_real]
+
+        for item in PrefetchIterable(canvas_stream(), buffer_size=2):
+            pending.append(item)
+            if len(pending) > 1:
+                drain()
+        while pending:
+            drain()
+        return scores_out, idx_out
