@@ -1,9 +1,10 @@
 """2-D projection maps of embedding columns (role of meerqat/viz/umap.py).
 
 The reference projects embedding columns with UMAP and plots with bokeh;
-neither is in this environment, so projection uses PCA or t-SNE (sklearn)
-and plots with matplotlib — same artifact: a labeled 2-D scatter of an
-embedding column, saved to PNG/HTML.
+bokeh is absent from this environment, so plots use matplotlib. Projection
+methods: "umap" (the in-repo from-scratch UMAP, viz/umap.py), "pca", or
+"tsne" — same artifact: a labeled 2-D scatter of an embedding column,
+saved to PNG/HTML.
 """
 from __future__ import annotations
 
@@ -29,6 +30,10 @@ def project(embeddings: np.ndarray, method: str = "pca", seed: int = 42,
         return TSNE(
             n_components=2, random_state=seed, init="pca", **kwargs
         ).fit_transform(embeddings)
+    if method == "umap":
+        from viquae_tpu.viz import umap as umap_lib
+
+        return umap_lib.umap_embed(embeddings, seed=seed, **kwargs)
     raise ValueError(f"Unknown projection method {method!r}")
 
 
