@@ -87,12 +87,23 @@ def _select_topk(scores: jnp.ndarray, k: int, mode: str):
     if mode not in ("exact", "fast", "global", "approx"):
         raise ValueError(f"unknown top-k mode {mode!r}; "
                          "expected exact|fast|global|approx")
-    if mode == "exact" or width % _SEG or width // _SEG < 2:
+    if mode == "exact" or width < 2 * _SEG:
         return jax.lax.top_k(scores, k)
     if mode == "approx":
         return jax.lax.approx_max_k(scores, k, aggregate_to_topk=True)
     if mode != "fast":
         raise ValueError(f"Unknown top-k mode {mode!r}")
+    pad = (-width) % _SEG
+    if pad:
+        # pad to lane width with NEG_INF rather than falling back to the
+        # full-sort top_k (topk_global's segment-max row has width
+        # n/128, rarely lane-aligned — the fallback silently cost ~15 ms
+        # per 1280x1.5M batch in round 1)
+        scores = jnp.concatenate([
+            scores,
+            jnp.full((q_count, pad), NEG_INF, scores.dtype),
+        ], axis=1)
+        width += pad
     n_seg = width // _SEG
     seg = scores.reshape(q_count, n_seg, _SEG)
     seg_max = seg.max(axis=2)
