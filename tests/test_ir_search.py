@@ -286,4 +286,4 @@ def test_retrieval_pipeline_streaming(devices):
         top = max(run[f"q{i}"].items(), key=lambda kv: kv[1])[0]
         assert top == str(i)
     report = pipeline.report()
-    assert report["search"]["count"] == 3  # ceil(10/4) batches
+    assert report["search_dispatch"]["count"] == 3  # ceil(10/4) batches
