@@ -136,6 +136,53 @@ def cmd_search(args):
     )
 
 
+def cmd_serve(args):
+    """Streaming retrieval over a query file (one query per line) with the
+    fused packed pipeline; writes a ranx-format run JSON."""
+    import json
+
+    import numpy as np
+    from transformers import AutoTokenizer
+
+    from viquae_tpu.core.config import get_pretrained
+    from viquae_tpu.ir.embedding import PackedTextEmbedder
+    from viquae_tpu.ir.serving import FusedRetrievalPipeline
+    from viquae_tpu.ops import mips
+
+    config = load_config(args.config)
+    model = get_pretrained(**config.pop("model"))
+    tokenizer = AutoTokenizer.from_pretrained(config.pop("tokenizer"))
+    from viquae_tpu.models import dpr as dpr_lib
+
+    embedder = PackedTextEmbedder(
+        dpr_lib.make_packed_apply(model.cfg), model.params, tokenizer,
+        row_len=config.pop("row_len", 64),
+        batch_size=args.batch,
+    )
+    index_cfg = config.pop("index")
+    if "load" in index_cfg:
+        index = mips.DenseIndex.load(index_cfg["load"],
+                                     mode=index_cfg.get("mode", "global"))
+    else:
+        from datasets import load_from_disk
+
+        kb = load_from_disk(index_cfg["dataset"])
+        index = mips.DenseIndex(
+            np.asarray(kb[index_cfg["column"]], np.float32),
+            do_l2norm=index_cfg.get("do_l2norm", False),
+            mode=index_cfg.get("mode", "global"),
+        )
+    pipeline = FusedRetrievalPipeline(embedder, index,
+                                      batch_size=args.batch, k=args.k)
+    with open(args.queries) as f:
+        queries = [line.rstrip("\n") for line in f if line.strip()]
+    ids = [str(i) for i in range(len(queries))]
+    run = pipeline.run(ids, queries)
+    run.save(args.output)
+    print(json.dumps({"queries": len(queries),
+                      "stages": pipeline.report()}))
+
+
 def cmd_fuse(args):
     from viquae_tpu.ir.fuse import Fusion
 
@@ -343,6 +390,14 @@ def main(argv=None):
     p.add_argument("--k", type=int, default=100)
     p.add_argument("--metrics")
     p.set_defaults(fn=cmd_search)
+
+    p = sub.add_parser("serve", help="streaming packed retrieval over a "
+                                     "query file -> run JSON")
+    p.add_argument("queries"), _add_config_positional(p)
+    p.add_argument("output")
+    p.add_argument("--k", type=int, default=100)
+    p.add_argument("--batch", type=int, default=1280)
+    p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("fuse", help="late fusion fit/test")
     p.add_argument("subcommand", choices=["fit", "test"])
