@@ -434,3 +434,14 @@ def test_gazetteer_placeholder_integration():
     kilt2vqa.item2placeholder(item, ner_fn=gaz)
     assert item["placeholder"][0]["input"] == "Who wrote {mention}?"
     assert item["placeholder"][0]["entity"]["text"] == "the opera Carmen"
+
+
+def test_gazetteer_sentence_initial_determiner():
+    gaz = kilt2vqa.GazetteerNER(["Carmen"], backoff_capitalized=False)
+    spans = gaz("The opera Carmen premiered in 1875?")
+    assert [s[0] for s in spans] == ["The opera Carmen"]
+
+
+def test_bem_scoring_function_rejects_non_callable():
+    with pytest.raises(TypeError, match="callable"):
+        evqa.initialize_bem_scoring_function("https://tfhub.dev/bem")

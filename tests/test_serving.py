@@ -92,3 +92,85 @@ def test_fused_pipeline_parity_and_device_handoff(setup):
 
     with pytest.raises(ValueError):
         pipe._upload(FakePack())
+
+
+def test_fused_pipeline_rejects_chunked_modes(setup):
+    tok, cfg, params, queries, kb = setup
+    emb = PackedTextEmbedder(dpr.make_packed_apply(cfg), params, tok,
+                             row_len=32, batch_size=64,
+                             compute_dtype=jnp.float32)
+    index = mips.DenseIndex(kb, mode="fast")
+    with pytest.raises(ValueError, match="single-pass"):
+        FusedRetrievalPipeline(emb, index, batch_size=64, k=10)
+
+
+def test_fused_pipeline_l2norm_scores_match_search_batch(setup):
+    """do_l2norm indexes must score COSINE in the fused path too (the
+    fused program normalizes the query like search_batch does)."""
+    tok, cfg, params, queries, kb = setup
+    emb = PackedTextEmbedder(dpr.make_packed_apply(cfg), params, tok,
+                             row_len=32, batch_size=64,
+                             compute_dtype=jnp.float32)
+    index = mips.DenseIndex(kb, do_l2norm=True, mode="global")
+    pipe = FusedRetrievalPipeline(emb, index, batch_size=64, k=5)
+    scores, idx = pipe.run_arrays(queries[:64])
+    ref_s, ref_i = index.search_batch(emb(queries[:64]), k=5)
+    np.testing.assert_array_equal(idx, ref_i[: len(idx)])
+    # scores agree up to the bf16 wire format
+    np.testing.assert_allclose(scores, ref_s[: len(scores)],
+                               rtol=1e-2, atol=1e-2)
+
+
+def test_pipeline_k_clamped_to_index_size(setup):
+    tok, cfg, params, queries, kb = setup
+    emb = PackedTextEmbedder(dpr.make_packed_apply(cfg), params, tok,
+                             row_len=32, batch_size=64,
+                             compute_dtype=jnp.float32)
+    small = mips.DenseIndex(kb[:7], mode="global")
+    pipe = RetrievalPipeline(emb, small, batch_size=64, k=100)
+    scores, idx = pipe.run_arrays(queries[:10])
+    assert scores.shape == (10, 7)
+    fused = FusedRetrievalPipeline(emb, small, batch_size=64, k=100)
+    s2, i2 = fused.run_arrays(queries[:10])
+    assert s2.shape == (10, 7)
+    np.testing.assert_array_equal(idx, i2)
+
+
+def test_compact_transfer_wide_rows_use_int16():
+    """row_len > 127 must widen position/column wire dtypes (silent int8
+    wraparound would corrupt position embeddings)."""
+    import tempfile, os
+    from transformers import BertTokenizerFast
+
+    td = tempfile.mkdtemp()
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + [
+        f"w{i}" for i in range(300)
+    ]
+    open(os.path.join(td, "vocab.txt"), "w").write("\n".join(vocab))
+    tok = BertTokenizerFast(vocab_file=os.path.join(td, "vocab.txt"))
+
+    cfg = dpr.DPRConfig(bert=bert.BertConfig(
+        vocab_size=400, hidden_size=32, num_hidden_layers=1,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=256, add_pooler=False,
+    ))
+    params = dpr.init(jax.random.key(0), cfg)
+    emb = PackedTextEmbedder(dpr.make_packed_apply(cfg), params, tok,
+                             row_len=200, batch_size=8,
+                             compute_dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    kb = rng.normal(size=(500, 32)).astype(np.float32)
+    index = mips.DenseIndex(kb, mode="global")
+    pipe = FusedRetrievalPipeline(emb, index, batch_size=8, k=5)
+    assert pipe._pos_dtype == np.int16
+    # one long query (> 127 tokens) round-trips correctly
+    queries = [" ".join(f"w{j % 300}" for j in range(180)) for _ in range(8)]
+    scores, idx = pipe.run_arrays(queries)
+    enc = tok(queries, padding="max_length", truncation=True, max_length=200,
+              return_tensors="np")
+    ref_q = np.asarray(dpr.apply(
+        params, cfg, jnp.asarray(enc["input_ids"].astype(np.int32)),
+        jnp.asarray(enc["attention_mask"].astype(np.int32)),
+        deterministic=True)["pooler_output"])
+    ref_idx = np.argsort(-(ref_q @ kb.T), axis=1, kind="stable")[:, :5]
+    np.testing.assert_array_equal(idx, ref_idx)

@@ -325,3 +325,35 @@ def test_step_indexed_resume_is_o1(biencoder_setup, devices, tmp_path):
     l1 = [h["loss"] for h in out1["history"] if "loss" in h][-10:]
     l3 = [h["loss"] for h in out3["history"] if "loss" in h]
     np.testing.assert_allclose(l1, l3, rtol=1e-4)
+
+
+def test_grad_accum_divisibility_error(devices):
+    import optax
+
+    cfg = dpr.DPRConfig(bert=bert.BertConfig(**TINY))
+    params = dpr.init(jax.random.key(0), cfg)
+
+    def loss_fn(p, b, r):
+        out = dpr.apply(p, cfg, b["ids"], deterministic=True)["pooler_output"]
+        return jnp.mean(out ** 2), {}
+
+    ctx = meshlib.make_mesh(data=8)
+    with meshlib.use(ctx):
+        t = Trainer(loss_fn, params, optax.sgd(0.1),
+                    TrainerConfig(max_steps=1, grad_accum=3, log_every=0),
+                    mesh_ctx=ctx)
+        batch = {"ids": np.ones((16, 8), np.int32)}  # 16 % 3 != 0
+        with pytest.raises(ValueError, match="divisible"):
+            t.fit([batch])
+
+
+def test_step_indexed_batches_small_dataset_fills_batch():
+    from viquae_tpu.train.data import step_indexed_batches
+
+    dataset = list(range(10))
+    src = step_indexed_batches(
+        dataset, lambda items: np.asarray(items), batch_size=32, seed=0)
+    for step in range(3):
+        batch = src(step)
+        assert batch.shape == (32,)
+        assert set(batch.tolist()) == set(range(10))

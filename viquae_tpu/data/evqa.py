@@ -104,6 +104,13 @@ def initialize_bem_scoring_function(
         raise ValueError(
             "pass scorer=models.bem.BEMScorer(params=..., tokenizer=...)"
         )
+    if not callable(scorer):
+        # catch legacy positional calls like (model_url) immediately instead
+        # of failing at the first scored example
+        raise TypeError(
+            f"scorer must be callable (e.g. models.bem.BEMScorer), got "
+            f"{type(scorer).__name__}; pass TF-hub URLs via model_url="
+        )
 
     def score_example(example: dict, threshold_score: bool = True):
         if not example.get("reference"):
@@ -124,11 +131,8 @@ def encyclopedic_vqa_evaluation_function(example: dict,
     first; only when EM fails fall back to BEM (for single-answer
     questions EM is strictly stricter than BEM, so this equals pure BEM
     but much faster)."""
-    try:
-        if evaluate_example(example, exact_match_scoring_function):
-            return 1.0
-    except ValueError:
-        raise
+    if evaluate_example(example, exact_match_scoring_function):
+        return 1.0
     return float(bem_scoring_function(example))
 
 

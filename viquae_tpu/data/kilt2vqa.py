@@ -167,16 +167,18 @@ class GazetteerNER:
             if self.expand:
                 # swallow a preceding determiner phrase of lowercase words:
                 # "the opera Carmen" -> the whole phrase, like the
-                # reference's left_edge expansion over syntactic children
+                # reference's left_edge expansion over syntactic children.
+                # Case-insensitive and j >= 0 so sentence-initial "The
+                # opera Carmen ..." expands too.
                 j = first - 1
-                while (j > 0 and tokens[j][0].islower()
+                while (j >= 0 and tokens[j][0].islower()
                        and first - j <= 3
-                       and tokens[j][0] not in self._DETERMINERS
-                       and tokens[j][0] not in self._PREPOSITIONS):
+                       and tokens[j][0].lower() not in self._DETERMINERS
+                       and tokens[j][0].lower() not in self._PREPOSITIONS):
                     j -= 1
-            if self.expand and j > 0 and tokens[j][0] in self._DETERMINERS \
-                    and first - j <= 3:
-                start = tokens[j][1]
+                if (j >= 0 and first - j <= 3
+                        and tokens[j][0].lower() in self._DETERMINERS):
+                    start = tokens[j][1]
             spans.append((text[start:end], start, end,
                           self.entries[tuple(lower[first: last + 1])]))
             i = last + 1

@@ -42,12 +42,25 @@ class RetrievalPipeline:
         self.embed_fn = embed_fn
         self.index = index
         self.batch_size = batch_size
-        self.k = k
+        # search_batch clamps k to the index size; clamp here too so the
+        # preallocated output arrays match what the index can return
+        self.k = min(k, index.n) if hasattr(index, "n") else k
         self.timer = timer or StageTimer("retrieval")
 
     def _batches(self, queries: List[str]):
         for start in range(0, len(queries), self.batch_size):
             yield start, queries[start: start + self.batch_size]
+
+    def _drain_lagged(self, stream, drain_one):
+        """Consume a prefetched stream keeping one batch pending: the host
+        sync of batch i runs while the device computes batch i+1."""
+        pending: deque = deque()
+        for item in PrefetchIterable(stream, buffer_size=2):
+            pending.append(item)
+            if len(pending) > 1:
+                drain_one(pending.popleft())
+        while pending:
+            drain_one(pending.popleft())
 
     def run_arrays(self, queries: List[str]
                    ) -> Tuple[np.ndarray, np.ndarray]:
@@ -58,42 +71,33 @@ class RetrievalPipeline:
         scores_out = np.empty((n, self.k), np.float32)
         idx_out = np.empty((n, self.k), np.int64)
 
-        def tokenized_stream():
+        def stream():
             for start, chunk in self._batches(queries):
                 with self.timer.stage("tokenize+embed_dispatch"):
                     embeddings = self.embed_fn(list(chunk))
-                yield start, len(chunk), embeddings
+                with self.timer.stage("search_dispatch"):
+                    # device arrays pass straight through; sync=False keeps
+                    # the results on device so this returns at dispatch time
+                    scores, indices = self.index.search_batch(
+                        embeddings, k=self.k, sync=False
+                    )
+                    # start the device->host copies NOW so they overlap the
+                    # next batch's compute (a blocking np.asarray of ~1MB
+                    # over the tunneled link costs ~as much as the search)
+                    for arr in (scores, indices):
+                        if hasattr(arr, "copy_to_host_async"):
+                            arr.copy_to_host_async()
+                yield start, len(chunk), scores, indices
 
-        pending: deque = deque()
-
-        def drain():
-            start, n_real, scores, indices = pending.popleft()
+        def drain_one(item):
+            start, n_real, scores, indices = item
             with self.timer.stage("drain_to_host"):
                 scores_out[start: start + n_real] = np.asarray(
                     scores
                 )[:n_real]
                 idx_out[start: start + n_real] = np.asarray(indices)[:n_real]
 
-        for start, n_real, embeddings in PrefetchIterable(
-            tokenized_stream(), buffer_size=2
-        ):
-            with self.timer.stage("search_dispatch"):
-                # device arrays pass straight through; sync=False keeps the
-                # results on device so this returns at dispatch time
-                scores, indices = self.index.search_batch(
-                    embeddings, k=self.k, sync=False
-                )
-                # start the device->host copies NOW so they overlap the next
-                # batch's compute (a blocking np.asarray of ~1MB over the
-                # tunneled link costs ~as much as the search itself)
-                for arr in (scores, indices):
-                    if hasattr(arr, "copy_to_host_async"):
-                        arr.copy_to_host_async()
-            pending.append((start, n_real, scores, indices))
-            if len(pending) > 1:
-                drain()  # batch i-1 syncs while batch i computes
-        while pending:
-            drain()
+        self._drain_lagged(stream(), drain_one)
         return scores_out, idx_out
 
     def run(self, query_ids: List[str], queries: List[str]) -> Run:
@@ -116,14 +120,16 @@ class RetrievalPipeline:
 
 class FusedRetrievalPipeline(RetrievalPipeline):
     """Single-dispatch serving: tokenize+pack on host, then ONE jitted
-    program does packed embed -> MIPS -> bitcast-packed (2, B, k) int32
-    output (scores bitcast to int32, stacked with indices) so each batch
-    costs exactly one host->device upload, one XLA dispatch and one
+    program does packed embed -> (optional L2norm) -> single-pass MIPS ->
+    compact outputs (scores bitcast to int16 bf16, int32 indices), so each
+    batch costs exactly one host->device upload, one XLA dispatch and one
     device->host download over the tunneled link. This is the bench
     protocol (bench.py) plus real result delivery.
 
     embedder: ir.embedding.PackedTextEmbedder; index: ops.mips.DenseIndex
-    with mode 'global'/'approx' (single-pass selection).
+    with mode 'global' or 'approx' (the single-pass selections — chunked
+    'fast'/'exact' indexes must use the base RetrievalPipeline, which
+    routes through search_batch's HBM-size guard).
     """
 
     def __init__(self, embedder, index, batch_size: int = 1280,
@@ -135,13 +141,37 @@ class FusedRetrievalPipeline(RetrievalPipeline):
         import jax
         import jax.numpy as jnp
 
+        if index.mode not in ("global", "approx"):
+            raise ValueError(
+                f"FusedRetrievalPipeline requires a single-pass index mode "
+                f"('global'/'approx'), got {index.mode!r} — use "
+                "RetrievalPipeline for chunked modes"
+            )
         sel_mode = "approx" if index.mode == "approx" else "exact"
         packed_apply = embedder._forward  # jitted packed forward
+        k_clamped = self.k
+
         # the tunneled link serializes transfers with compute, so bytes on
-        # the wire are throughput: ship the canvas as int16/int8 (token ids
-        # < 32768, positions/segments < 128) and the scores as bf16-bitcast
-        # int16; widen/bitcast back on device.
+        # the wire are throughput. Wire dtypes are chosen ONCE from static
+        # bounds (one compiled shape, no silent overflow): canvas positions/
+        # columns/segment ids are bounded by row_len, cls rows by the
+        # canvas height, token ids by the tokenizer vocab.
         self.compact = compact_transfer
+        row_len = getattr(embedder, "row_len", 1 << 14)
+        small_row = row_len <= 127
+        self._pos_dtype = np.int8 if small_row else np.int16
+        max_rows = max(batch_size, getattr(embedder, "fixed_rows", 0) or 0)
+        self._row_dtype = np.int16 if max_rows <= 32767 else np.int32
+        vocab = None
+        tok = getattr(embedder, "tokenizer", None)
+        if tok is not None:
+            try:
+                vocab = len(tok)
+            except TypeError:
+                vocab = getattr(tok, "vocab_size", None)
+        self._ids_dtype = (
+            np.int16 if vocab is not None and vocab <= 32767 else np.int32
+        )
 
         @jax.jit
         def _retrieve(params, ids, seg, pos, cr, cc, matrix):
@@ -150,8 +180,12 @@ class FusedRetrievalPipeline(RetrievalPipeline):
                 pos.astype(jnp.int32), cr.astype(jnp.int32),
                 cc.astype(jnp.int32),
             )
+            q = q.astype(index.dtype)
+            if index.do_l2norm:
+                # match search_batch's cosine contract ("L2norm,Flat")
+                q = mips.l2_normalize(q)
             scores, idx = mips.topk_global(
-                q.astype(index.dtype), matrix, k,
+                q, matrix, k_clamped,
                 valid_rows=jnp.int32(index.n), compute_dtype=index.dtype,
                 mode=sel_mode,
             )
@@ -165,21 +199,33 @@ class FusedRetrievalPipeline(RetrievalPipeline):
     def _upload(self, p):
         import jax.numpy as jnp
 
-        if self.compact:
-            if p.input_ids.max(initial=0) >= 2 ** 15:
-                raise ValueError("compact_transfer requires token ids < 32768")
+        if not self.compact:
             return (
-                jnp.asarray(p.input_ids.astype(np.int16)),
-                jnp.asarray(p.segment_ids.astype(np.int8)),
-                jnp.asarray(p.position_ids.astype(np.int8)),
-                jnp.asarray(p.cls_rows.astype(np.int16)),
-                jnp.asarray(p.cls_cols.astype(np.int8)),
+                jnp.asarray(p.input_ids), jnp.asarray(p.segment_ids),
+                jnp.asarray(p.position_ids),
+                jnp.asarray(p.cls_rows), jnp.asarray(p.cls_cols),
             )
+        if (self._ids_dtype == np.int16
+                and p.input_ids.max(initial=0) >= 2 ** 15):
+            raise ValueError("compact_transfer saw a token id >= 32768 from "
+                             "a tokenizer that reported a smaller vocab")
         return (
-            jnp.asarray(p.input_ids), jnp.asarray(p.segment_ids),
-            jnp.asarray(p.position_ids),
-            jnp.asarray(p.cls_rows), jnp.asarray(p.cls_cols),
+            jnp.asarray(p.input_ids.astype(self._ids_dtype)),
+            jnp.asarray(p.segment_ids.astype(self._pos_dtype)),
+            jnp.asarray(p.position_ids.astype(self._pos_dtype)),
+            jnp.asarray(p.cls_rows.astype(self._row_dtype)),
+            jnp.asarray(p.cls_cols.astype(self._pos_dtype)),
         )
+
+    def _canvas_stream(self, queries):
+        emb = self.embed_fn
+        for start, chunk in self._batches(queries):
+            with self.timer.stage("tokenize+pack+dispatch"):
+                scores16, idx = self._retrieve(
+                    emb.params, *self._upload(emb.pack(list(chunk))),
+                    self.index.matrix,
+                )
+            yield start, len(chunk), scores16, idx
 
     def run_device(self, queries: List[str]) -> List[Tuple[int, object, object]]:
         """Device-handoff retrieval: returns [(start, scores16_dev,
@@ -188,17 +234,12 @@ class FusedRetrievalPipeline(RetrievalPipeline):
         (interact/system.py); only the final consumer pays a transfer.
         Host tokenize+pack runs in a prefetch thread so device compute is
         the critical path."""
-        emb = self.embed_fn
-
-        def stream():
-            for start, chunk in self._batches(queries):
-                with self.timer.stage("tokenize+pack+dispatch"):
-                    res = self._retrieve(emb.params,
-                                         *self._upload(emb.pack(list(chunk))),
-                                         self.index.matrix)
-                yield start, res[0], res[1]
-
-        return list(PrefetchIterable(stream(), buffer_size=2))
+        return [
+            (start, scores16, idx)
+            for start, _, scores16, idx in PrefetchIterable(
+                self._canvas_stream(queries), buffer_size=2
+            )
+        ]
 
     def run_arrays(self, queries: List[str]
                    ) -> Tuple[np.ndarray, np.ndarray]:
@@ -207,24 +248,16 @@ class FusedRetrievalPipeline(RetrievalPipeline):
         n = len(queries)
         scores_out = np.empty((n, self.k), np.float32)
         idx_out = np.empty((n, self.k), np.int64)
-        emb = self.embed_fn
 
-        def canvas_stream():
-            for start, chunk in self._batches(queries):
-                with self.timer.stage("tokenize+pack+dispatch"):
-                    p = emb.pack(list(chunk))
-                    scores16, idx = self._retrieve(
-                        emb.params, *self._upload(p), self.index.matrix
-                    )
-                    for arr in (scores16, idx):
-                        if hasattr(arr, "copy_to_host_async"):
-                            arr.copy_to_host_async()
-                yield start, len(chunk), scores16, idx
+        def stream():
+            for start, n_real, scores16, idx in self._canvas_stream(queries):
+                for arr in (scores16, idx):
+                    if hasattr(arr, "copy_to_host_async"):
+                        arr.copy_to_host_async()
+                yield start, n_real, scores16, idx
 
-        pending: deque = deque()
-
-        def drain():
-            start, n_real, scores16, idx = pending.popleft()
+        def drain_one(item):
+            start, n_real, scores16, idx = item
             with self.timer.stage("drain_to_host"):
                 scores_out[start: start + n_real] = (
                     np.asarray(scores16)[:n_real]
@@ -232,10 +265,5 @@ class FusedRetrievalPipeline(RetrievalPipeline):
                 )
                 idx_out[start: start + n_real] = np.asarray(idx)[:n_real]
 
-        for item in PrefetchIterable(canvas_stream(), buffer_size=2):
-            pending.append(item)
-            if len(pending) > 1:
-                drain()
-        while pending:
-            drain()
+        self._drain_lagged(stream(), drain_one)
         return scores_out, idx_out

@@ -151,8 +151,10 @@ def step_indexed_batches(dataset, collate_fn, batch_size: int, seed: int = 42,
                 [seed, epoch]
             ).permutation(n)
         idx = perm_cache[epoch][slot * batch_size: (slot + 1) * batch_size]
-        if len(idx) < batch_size:  # short tail epoch: wrap
-            idx = np.concatenate([idx, perm_cache[epoch][: batch_size - len(idx)]])
+        if len(idx) < batch_size:  # short tail / dataset smaller than batch
+            reps = -(-(batch_size - len(idx)) // n)
+            filler = np.tile(perm_cache[epoch], reps)[: batch_size - len(idx)]
+            idx = np.concatenate([idx, filler])
         items = [dataset[int(i)] for i in idx]
         if rng_owner is not None:
             rng_owner.rng = np.random.default_rng([seed, 1 + step])

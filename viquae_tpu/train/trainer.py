@@ -112,11 +112,17 @@ class Trainer:
                 # for batch-coupled losses (in-batch negatives) it has the
                 # standard smaller-negative-pool semantics, same as DDP+accum
                 # in the reference recipe (EXPERIMENTS.rst:274-279).
-                micro = jax.tree_util.tree_map(
-                    lambda x: x.reshape((accum, x.shape[0] // accum)
-                                        + x.shape[1:]),
-                    batch,
-                )
+                def to_micro(x):
+                    if x.shape[0] % accum:
+                        raise ValueError(
+                            f"grad_accum={accum} requires every batch "
+                            f"leading dim to be divisible by it, got "
+                            f"shape {x.shape}"
+                        )
+                    return x.reshape((accum, x.shape[0] // accum)
+                                     + x.shape[1:])
+
+                micro = jax.tree_util.tree_map(to_micro, batch)
                 rngs = jax.random.split(rng, accum)
                 params = state["params"]
                 zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
