@@ -208,6 +208,54 @@ def main():
     sync(out_r)
     reader_sps = n_q / ((time.time() - t0) / reps)
 
+    # ---- PACKED reader: same model, (question, passage) pairs at their
+    # REAL lengths — the reference's passages are exactly 100 tokenizer
+    # tokens (meerqat/data/loading.py:274-306), so a pair is ~125 tokens,
+    # not 256; many pairs share each canvas row (qa.reader_apply_packed,
+    # parity-tested in tests/test_packing.py)
+    pair_lens = np.clip(
+        np.round(rng.lognormal(np.log(18.0), 0.35, n_q * m_passages)),
+        8, 64,
+    ).astype(int) + 100 + 3
+    pair_seqs = [
+        rng.integers(1000, 10_000, size=int(l)).astype(np.int32)
+        for l in pair_lens
+    ]
+    rp = packing.pack_token_sequences(
+        pair_seqs, row_len=r_seq, pad_rows_to=16
+    )
+    tt = packing.pack_parallel(
+        rp, [np.r_[np.zeros(int(l) - 101, np.int32), np.ones(101, np.int32)]
+             for l in pair_lens]
+    )
+    g_idx, g_mask = packing.gather_indices(rp, r_seq)
+
+    @jax.jit
+    def reader_step_packed(params, ids, seg, pos, tt, g_idx, g_mask):
+        out = qa.reader_apply_packed(
+            params, rcfg, ids, seg, pos, tt, g_idx, g_mask,
+            m_passages=m_passages, deterministic=True,
+            compute_dtype=jnp.bfloat16,
+        )
+        start_p = jnp.exp(jax.nn.log_softmax(out.start_logits, -1)).reshape(
+            n_q, m_passages, r_seq
+        )
+        end_p = jnp.exp(jax.nn.log_softmax(out.end_logits, -1)).reshape(
+            n_q, m_passages, r_seq
+        )
+        return qa.get_best_spans(start_p, end_p)
+
+    rp_args = tuple(jnp.asarray(a) for a in (
+        rp.input_ids, rp.segment_ids, rp.position_ids, tt, g_idx, g_mask
+    ))
+    out_rp = reader_step_packed(r_params, *rp_args)
+    sync(out_rp)
+    t0 = time.time()
+    for _ in range(reps):
+        out_rp = reader_step_packed(r_params, *rp_args)
+    sync(out_rp)
+    reader_packed_sps = n_q / ((time.time() - t0) / reps)
+
     result = {
         "metric": "embed+search queries/sec over 1.5M-entity KB (1 chip, exact)",
         "value": round(qps, 1),
@@ -231,6 +279,11 @@ def main():
             "r_at_20_fp32_contract_262k_slice": round(overlap, 4),
             "reader_samples_per_sec": round(reader_sps, 2),
             "reader_vs_reference_v100": round(reader_sps / 2.505, 1),
+            "reader_packed_samples_per_sec": round(reader_packed_sps, 2),
+            "reader_packed_vs_reference_v100": round(
+                reader_packed_sps / 2.505, 1),
+            "reader_packed_canvas": f"{rp.rows}x{r_seq} density "
+                                    f"{packing.packing_efficiency(rp):.3f}",
         },
     }
     print(json.dumps(result))

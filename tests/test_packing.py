@@ -122,3 +122,124 @@ class TestPackedForwardParity:
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5
         )
+
+
+class TestPackedReader:
+    def test_packed_reader_matches_padded(self):
+        from viquae_tpu.models import qa
+
+        cfg = qa.ReaderConfig(bert=bert.BertConfig(
+            vocab_size=500, hidden_size=32, num_hidden_layers=2,
+            num_attention_heads=4, intermediate_size=64,
+            max_position_embeddings=64, add_pooler=False,
+        ))
+        params = qa.init(jax.random.key(0), cfg)
+        rng = np.random.default_rng(0)
+        n, m, L = 2, 2, 40
+        # (question, passage) pairs of varying total lengths with BERT A/B
+        # token types
+        seqs, types = [], []
+        for _ in range(n * m):
+            ql = rng.integers(4, 9)
+            pl = rng.integers(10, 24)
+            seqs.append(rng.integers(5, 500, ql + pl).astype(np.int32))
+            types.append(np.concatenate([
+                np.zeros(ql, np.int32), np.ones(pl, np.int32)
+            ]))
+
+        # padded reference
+        ids = np.zeros((n * m, L), np.int32)
+        mask = np.zeros((n * m, L), np.int32)
+        tts = np.zeros((n * m, L), np.int32)
+        for i, (s, t) in enumerate(zip(seqs, types)):
+            ids[i, : len(s)] = s
+            mask[i, : len(s)] = 1
+            tts[i, : len(s)] = t
+        ref = qa.reader_apply(
+            params, cfg, jnp.asarray(ids), jnp.asarray(mask),
+            token_type_ids=jnp.asarray(tts), m_passages=m,
+            deterministic=True,
+        )
+
+        p = packing.pack_token_sequences(seqs, row_len=48)
+        tt_canvas = packing.pack_parallel(p, types)
+        g_idx, g_mask = packing.gather_indices(p, L)
+        out = qa.reader_apply_packed(
+            params, cfg,
+            jnp.asarray(p.input_ids), jnp.asarray(p.segment_ids),
+            jnp.asarray(p.position_ids), jnp.asarray(tt_canvas),
+            jnp.asarray(g_idx), jnp.asarray(g_mask),
+            m_passages=m, deterministic=True,
+        )
+        got_start = np.asarray(out.start_logits)
+        ref_start = np.asarray(ref.start_logits)
+        got_end = np.asarray(out.end_logits)
+        ref_end = np.asarray(ref.end_logits)
+        real = mask.astype(bool)
+        np.testing.assert_allclose(got_start[real], ref_start[real],
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(got_end[real], ref_end[real],
+                                   rtol=1e-4, atol=1e-4)
+        # masked slots are large-negative (excluded from global softmax)
+        assert np.all(got_start[~real] < -1e29)
+
+    def test_packed_reader_loss_and_spans(self):
+        from viquae_tpu.models import qa
+        from viquae_tpu.train import optim
+
+        cfg = qa.ReaderConfig(bert=bert.BertConfig(
+            vocab_size=100, hidden_size=16, num_hidden_layers=1,
+            num_attention_heads=2, intermediate_size=32,
+            max_position_embeddings=32, add_pooler=False,
+        ))
+        params = qa.init(jax.random.key(1), cfg)
+        rng = np.random.default_rng(1)
+        n, m, L = 2, 2, 16
+        seqs = [rng.integers(5, 100, rng.integers(8, 14)).astype(np.int32)
+                for _ in range(n * m)]
+        p = packing.pack_token_sequences(seqs, row_len=32)
+        tts = packing.pack_parallel(p, [np.zeros_like(s) for s in seqs])
+        g_idx, g_mask = packing.gather_indices(p, L)
+        sp = rng.integers(1, 6, (n * m, 2)).astype(np.int32)
+        ep = sp + 1
+        am = np.ones((n * m, 2), np.int32)
+        out = qa.reader_apply_packed(
+            params, cfg,
+            jnp.asarray(p.input_ids), jnp.asarray(p.segment_ids),
+            jnp.asarray(p.position_ids), jnp.asarray(tts),
+            jnp.asarray(g_idx), jnp.asarray(g_mask),
+            start_positions=jnp.asarray(sp), end_positions=jnp.asarray(ep),
+            answer_mask=jnp.asarray(am), m_passages=m, deterministic=True,
+        )
+        assert np.isfinite(float(out.loss))
+        start_p = np.exp(np.asarray(out.start_log_probs)).reshape(n, m, L)
+        end_p = np.exp(np.asarray(out.end_log_probs)).reshape(n, m, L)
+        spans = qa.get_best_spans(jnp.asarray(start_p), jnp.asarray(end_p))
+        assert np.asarray(spans[0]).shape == (n,)
+
+
+def test_native_packer_matches_python():
+    """C++ FFD packer output is bit-identical to the pure-Python path."""
+    import os
+    from viquae_tpu.native.build import load_packer
+    from viquae_tpu.ops.packing import _native_pack
+
+    if load_packer() is None:
+        pytest.skip("native packer unavailable")
+    rng = np.random.default_rng(7)
+    for case in range(5):
+        seqs = make_seqs(rng, int(rng.integers(3, 60)), lo=2, hi=40)
+        for kwargs in ({}, {"n_rows": 64, "n_cls": 80},
+                       {"pad_rows_to": 1}, {"pad_token_id": 9}):
+            native = packing.pack_token_sequences(seqs, row_len=32, **kwargs)
+            os.environ["VIQUAE_NO_NATIVE"] = "1"
+            try:
+                pure = packing.pack_token_sequences(seqs, row_len=32, **kwargs)
+            finally:
+                del os.environ["VIQUAE_NO_NATIVE"]
+            for field in ("input_ids", "segment_ids", "position_ids",
+                          "cls_rows", "cls_cols"):
+                np.testing.assert_array_equal(
+                    getattr(native, field), getattr(pure, field), err_msg=field
+                )
+            assert native.n_seqs == pure.n_seqs

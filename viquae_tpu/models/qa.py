@@ -98,6 +98,77 @@ def reader_apply(
     )
 
 
+def reader_apply_packed(
+    params,
+    cfg: ReaderConfig,
+    input_ids: jnp.ndarray,          # (R, Lc) packed canvas
+    segment_ids: jnp.ndarray,        # (R, Lc) packing segments (0 = pad)
+    position_ids: jnp.ndarray,       # (R, Lc)
+    token_type_ids: jnp.ndarray,     # (R, Lc) BERT A/B types on the canvas
+    gather_idx: jnp.ndarray,         # (N*M, L) flat canvas positions
+    gather_mask: jnp.ndarray,        # (N*M, L) real-token mask
+    passage_scores: Optional[jnp.ndarray] = None,
+    start_positions: Optional[jnp.ndarray] = None,
+    end_positions: Optional[jnp.ndarray] = None,
+    answer_mask: Optional[jnp.ndarray] = None,
+    m_passages: int = 24,
+    deterministic: bool = True,
+    rng=None,
+    compute_dtype=jnp.float32,
+) -> ReaderOutput:
+    """Packed Multi-passage BERT: (question, passage) pairs packed many-
+    per-row onto one canvas (ops/packing.py — the reference's passages are
+    exactly 100 tokenizer tokens, data/loading.py:274-306, so a ~125-token
+    pair padded to 256 wastes >2x encoder FLOPs). Canvas logits are
+    gathered back to the reference's (N*M, L) layout via
+    packing.gather_indices; invalid slots get a large negative logit so
+    the global softmax across each question's M passages ignores them
+    (the padded path instead includes pad-token logits — a documented,
+    strictly-cleaner divergence).
+    """
+    sequence = bert.apply(
+        params["bert"], cfg.bert, input_ids,
+        token_type_ids=token_type_ids,
+        position_ids=position_ids,
+        segment_ids=segment_ids,
+        deterministic=deterministic, rng=rng,
+        compute_dtype=compute_dtype,
+    )["last_hidden_state"]                       # (R, Lc, D)
+    logits = L.dense(params["qa_outputs"], sequence)  # (R, Lc, 2)
+    flat = logits.reshape(-1, 2)
+    picked = flat[gather_idx]                    # (N*M, L, 2)
+    neg = jnp.asarray(-1e30, picked.dtype)
+    start_logits = jnp.where(gather_mask, picked[..., 0], neg)
+    end_logits = jnp.where(gather_mask, picked[..., 1], neg)
+
+    if cfg.fuse_ir_score:
+        assert passage_scores is not None
+        fused = (
+            passage_scores[:, None] @ params["score_proj_w"]
+            + params["score_proj_b"]
+        )
+        start_logits = jnp.where(gather_mask, start_logits + fused, neg)
+        end_logits = jnp.where(gather_mask, end_logits + fused, neg)
+
+    loss = start_lp = end_lp = None
+    if start_positions is not None and end_positions is not None:
+        nm = start_logits.shape[0]
+        loss, start_lp, end_lp = multi_passage_rc_loss(
+            start_logits, end_logits,
+            start_positions.reshape(nm, -1),
+            end_positions.reshape(nm, -1),
+            answer_mask.reshape(nm, -1),
+            m_passages=m_passages,
+        )
+    return ReaderOutput(
+        loss=loss,
+        start_logits=start_logits,
+        end_logits=end_logits,
+        start_log_probs=start_lp,
+        end_log_probs=end_lp,
+    )
+
+
 def eca_reader_init(key, mm_cfg) -> Dict[str, Any]:
     """MultiPassageECA (parity models/qa.py:184-241): the multi-passage
     reader with an ECA multimodal backbone."""

@@ -91,3 +91,29 @@ def load_bm25_scorer():
         ndpointer(np.int32, flags="C_CONTIGUOUS"),    # out_counts
     ]
     return fn
+
+
+def load_packer():
+    """ctypes handle to pack_sequences, or None (fallback to numpy)."""
+    lib = _load("packer")
+    if lib is None:
+        return None
+    import numpy as np
+    from numpy.ctypeslib import ndpointer
+
+    fn = lib.pack_sequences
+    fn.restype = ctypes.c_int64
+    fn.argtypes = [
+        ndpointer(np.int32, flags="C_CONTIGUOUS"),    # tokens (concat)
+        ndpointer(np.int64, flags="C_CONTIGUOUS"),    # offsets (n+1)
+        ctypes.c_int64,                               # n_seqs
+        ctypes.c_int64,                               # row_len
+        ctypes.c_int64,                               # max_rows
+        ndpointer(np.int32, flags="C_CONTIGUOUS"),    # input_ids
+        ndpointer(np.int32, flags="C_CONTIGUOUS"),    # segment_ids
+        ndpointer(np.int32, flags="C_CONTIGUOUS"),    # position_ids
+        ndpointer(np.int32, flags="C_CONTIGUOUS"),    # cls_rows
+        ndpointer(np.int32, flags="C_CONTIGUOUS"),    # cls_cols
+        ndpointer(np.int64, flags="C_CONTIGUOUS"),    # rows_used_out
+    ]
+    return fn

@@ -17,7 +17,7 @@ Pure-host packer (numpy); the device side lives in
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Sequence
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -67,6 +67,11 @@ def pack_token_sequences(
     """
     lengths = np.array([min(len(s), row_len) for s in seqs], dtype=np.int64)
     n = len(seqs)
+    if n > 0:
+        native = _native_pack(seqs, lengths, row_len, n_rows, n_cls,
+                              pad_rows_to, pad_token_id)
+        if native is not None:
+            return native
     order = np.argsort(-lengths, kind="stable")  # longest first
 
     # first-fit-decreasing over per-row remaining capacity
@@ -123,6 +128,101 @@ def pack_token_sequences(
     )
 
 
+def _native_pack(seqs, lengths, row_len, n_rows, n_cls, pad_rows_to,
+                 pad_token_id) -> Optional[PackedBatch]:
+    """C++ FFD packer fast path (native/packer.cpp) — bit-identical to the
+    Python algorithm below; returns None when the native lib is absent
+    (VIQUAE_NO_NATIVE=1 or g++ unavailable)."""
+    from viquae_tpu.native.build import load_packer
+
+    fn = load_packer()
+    if fn is None:
+        return None
+    n = len(seqs)
+    offsets = np.zeros(n + 1, np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    tokens = np.empty(int(offsets[-1]), np.int32)
+    for i, s in enumerate(seqs):
+        tokens[offsets[i]: offsets[i + 1]] = np.asarray(
+            s[: int(lengths[i])], np.int32
+        )
+    max_rows = n  # worst case: one sequence per row
+    input_ids = np.full((max_rows, row_len), pad_token_id, np.int32)
+    segment_ids = np.zeros((max_rows, row_len), np.int32)
+    position_ids = np.zeros((max_rows, row_len), np.int32)
+    cls_rows = np.zeros(max(n_cls or n, n), np.int32)
+    cls_cols = np.zeros(max(n_cls or n, n), np.int32)
+    rows_used = np.zeros(1, np.int64)
+    status = fn(tokens, offsets, n, row_len, max_rows,
+                input_ids, segment_ids, position_ids,
+                cls_rows, cls_cols, rows_used)
+    assert status == 0  # max_rows == n can always hold everything
+    used = int(rows_used[0])
+    if n_rows is None:
+        n_rows = -(-used // pad_rows_to) * pad_rows_to
+    elif used > n_rows:
+        raise ValueError(
+            f"packing needs {used} rows of {row_len}, but n_rows={n_rows}"
+        )
+    if n_cls is None:
+        n_cls = n
+    elif n > n_cls:
+        raise ValueError(f"{n} sequences but n_cls={n_cls}")
+
+    def fit(canvas, fill):
+        if n_rows <= max_rows:
+            return np.ascontiguousarray(canvas[:n_rows])
+        return np.concatenate([
+            canvas,
+            np.full((n_rows - max_rows, row_len), fill, np.int32),
+        ])
+
+    return PackedBatch(
+        input_ids=fit(input_ids, pad_token_id),
+        segment_ids=fit(segment_ids, 0),
+        position_ids=fit(position_ids, 0),
+        cls_rows=cls_rows[:n_cls].copy(),
+        cls_cols=cls_cols[:n_cls].copy(),
+        n_seqs=n,
+    )
+
+
 def packing_efficiency(packed: PackedBatch) -> float:
     """Fraction of canvas tokens that are real (non-padding)."""
     return float((packed.segment_ids > 0).mean())
+
+
+def pack_parallel(packed: PackedBatch, seqs: Sequence[np.ndarray],
+                  pad_value: int = 0) -> np.ndarray:
+    """Lay a parallel per-token feature (e.g. token_type_ids) onto an
+    existing canvas: seqs[i] must align with the input_ids sequence i was
+    packed from."""
+    out = np.full_like(packed.input_ids, pad_value)
+    row_len = packed.row_len
+    for i in range(packed.n_seqs):
+        r, c = int(packed.cls_rows[i]), int(packed.cls_cols[i])
+        li = int((packed.segment_ids[r] == packed.segment_ids[r, c]).sum())
+        out[r, c: c + li] = np.asarray(seqs[i][:li], out.dtype)
+    return out
+
+
+def gather_indices(packed: PackedBatch, out_len: int
+                   ) -> Tuple[np.ndarray, np.ndarray]:
+    """Flat canvas indices to UNPACK per-sequence token features.
+
+    Returns (idx, mask), both (n_cls, out_len): idx[i, t] is the flat
+    (row * row_len + col) position of sequence i's t-th token; mask marks
+    real tokens (False entries point at (0, 0) — mask before use). The
+    packed reader uses this to lift canvas logits back to the reference's
+    (N*M, L) layout (models/qa.reader_apply_packed)."""
+    n_cls = len(packed.cls_rows)
+    row_len = packed.row_len
+    idx = np.zeros((n_cls, out_len), np.int32)
+    mask = np.zeros((n_cls, out_len), bool)
+    for i in range(packed.n_seqs):
+        r, c = int(packed.cls_rows[i]), int(packed.cls_cols[i])
+        li = min(int((packed.segment_ids[r] == packed.segment_ids[r, c]).sum()),
+                 out_len)
+        idx[i, :li] = r * row_len + c + np.arange(li, dtype=np.int32)
+        mask[i, :li] = True
+    return idx, mask
