@@ -256,3 +256,50 @@ def test_answer_positions_native_dedupe_rule():
     # start? start 3 unused, end 4 unused -> kept
     assert out_s[0, :4].tolist() == [0, 2, 4, 1]
     assert out_e[0, :4].tolist() == [1, 3, 5, 2]
+
+
+def test_reader_collator_packed_matches_unpacked_loss(tokenizer):
+    """packed=True emits canvas fields and the trainee's packed loss path
+    produces the same start/end targets; the loss matches the padded path
+    to the pad-logit divergence (pads are -inf in packed, real logits in
+    padded — both excluded from answer positions)."""
+    import jax
+    from viquae_tpu.models import bert as bert_lib
+    from viquae_tpu.models import qa
+    from viquae_tpu.train import trainee as trainee_lib
+
+    coll = tdata.ReaderCollator(
+        tokenizer, kb=make_kb(), M=2, max_length=24, max_n_answers=3,
+        seed=0, train=True, packed=True,
+    )
+    items = make_items(2)
+    batch = coll.collate_fn(items)
+    for key in ("canvas_input_ids", "canvas_segment_ids",
+                "canvas_position_ids", "canvas_token_type_ids",
+                "gather_idx", "gather_mask"):
+        assert key in batch, key
+    assert batch["gather_idx"].shape == (4, 24)
+    # canvas carries exactly the real tokens
+    real = int(batch["attention_mask"].sum())
+    assert int((batch["canvas_segment_ids"] > 0).sum()) == real
+
+    cfg = qa.ReaderConfig(bert=bert_lib.BertConfig(
+        vocab_size=tokenizer.vocab_size + 10, hidden_size=16,
+        num_hidden_layers=1, num_attention_heads=2, intermediate_size=32,
+        max_position_embeddings=32, add_pooler=False,
+    ))
+    params = qa.init(jax.random.key(0), cfg)
+    rt = trainee_lib.ReaderTrainee(cfg, params, tokenizer, m_passages=2)
+    loss_packed, aux_p = rt.loss_fn(params, batch, jax.random.key(1),
+                                    deterministic=True)
+    unpacked = {k: v for k, v in batch.items()
+                if not k.startswith("canvas_") and "gather" not in k}
+    loss_padded, aux_u = rt.loss_fn(params, unpacked, jax.random.key(1),
+                                    deterministic=True)
+    assert np.isfinite(float(loss_packed))
+    # packed excludes pad logits from the global softmax denominator, so
+    # for the SAME answer logits its NLL is necessarily <= the padded one
+    assert float(loss_packed) <= float(loss_padded) + 1e-4, (
+        float(loss_packed), float(loss_padded))
+    # and both paths expose the same eval contract shapes
+    assert aux_p["start_log_probs"].shape == aux_u["start_log_probs"].shape

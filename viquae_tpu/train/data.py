@@ -354,7 +354,8 @@ class ReaderCollator(QADataModule):
     def __init__(self, *args, max_n_answers: int = 10,
                  train_original_answer_only: bool = True,
                  oracle: bool = False, run=None,
-                 with_scores: bool = False, train: bool = True, **kwargs):
+                 with_scores: bool = False, train: bool = True,
+                 packed: bool = False, **kwargs):
         super().__init__(*args, **kwargs)
         self.max_n_answers = max_n_answers
         self.train_original_answer_only = train_original_answer_only
@@ -362,6 +363,10 @@ class ReaderCollator(QADataModule):
         self.run = run
         self.with_scores = with_scores
         self.train = train
+        # packed=True additionally emits a canvas (ops/packing.py) so the
+        # trainee can run qa.reader_apply_packed: (question, passage) pairs
+        # are ~125 real tokens vs max_length=256 padded, ~2x reader FLOPs
+        self.packed = packed
         if self.oracle and self.n_relevant_passages != self.M:
             warnings.warn(f"Oracle mode: setting n_relevant_passages={self.M}")
             self.n_relevant_passages = self.M
@@ -523,7 +528,36 @@ class ReaderCollator(QADataModule):
         batch["answer_strings"] = answer_strings
         if passage_scores:
             batch["passage_scores"] = np.concatenate(passage_scores)
+        if self.packed:
+            batch.update(self._pack_pairs(batch))
         return batch
+
+    def _pack_pairs(self, batch) -> dict:
+        """Canvas fields for qa.reader_apply_packed: strip padding, pack
+        pairs many-per-row, carry token types, and record gather indices
+        back into the (N*M, max_length) frame (answer positions are
+        per-pair token offsets, identical in both frames)."""
+        from viquae_tpu.ops import packing
+
+        ids = batch["input_ids"]
+        lens = batch["attention_mask"].sum(axis=1).astype(int)
+        seqs = [ids[i, : lens[i]] for i in range(len(ids))]
+        types = [
+            batch["token_type_ids"][i, : lens[i]] for i in range(len(ids))
+        ] if "token_type_ids" in batch else [np.zeros(l, np.int32) for l in lens]
+        p = packing.pack_token_sequences(
+            seqs, row_len=self.max_length, pad_rows_to=8
+        )
+        tt = packing.pack_parallel(p, types)
+        g_idx, g_mask = packing.gather_indices(p, self.max_length)
+        return {
+            "canvas_input_ids": p.input_ids,
+            "canvas_segment_ids": p.segment_ids,
+            "canvas_position_ids": p.position_ids,
+            "canvas_token_type_ids": tt,
+            "gather_idx": g_idx,
+            "gather_mask": g_mask,
+        }
 
 
 def map_run(run, mapping: Dict[str, list], k: int = 100):

@@ -360,11 +360,7 @@ class ReaderTrainee:
         return self._params
 
     def loss_fn(self, params, batch, rng, deterministic: bool = False):
-        out = self.qa.reader_apply(
-            params, self.cfg,
-            batch["input_ids"],
-            attention_mask=batch.get("attention_mask"),
-            token_type_ids=batch.get("token_type_ids"),
+        common = dict(
             passage_scores=batch.get("passage_scores")
             if self.cfg.fuse_ir_score else None,
             start_positions=batch["start_positions"],
@@ -374,6 +370,24 @@ class ReaderTrainee:
             deterministic=deterministic,
             rng=rng,
         )
+        if "canvas_input_ids" in batch:
+            # packed canvas from ReaderCollator(packed=True): ~2x fewer
+            # encoder FLOPs at the reference's real pair lengths
+            out = self.qa.reader_apply_packed(
+                params, self.cfg,
+                batch["canvas_input_ids"], batch["canvas_segment_ids"],
+                batch["canvas_position_ids"], batch["canvas_token_type_ids"],
+                batch["gather_idx"], batch["gather_mask"],
+                **common,
+            )
+        else:
+            out = self.qa.reader_apply(
+                params, self.cfg,
+                batch["input_ids"],
+                attention_mask=batch.get("attention_mask"),
+                token_type_ids=batch.get("token_type_ids"),
+                **common,
+            )
         return out.loss, {
             "start_log_probs": out.start_log_probs,
             "end_log_probs": out.end_log_probs,
