@@ -1,1 +1,1 @@
-from viquae_tpu.ops import mips  # noqa: F401
+from viquae_tpu.ops import mips, packing  # noqa: F401

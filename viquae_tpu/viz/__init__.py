@@ -1,1 +1,1 @@
-from viquae_tpu.viz import html, projection, stats, wtl_filter  # noqa: F401
+from viquae_tpu.viz import html, projection, stats, umap, wtl_filter  # noqa: F401
