@@ -121,3 +121,42 @@ def test_reader_trainee_eval_and_m_tuning(tokenizer, tmp_path):
 def test_power_range():
     assert list(trainee.power_range(24)) == [1, 2, 4, 8, 16, 24]
     assert list(trainee.power_range(4)) == [1, 2, 4]
+
+
+def test_biencoder_packed_training(tokenizer, devices):
+    """BiEncoderCollator(packed=True) + DPREncoder.packed_apply_fn: the
+    packed loss equals the padded loss exactly (CLS pooling, mask-free)."""
+    import jax
+    from viquae_tpu.models import dpr
+    from viquae_tpu.train import data as tdata
+
+    dcfg = dpr.DPRConfig(bert=bert.BertConfig(**TINY))
+    q_model = dpr.DPREncoder(cfg=dcfg, seed=0)
+    c_model = dpr.DPREncoder(cfg=dcfg, seed=1)
+    be = trainee.BiEncoderTrainee(q_model, c_model)
+
+    kb = [{"passage": f"ent{i} fact{i} answer", "index": i} for i in range(8)]
+    items = [
+        {"id": f"q{i}", "input": f"question about ent{i}",
+         "search_provenance_indices": [i],
+         "search_irrelevant_indices": [(i + 3) % 8]}
+        for i in range(4)
+    ]
+    packed_coll = tdata.BiEncoderCollator(
+        tokenizer, kb=kb, M=2, max_length=16, seed=0, packed=True)
+    padded_coll = tdata.BiEncoderCollator(
+        tokenizer, kb=kb, M=2, max_length=16, seed=0, packed=False)
+    b_packed = packed_coll.collate_fn(items)
+    b_padded = padded_coll.collate_fn(items)
+    assert "canvas_input_ids" in b_packed["question_inputs"]
+
+    lp, _ = be.loss_fn(be.params, b_packed, jax.random.key(0),
+                       deterministic=True)
+    lu, _ = be.loss_fn(be.params, b_padded, jax.random.key(0),
+                       deterministic=True)
+    np.testing.assert_allclose(float(lp), float(lu), rtol=1e-5)
+
+    # token types are incompatible with packing
+    with pytest.raises(ValueError):
+        tdata.BiEncoderCollator(tokenizer, kb=kb, M=2, max_length=16,
+                                packed=True, passage_type_ids=True)

@@ -66,6 +66,7 @@ def apply_packed(
     cls_rows: jnp.ndarray,
     cls_cols: jnp.ndarray,
     deterministic: bool = True,
+    rng=None,
     compute_dtype=jnp.float32,
 ) -> jnp.ndarray:
     """Packed-canvas forward: many questions per row (ops/packing.py).
@@ -85,6 +86,7 @@ def apply_packed(
         position_ids=position_ids,
         segment_ids=segment_ids,
         deterministic=deterministic,
+        rng=rng,
         compute_dtype=compute_dtype,
     )
     hidden = out["last_hidden_state"]
@@ -163,3 +165,10 @@ class DPREncoder:
     def apply_fn(self, params, input_ids, attention_mask=None, **kw):
         """Pure apply over externally-managed params (trainee contract)."""
         return apply(params, self.cfg, input_ids, attention_mask, **kw)
+
+    def packed_apply_fn(self, params, input_ids, segment_ids, position_ids,
+                        cls_rows, cls_cols, **kw):
+        """Packed-canvas apply (trainee packed-training contract):
+        returns (n_cls, D) CLS embeddings directly."""
+        return apply_packed(params, self.cfg, input_ids, segment_ids,
+                            position_ids, cls_rows, cls_cols, **kw)

@@ -64,7 +64,17 @@ class BiEncoderTrainee:
         }
 
     def _encode(self, params, model, inputs, rng, deterministic):
-        return model(
+        packed_apply = getattr(model, "packed_apply_fn", None)
+        if "canvas_input_ids" in inputs and packed_apply is not None:
+            # packed canvas from BiEncoderCollator(packed=True)
+            return packed_apply(
+                params,
+                inputs["canvas_input_ids"], inputs["canvas_segment_ids"],
+                inputs["canvas_position_ids"],
+                inputs["canvas_cls_rows"], inputs["canvas_cls_cols"],
+                deterministic=deterministic, rng=rng,
+            )
+        return model.apply_fn(
             params, **_text_kwargs(inputs),
             deterministic=deterministic, rng=rng,
         )["pooler_output"]
@@ -73,11 +83,11 @@ class BiEncoderTrainee:
         rq, rc = jax.random.split(rng)
         ctx_params = params.get("context", params["question"])
         q = self._encode(
-            params["question"], self.question_model.apply_fn,
+            params["question"], self.question_model,
             batch["question_inputs"], rq, deterministic,
         )
         c = self._encode(
-            ctx_params, self.context_model.apply_fn,
+            ctx_params, self.context_model,
             batch["context_inputs"], rc, deterministic,
         )
         return objectives.biencoder_loss(q, c, batch["labels"])
@@ -270,12 +280,12 @@ class JointBiEncoderAndClipTrainee(BiEncoderTrainee):
     def loss_fn(self, params, batch, rng, deterministic: bool = False):
         rq, rc = jax.random.split(rng)
         q = self._encode(
-            params["question"], self.question_model.apply_fn,
+            params["question"], self.question_model,
             batch["question_inputs"], rq, deterministic,
         )
         c = self._encode(
             params.get("context", params["question"]),
-            self.context_model.apply_fn,
+            self.context_model,
             batch["context_inputs"], rc, deterministic,
         )
         q_img = self.clip_vision_model.apply_fn(
