@@ -303,3 +303,38 @@ def test_reader_collator_packed_matches_unpacked_loss(tokenizer):
         float(loss_packed), float(loss_padded))
     # and both paths expose the same eval contract shapes
     assert aux_p["start_log_probs"].shape == aux_u["start_log_probs"].shape
+
+
+def test_reranker_collator_packed_matches_unpacked(tokenizer):
+    """Packed reranker logits equal the padded ones exactly (CLS pooling;
+    block-diagonal attention makes packing invisible)."""
+    import jax
+    from viquae_tpu.models import bert as bert_lib
+    from viquae_tpu.models import rr
+
+    coll = tdata.ReRankerCollator(
+        tokenizer, kb=make_kb(), M=2, max_length=24, seed=0, train=True,
+        packed=True,
+    )
+    items = make_items(2)
+    batch = coll.collate_fn(items)
+    assert "canvas_token_type_ids" in batch
+
+    cfg = rr.BertReRankerConfig(bert=bert_lib.BertConfig(
+        vocab_size=tokenizer.vocab_size + 10, hidden_size=16,
+        num_hidden_layers=1, num_attention_heads=2, intermediate_size=32,
+        max_position_embeddings=32, add_pooler=False,
+    ))
+    params = rr.bert_reranker_init(jax.random.key(0), cfg)
+    ref = rr.bert_reranker_apply(
+        params, cfg, batch["input_ids"], batch["attention_mask"],
+        token_type_ids=batch.get("token_type_ids"), deterministic=True,
+    )
+    got = rr.bert_reranker_apply_packed(
+        params, cfg, batch["canvas_input_ids"], batch["canvas_segment_ids"],
+        batch["canvas_position_ids"], batch["canvas_token_type_ids"],
+        batch["canvas_cls_rows"], batch["canvas_cls_cols"],
+        deterministic=True,
+    )
+    np.testing.assert_allclose(np.asarray(got.logits),
+                               np.asarray(ref.logits), rtol=1e-4, atol=1e-5)

@@ -46,6 +46,27 @@ def bert_reranker_apply(params, cfg: BertReRankerConfig, input_ids,
     return ReRankerOutput(logits=logits[..., 0])
 
 
+def bert_reranker_apply_packed(params, cfg: BertReRankerConfig, input_ids,
+                               segment_ids, position_ids, token_type_ids,
+                               cls_rows, cls_cols, deterministic=True,
+                               rng=None,
+                               compute_dtype=jnp.float32) -> ReRankerOutput:
+    """Packed cross-encoder: (question [SEP] passage) pairs packed
+    many-per-row (ops/packing.py, ~125 real tokens vs max_length padded);
+    each pair's logit comes from its own [CLS] gathered at
+    (cls_rows, cls_cols)."""
+    out = bert.apply(
+        params["bert"], cfg.bert, input_ids,
+        token_type_ids=token_type_ids,
+        position_ids=position_ids,
+        segment_ids=segment_ids,
+        deterministic=deterministic, rng=rng, compute_dtype=compute_dtype,
+    )
+    cls = out["last_hidden_state"][cls_rows, cls_cols]
+    logits = L.dense(params["classifier"], cls)
+    return ReRankerOutput(logits=logits[..., 0])
+
+
 def eca_reranker_init(key, cfg: mm.MMConfig):
     params = mm.eca_init(key, cfg)
     params["classifier"] = L.dense_init(

@@ -642,10 +642,12 @@ class CrossModalCollator(QADataModule):
 # reranker
 # --------------------------------------------------------------------------
 class ReRankerCollator(QADataModule):
-    def __init__(self, *args, run=None, train: bool = True, **kwargs):
+    def __init__(self, *args, run=None, train: bool = True,
+                 packed: bool = False, **kwargs):
         super().__init__(*args, **kwargs)
         self.run = run
         self.train = train
+        self.packed = packed  # emit canvases for rr.bert_reranker_apply_packed
 
     def collate_fn(self, items):
         questions, passages, labels = [], [], []
@@ -680,6 +682,26 @@ class ReRankerCollator(QADataModule):
             max_length=self.max_length,
         )
         batch["labels"] = np.asarray(labels, np.int32)
+        if self.packed:
+            from viquae_tpu.ops import packing
+
+            lens = batch["attention_mask"].sum(axis=1).astype(int)
+            tts = batch.get("token_type_ids",
+                            np.zeros_like(batch["input_ids"]))
+            p = packing.pack_token_sequences(
+                [batch["input_ids"][i, : lens[i]] for i in range(len(lens))],
+                row_len=self.max_length, pad_rows_to=8,
+            )
+            batch.update({
+                "canvas_input_ids": p.input_ids,
+                "canvas_segment_ids": p.segment_ids,
+                "canvas_position_ids": p.position_ids,
+                "canvas_cls_rows": p.cls_rows,
+                "canvas_cls_cols": p.cls_cols,
+                "canvas_token_type_ids": packing.pack_parallel(
+                    p, [tts[i, : lens[i]] for i in range(len(lens))]
+                ),
+            })
         return batch
 
 

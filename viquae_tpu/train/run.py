@@ -97,6 +97,9 @@ def build_trainee(config: dict, tokenizer=None):
             def apply_fn(self, p, **kw):
                 return rr.bert_reranker_apply(p, rr_cfg, **kw)
 
+            def packed_apply_fn(self, p, *args, **kw):
+                return rr.bert_reranker_apply_packed(p, rr_cfg, *args, **kw)
+
         return trainee_lib.ReRankerTrainee(_Model(), **config)
     raise ValueError(f"Unknown trainee kind {kind!r}")
 

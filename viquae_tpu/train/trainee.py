@@ -322,9 +322,22 @@ class ReRankerTrainee:
         return self.model.params
 
     def loss_fn(self, params, batch, rng, deterministic: bool = False):
-        out = self.model.apply_fn(
-            params, **_text_kwargs(batch), deterministic=deterministic, rng=rng,
-        )
+        packed_apply = getattr(self.model, "packed_apply_fn", None)
+        if "canvas_input_ids" in batch and packed_apply is not None:
+            # packed canvas from ReRankerCollator(packed=True)
+            out = packed_apply(
+                params,
+                batch["canvas_input_ids"], batch["canvas_segment_ids"],
+                batch["canvas_position_ids"],
+                batch["canvas_token_type_ids"],
+                batch["canvas_cls_rows"], batch["canvas_cls_cols"],
+                deterministic=deterministic, rng=rng,
+            )
+        else:
+            out = self.model.apply_fn(
+                params, **_text_kwargs(batch), deterministic=deterministic,
+                rng=rng,
+            )
         logits = out.logits.reshape(-1, self.M)
         loss, log_probs = objectives.reranker_loss(logits, batch["labels"])
         return loss, {"log_probs": log_probs, "labels": batch["labels"],
