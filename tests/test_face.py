@@ -487,8 +487,14 @@ def _reference_cascade_numpy(sd, image, cfg):
     boxes, scores, regs = [], [], []
     for scale in cfg.scales:
         size = max(12, int(round(cfg.canvas * scale)))
-        scaled = np.asarray(jax.image.resize(  # shared resize arithmetic
-            jnp.asarray(image), (size, size, 3), "bilinear"))
+        ys = (np.arange(size) + 0.5) * (image.shape[0] / size) - 0.5
+        xs = (np.arange(size) + 0.5) * (image.shape[1] / size) - 0.5
+        gy, gx = np.meshgrid(ys, xs, indexing="ij")
+        scaled = np.stack([
+            ndi.map_coordinates(image[..., c], [gy.ravel(), gx.ravel()],
+                                order=1, mode="nearest").reshape(size, size)
+            for c in range(3)
+        ], axis=-1)
         with torch.no_grad():
             reg, prob = pnet(torch.tensor(
                 norm(scaled).transpose(2, 0, 1)[None]))

@@ -294,6 +294,29 @@ def _normalize(x):
     return (x - 127.5) * 0.0078125
 
 
+def _bilinear_resize(image: jnp.ndarray, size: int) -> jnp.ndarray:
+    """(H, W, 3) -> (size, size, 3) half-pixel bilinear via gathers.
+
+    Matches facenet_pytorch's non-antialiased F.interpolate semantics and,
+    unlike jax.image.resize, lowers WITHOUT per-shape constant weight
+    matrices — the full pyramid's HLO stays ~O(scales) small (the inline
+    resize constants made the cascade program exceed remote-compiler
+    payload caps on tunneled deployments)."""
+    h, w = image.shape[:2]
+    ys = (jnp.arange(size) + 0.5) * (h / size) - 0.5
+    xs = (jnp.arange(size) + 0.5) * (w / size) - 0.5
+    grid_y = jnp.broadcast_to(ys[:, None], (size, size))
+    grid_x = jnp.broadcast_to(xs[None, :], (size, size))
+    coords = jnp.stack([grid_y.ravel(), grid_x.ravel()])
+
+    def chan(c):
+        return jax.scipy.ndimage.map_coordinates(
+            image[..., c], coords, order=1, mode="nearest"
+        ).reshape(size, size)
+
+    return jnp.stack([chan(c) for c in range(3)], axis=-1)
+
+
 # --------------------------------------------------------------------------
 # the cascade
 # --------------------------------------------------------------------------
@@ -313,7 +336,7 @@ def detect_faces(
     all_boxes, all_scores, all_reg, all_valid = [], [], [], []
     for scale in cfg.scales:
         size = max(12, int(round(cfg.canvas * scale)))
-        scaled = jax.image.resize(image, (size, size, 3), "bilinear")
+        scaled = _bilinear_resize(image, size)
         probs, reg = pnet_apply(params["pnet"], _normalize(scaled)[None])
         probs, reg = probs[0], reg[0]
         h, w = probs.shape
