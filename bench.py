@@ -5,7 +5,8 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Protocol (mirrors BASELINE.json): 1,257 test questions embedded by a
 bert-base DPR question tower and searched against a 1.5M x 768 KB with the
-EXACT single-pass MIPS engine (ops.mips.topk_global), k=100. Question token
+EXACT single-pass MIPS engine (ops.mips_pallas.topk_fused — the Pallas
+q-major scores+segmax kernel + one global selection), k=100. Question token
 lengths are drawn from lognormal(ln 18, 0.35) clipped to [8, 64] — a
 TriviaQA-style distribution (ViQuAE questions are rewritten TriviaQA
 questions; the reference pads them all to 256 tokens,
@@ -101,45 +102,15 @@ def main():
             deterministic=True, compute_dtype=jnp.bfloat16,
         ).astype(jnp.bfloat16)
 
-    @jax.jit
-    def embed_and_search(params, ids, seg, pos, cr, cc, kb):
-        q = embed_packed(params, ids, seg, pos, cr, cc)
-        return mips.topk_global(q, kb, k, compute_dtype=jnp.bfloat16)
+    from viquae_tpu.ops import mips_pallas
 
-    @jax.jit
-    def embed_and_search_approx(params, ids, seg, pos, cr, cc, kb):
-        q = embed_packed(params, ids, seg, pos, cr, cc)
-        return mips.topk_global(
-            q, kb, k, compute_dtype=jnp.bfloat16, mode="approx"
-        )
+    # ======================================================================
+    # stage 1: paths that need the ROW-major (N, d) KB — run these first so
+    # the matrix can be freed before the (d, N) layout + 3.8GB score buffer
+    # come up (holding both layouts OOMs the chip)
+    # ======================================================================
 
-    # compile + warmup
-    t0 = time.time()
-    out = embed_and_search(params, *p_args, kb)
-    sync(out)
-    compile_s = time.time() - t0
-
-    reps = 3
-    t0 = time.time()
-    for _ in range(reps):
-        out = embed_and_search(params, *p_args, kb)
-    sync(out)
-    dt = (time.time() - t0) / reps
-    qps = n_queries / dt  # count only the real 1,257 queries
-
-    # ---- approx variant (lax.approx_max_k fused into the matmul) --------
-    out_a = embed_and_search_approx(params, *p_args, kb)
-    sync(out_a)
-    t0 = time.time()
-    for _ in range(reps):
-        out_a = embed_and_search_approx(params, *p_args, kb)
-    sync(out_a)
-    approx_qps = n_queries / ((time.time() - t0) / reps)
-    idx_exact = np.asarray(out[1])
-    idx_approx = np.asarray(out_a[1])
-    r20_approx = r_at_20(idx_approx, idx_exact, n_queries)
-
-    # ---- full-KB fast-vs-exact parity on device (VERDICT r2 item 5) -----
+    # ---- full-KB "fast" chunked selection (compared to exact later) ------
     @jax.jit
     def embed_only(params, ids, seg, pos, cr, cc):
         return embed_packed(params, ids, seg, pos, cr, cc)
@@ -149,7 +120,7 @@ def main():
         q_dev, kb, k, chunk_size=min(n_kb, 262_144),
         compute_dtype=jnp.bfloat16, mode="fast",
     )
-    r20_fast = r_at_20(np.asarray(idx_fast), idx_exact, n_queries)
+    idx_fast = np.asarray(idx_fast)
 
     # ---- fp32 FAISS-flat contract on a 262k slice ------------------------
     # (precision=HIGHEST fast vs exact; full-scale FAISS tie-order contract
@@ -170,6 +141,62 @@ def main():
         chunk_size=slice_rows, compute_dtype=jnp.float32, mode="exact",
     )
     overlap = r_at_20(np.asarray(idx), np.asarray(ref_idx), n_check)
+    del kb_f32, q_fp32, q_dev
+
+    # ======================================================================
+    # stage 2: transpose to the (d, N) kernel layout, FREE the row-major
+    # copy, and run the headline exact (Pallas fused) + approx paths on it
+    # ======================================================================
+    n_pad = n_kb + ((-n_kb) % 512)
+    kbt = jax.jit(
+        lambda m: jnp.concatenate(
+            [m.T, jnp.zeros((dim, n_pad - n_kb), m.dtype)], axis=1
+        )
+    )(kb)
+    sync(kbt)
+    del kb
+
+    @jax.jit
+    def embed_and_search(params, ids, seg, pos, cr, cc, kbt):
+        # exact path: Pallas q-major fused scores+segmax kernel (54.1 ms vs
+        # 69.8 ms XLA topk_global at this shape) + one global selection
+        q = embed_packed(params, ids, seg, pos, cr, cc)
+        return mips_pallas.topk_fused(q, kbt, k, valid_rows=jnp.int32(n_kb))
+
+    @jax.jit
+    def embed_and_search_approx(params, ids, seg, pos, cr, cc, kbt):
+        q = embed_packed(params, ids, seg, pos, cr, cc)
+        return mips.topk_global(
+            q, kbt, k, valid_rows=jnp.int32(n_kb),
+            compute_dtype=jnp.bfloat16, mode="approx", transposed=True,
+        )
+
+    # compile + warmup
+    t0 = time.time()
+    out = embed_and_search(params, *p_args, kbt)
+    sync(out)
+    compile_s = time.time() - t0
+
+    reps = 3
+    t0 = time.time()
+    for _ in range(reps):
+        out = embed_and_search(params, *p_args, kbt)
+    sync(out)
+    dt = (time.time() - t0) / reps
+    qps = n_queries / dt  # count only the real 1,257 queries
+
+    # ---- approx variant (lax.approx_max_k fused into the matmul) --------
+    out_a = embed_and_search_approx(params, *p_args, kbt)
+    sync(out_a)
+    t0 = time.time()
+    for _ in range(reps):
+        out_a = embed_and_search_approx(params, *p_args, kbt)
+    sync(out_a)
+    approx_qps = n_queries / ((time.time() - t0) / reps)
+    idx_exact = np.asarray(out[1])
+    idx_approx = np.asarray(out_a[1])
+    r20_approx = r_at_20(idx_approx, idx_exact, n_queries)
+    r20_fast = r_at_20(idx_fast, idx_exact, n_queries)
 
     # ---- reader throughput vs the reference's headline number -----------
     # (MultiPassageBERT test: 2.505 samples/sec on 1xV100,
@@ -272,7 +299,7 @@ def main():
                        f"{packing.packing_efficiency(packed):.3f})",
             "question_len_tokens": "lognormal(ln18,0.35) clip [8,64], "
                                    f"mean {lengths.mean():.1f}",
-            "topk_mode": "global (exact selection, bf16 scores)",
+            "topk_mode": "pallas-fused scores+segmax kernel, exact global selection, bf16 scores",
             "approx_qps": round(approx_qps, 1),
             "approx_r_at_20_vs_exact_fullkb": round(r20_approx, 4),
             "r_at_20_fast_vs_exact_fullkb": round(r20_fast, 4),

@@ -194,3 +194,133 @@ def test_search_batch_device_array_input(data, devices):
     s_dev, i_dev = index.search_batch(jnp.asarray(queries), k=10)
     np.testing.assert_array_equal(i_host, i_dev)
     np.testing.assert_allclose(s_host, s_dev, rtol=1e-6)
+
+
+# --------------------------------------------------------------------------
+# fused Pallas q-major mode (ops/mips_pallas.topk_fused)
+# --------------------------------------------------------------------------
+def _distinct_bf16_kb(n_rows: int, dim: int, perm_seed: int = 1):
+    """KB whose scores against an all-ones query are DISTINCT small
+    integers (bf16-exact, so the bf16 kernel must match fp32 exactly and
+    the fast-selection tie caveat never triggers)."""
+    rng = np.random.default_rng(perm_seed)
+    weights = rng.permutation(n_rows).astype(np.float32) + 1.0
+    kb = np.zeros((n_rows, dim), np.float32)
+    kb[np.arange(n_rows), np.arange(n_rows) % dim] = weights
+    return kb
+
+
+def test_topk_fused_exact_integer_scores(devices):
+    """Distinct integer scores (<= 256, bf16-exact) => the fused kernel
+    must reproduce the FULL FAISS contract: identical ids and scores."""
+    from viquae_tpu.ops import mips_pallas
+
+    kb = _distinct_bf16_kb(256, 64)
+    q = np.concatenate([
+        np.ones((1, 64), np.float32),
+        2 * np.ones((1, 64), np.float32),  # scaled copy: same ranking
+    ])
+    padded = np.zeros((512, 64), np.float32)
+    padded[:256] = kb
+    ref_scores, ref_idx = mips.exact_topk_numpy(q, kb, 25)
+    scores, idx = mips_pallas.topk_fused(
+        jnp.asarray(q), jnp.asarray(padded).T, 25,
+        valid_rows=jnp.int32(256),
+    )
+    np.testing.assert_array_equal(np.asarray(idx), ref_idx)
+    np.testing.assert_array_equal(np.asarray(scores), ref_scores)
+
+
+def test_topk_fused_tie_order_within_topk(devices):
+    """Duplicate rows whose ties all FIT inside top-k keep the FAISS
+    ascending-index order (the fast contract only allows swaps straddling
+    the k-th boundary)."""
+    from viquae_tpu.ops import mips_pallas
+
+    kb = np.zeros((512, 8), np.float32)
+    kb[:, 0] = 0.125  # background: distinct from the spikes, all tied BELOW
+    for r in (3, 130, 259, 388, 500):  # spread across segments
+        kb[r] = 0.0
+        kb[r, 1] = 2.0
+    q = np.zeros((1, 8), np.float32)
+    q[0, 1] = 1.0
+    q[0, 0] = 0.0
+    scores, idx = mips_pallas.topk_fused(jnp.asarray(q), jnp.asarray(kb).T, 5)
+    np.testing.assert_array_equal(np.asarray(idx)[0], [3, 130, 259, 388, 500])
+    assert np.all(np.asarray(scores)[0] == 2.0)
+
+
+def test_topk_fused_valid_rows(devices):
+    from viquae_tpu.ops import mips_pallas
+
+    kb = _distinct_bf16_kb(200, 64, perm_seed=2)
+    poison = np.full((312, 64), 100.0, np.float32)  # pads to 512 total
+    padded = np.concatenate([kb, poison])
+    q = np.ones((9, 64), np.float32)
+    ref_scores, ref_idx = mips.exact_topk_numpy(q, kb, 10)
+    scores, idx = mips_pallas.topk_fused(
+        jnp.asarray(q), jnp.asarray(padded).T, 10,
+        valid_rows=jnp.int32(len(kb)),
+    )
+    assert np.asarray(idx).max() < len(kb)
+    np.testing.assert_array_equal(np.asarray(idx), ref_idx)
+
+
+def test_topk_fused_gaussian_recall(data):
+    """On gaussian data the bf16 score quantization may swap near-ties vs
+    the fp32 reference; require near-perfect set recall (same contract the
+    bench reports as r_at_20 vs exact)."""
+    from viquae_tpu.ops import mips_pallas
+
+    queries, kb = data
+    n_pad = meshlib.pad_to_multiple(len(kb), 512)
+    padded = np.zeros((n_pad, kb.shape[1]), np.float32)
+    padded[: len(kb)] = kb
+    _, ref_idx = mips.exact_topk_numpy(queries, kb, 20)
+    _, idx = mips_pallas.topk_fused(
+        jnp.asarray(queries), jnp.asarray(padded).T, 20,
+        valid_rows=jnp.int32(len(kb)),
+    )
+    idx = np.asarray(idx)
+    recall = np.mean([
+        len(set(idx[i]) & set(ref_idx[i])) / 20 for i in range(len(idx))
+    ])
+    assert recall > 0.95, recall
+
+
+def test_dense_index_fused_mode(data, devices):
+    queries, kb = data
+    _, ref_idx = mips.exact_topk_numpy(queries, kb, 10)
+    index = mips.DenseIndex(kb, mode="fused")
+    assert index.matrix.shape == (kb.shape[1], index.matrix.shape[1])
+    _, idx = index.search_batch(queries, k=10)
+    recall = np.mean([
+        len(set(idx[i]) & set(ref_idx[i])) / 10 for i in range(len(idx))
+    ])
+    assert recall > 0.95, recall
+
+
+def test_dense_index_fused_sharded(data, devices):
+    """fused mode on a kb-sharded mesh: per-shard Pallas kernels + the
+    all-gather merge must agree with the single-device fused result."""
+    queries, kb = data
+    ctx = meshlib.make_kb_mesh()
+    with meshlib.use(ctx):
+        index = mips.DenseIndex(kb, mesh_ctx=ctx, mode="fused")
+        assert index.matrix.shape[1] % (ctx.kb_size * 512) == 0
+        s_shard, i_shard = index.search_batch(queries, k=10)
+    single = mips.DenseIndex(kb, mode="fused")
+    s_one, i_one = single.search_batch(queries, k=10)
+    np.testing.assert_array_equal(i_shard, i_one)
+    np.testing.assert_allclose(s_shard, s_one, rtol=1e-6, atol=1e-6)
+
+
+def test_dense_index_fused_roundtrip(tmp_path, data, devices):
+    queries, kb = data
+    index = mips.DenseIndex(kb, mode="fused")
+    path = str(tmp_path / "fused_idx")
+    index.save(path)
+    loaded = mips.DenseIndex.load(path, mode="fused")
+    _, idx = index.search_batch(queries, k=5)
+    _, idx2 = loaded.search_batch(queries, k=5)
+    np.testing.assert_array_equal(idx, idx2)

@@ -174,3 +174,23 @@ def test_compact_transfer_wide_rows_use_int16():
         deterministic=True)["pooler_output"])
     ref_idx = np.argsort(-(ref_q @ kb.T), axis=1, kind="stable")[:, :5]
     np.testing.assert_array_equal(idx, ref_idx)
+
+
+def test_fused_pipeline_pallas_fused_index_mode(setup):
+    """index mode='fused' routes the single-dispatch serving program
+    through ops.mips_pallas.topk_fused (the Pallas q-major kernel) and
+    matches the fp32 oracle ranking."""
+    tok, cfg, params, queries, kb = setup
+    emb = PackedTextEmbedder(dpr.make_packed_apply(cfg), params, tok,
+                             row_len=32, batch_size=64,
+                             compute_dtype=jnp.float32)
+    index = mips.DenseIndex(kb, mode="fused")
+    pipe = FusedRetrievalPipeline(emb, index, batch_size=64, k=10)
+    scores, idx = pipe.run_arrays(queries)
+    ref_idx = reference_topk(tok, cfg, params, queries, kb, 10)
+    # bf16 scores may swap near-ties vs the fp32 oracle: compare sets
+    overlap = np.mean([
+        len(set(idx[i]) & set(ref_idx[i])) / 10 for i in range(len(idx))
+    ])
+    assert overlap > 0.95, overlap
+    assert np.all(np.isfinite(scores))

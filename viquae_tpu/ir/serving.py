@@ -127,7 +127,7 @@ class FusedRetrievalPipeline(RetrievalPipeline):
     protocol (bench.py) plus real result delivery.
 
     embedder: ir.embedding.PackedTextEmbedder; index: ops.mips.DenseIndex
-    with mode 'global' or 'approx' (the single-pass selections — chunked
+    with mode 'global', 'approx' or 'fused' (single-pass selections — chunked
     'fast'/'exact' indexes must use the base RetrievalPipeline, which
     routes through search_batch's HBM-size guard).
     """
@@ -141,13 +141,14 @@ class FusedRetrievalPipeline(RetrievalPipeline):
         import jax
         import jax.numpy as jnp
 
-        if index.mode not in ("global", "approx"):
+        if index.mode not in ("global", "approx", "fused"):
             raise ValueError(
                 f"FusedRetrievalPipeline requires a single-pass index mode "
-                f"('global'/'approx'), got {index.mode!r} — use "
+                f"('global'/'approx'/'fused'), got {index.mode!r} — use "
                 "RetrievalPipeline for chunked modes"
             )
         sel_mode = "approx" if index.mode == "approx" else "exact"
+        index_mode = index.mode
         packed_apply = embedder._forward  # jitted packed forward
         k_clamped = self.k
 
@@ -184,11 +185,20 @@ class FusedRetrievalPipeline(RetrievalPipeline):
             if index.do_l2norm:
                 # match search_batch's cosine contract ("L2norm,Flat")
                 q = mips.l2_normalize(q)
-            scores, idx = mips.topk_global(
-                q, matrix, k_clamped,
-                valid_rows=jnp.int32(index.n), compute_dtype=index.dtype,
-                mode=sel_mode,
-            )
+            if index_mode == "fused":
+                # Pallas q-major fused kernel over the (d, N) matrix —
+                # the fastest exact path (ops/mips_pallas.topk_fused)
+                from viquae_tpu.ops import mips_pallas
+
+                scores, idx = mips_pallas.topk_fused(
+                    q, matrix, k_clamped, valid_rows=jnp.int32(index.n)
+                )
+            else:
+                scores, idx = mips.topk_global(
+                    q, matrix, k_clamped,
+                    valid_rows=jnp.int32(index.n), compute_dtype=index.dtype,
+                    mode=sel_mode,
+                )
             scores16 = jax.lax.bitcast_convert_type(
                 scores.astype(jnp.bfloat16), jnp.int16
             )

@@ -198,7 +198,9 @@ def topk_single(
     return scores, idx
 
 
-@functools.partial(jax.jit, static_argnames=("k", "compute_dtype", "mode"))
+@functools.partial(
+    jax.jit, static_argnames=("k", "compute_dtype", "mode", "transposed")
+)
 def topk_global(
     queries: jnp.ndarray,
     kb: jnp.ndarray,
@@ -206,6 +208,7 @@ def topk_global(
     valid_rows: Optional[jnp.ndarray] = None,
     compute_dtype=jnp.bfloat16,
     mode: str = "exact",
+    transposed: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Single-pass MIPS: materialize ALL scores once (bf16 for bf16 inputs,
     halving the HBM write vs chunked f32), then ONE global two-level
@@ -220,19 +223,29 @@ def topk_global(
     if mode not in ("exact", "approx"):
         raise ValueError(f"unknown topk_global mode {mode!r}; "
                          "expected exact|approx")
-    n = kb.shape[0]
+    # transposed=True: kb is (d, N) — the mips_pallas.topk_fused layout —
+    # so one device copy can serve both the fused exact and approx paths
+    # (holding BOTH layouts at 1.5M x 768 costs 4.6GB and OOMs the chip
+    # next to the 3.8GB score matrix)
+    n = kb.shape[1] if transposed else kb.shape[0]
     nv = jnp.int32(n if valid_rows is None else valid_rows)
     pad = (-n) % _SEG
     if pad:
-        kb = jnp.concatenate([kb, jnp.zeros((pad, kb.shape[1]), kb.dtype)])
+        if transposed:
+            kb = jnp.concatenate(
+                [kb, jnp.zeros((kb.shape[0], pad), kb.dtype)], axis=1)
+        else:
+            kb = jnp.concatenate(
+                [kb, jnp.zeros((pad, kb.shape[1]), kb.dtype)])
         n += pad
     precision = (
         jax.lax.Precision.HIGHEST
         if compute_dtype == jnp.float32
         else jax.lax.Precision.DEFAULT
     )
+    kb_t = kb.astype(compute_dtype) if transposed else kb.astype(compute_dtype).T
     scores = jnp.dot(
-        queries.astype(compute_dtype), kb.astype(compute_dtype).T,
+        queries.astype(compute_dtype), kb_t,
         preferred_element_type=jnp.float32, precision=precision,
     )
     if compute_dtype != jnp.float32:
@@ -288,7 +301,9 @@ def topk_sharded(
     unsharded matrix.
     """
     ctx = mesh_ctx or meshlib.current()
-    n_pad = kb_shards.shape[0]
+    # mode="fused" takes the KB pre-transposed (d, N_pad), column-sharded
+    # over `kb` (the Pallas q-major kernel layout, ops/mips_pallas.py)
+    n_pad = kb_shards.shape[1] if mode == "fused" else kb_shards.shape[0]
     n_dev = ctx.kb_size
     assert n_pad % n_dev == 0, (n_pad, n_dev)
     rows_per_shard = n_pad // n_dev
@@ -298,7 +313,13 @@ def topk_sharded(
         shard_i = jax.lax.axis_index(meshlib.KB_AXIS)
         base = shard_i * rows_per_shard
         local_valid = jnp.clip(jnp.int32(nv) - base, 0, rows_per_shard)
-        if mode == "global":
+        if mode == "fused":
+            from viquae_tpu.ops import mips_pallas  # avoid import cycle
+
+            s, i = mips_pallas.topk_fused(
+                q, kb_local, k, valid_rows=local_valid,
+            )
+        elif mode == "global":
             s, i = topk_global(
                 q, kb_local, k, valid_rows=local_valid,
                 compute_dtype=compute_dtype,
@@ -320,7 +341,10 @@ def topk_sharded(
     fn = jax.shard_map(
         shard_fn,
         mesh=ctx.mesh,
-        in_specs=(P(), P(meshlib.KB_AXIS)),
+        in_specs=(
+            P(),
+            P(None, meshlib.KB_AXIS) if mode == "fused" else P(meshlib.KB_AXIS),
+        ),
         out_specs=(P(), P()),
         check_vma=False,
     )
@@ -351,25 +375,41 @@ class DenseIndex:
         self.mesh_ctx = mesh_ctx or meshlib.current()
         self.do_l2norm = do_l2norm
         self.chunk_size = chunk_size
-        if mode not in ("exact", "fast", "global", "approx"):
+        if mode not in ("exact", "fast", "global", "approx", "fused"):
             raise ValueError(f"unknown top-k mode {mode!r}; "
-                             "expected exact|fast|global|approx")
+                             "expected exact|fast|global|approx|fused")
         self.mode = mode
         self.n, self.d = vectors.shape
+        if mode == "fused":
+            # the Pallas q-major kernel is bf16-only (scores are written
+            # bf16; the fp32 FAISS contract lives on the XLA modes)
+            dtype = jnp.bfloat16
         self.dtype = dtype
 
         n_dev = self.mesh_ctx.kb_size
-        # pad rows so the matrix shards evenly; search masks the padding
-        block = n_dev * 8  # fp32 sublane tile
+        # pad rows so the matrix shards evenly; search masks the padding.
+        # fused mode additionally needs each shard tile-aligned for the
+        # Pallas grid
+        block = n_dev * (512 if mode == "fused" else 8)
         n_pad = meshlib.pad_to_multiple(self.n, block)
         mat = np.zeros((n_pad, self.d), dtype=np.float32)
         mat[: self.n] = vectors
         if do_l2norm:
             norms = np.linalg.norm(mat[: self.n], axis=1, keepdims=True)
             mat[: self.n] /= np.maximum(norms, 1e-12)
-        device_mat = jnp.asarray(mat, dtype=dtype)
-        if n_dev > 1:
-            device_mat = jax.device_put(device_mat, self.mesh_ctx.kb_sharded)
+        if mode == "fused":
+            # store TRANSPOSED (d, N): the kernel streams (d, tile) column
+            # blocks so the matmul emits q-major scores with no transpose
+            device_mat = jnp.asarray(mat.T, dtype=dtype)
+            if n_dev > 1:
+                device_mat = jax.device_put(
+                    device_mat, self.mesh_ctx.sharding(None, meshlib.KB_AXIS)
+                )
+        else:
+            device_mat = jnp.asarray(mat, dtype=dtype)
+            if n_dev > 1:
+                device_mat = jax.device_put(
+                    device_mat, self.mesh_ctx.kb_sharded)
         self.matrix = device_mat
 
     def search_batch(self, queries, k: int = 100, sync: bool = True
@@ -389,7 +429,20 @@ class DenseIndex:
         if self.do_l2norm:
             q = l2_normalize(q)
         k = min(k, self.n)
-        if self.mesh_ctx.kb_size > 1:
+        if self.mode == "fused":
+            if self.mesh_ctx.kb_size > 1:
+                scores, idx = topk_sharded(
+                    q, self.matrix, k, mesh_ctx=self.mesh_ctx,
+                    valid_rows=self.n, compute_dtype=self.dtype,
+                    mode="fused",
+                )
+            else:
+                from viquae_tpu.ops import mips_pallas
+
+                scores, idx = mips_pallas.topk_fused(
+                    q, self.matrix, k, valid_rows=jnp.int32(self.n)
+                )
+        elif self.mesh_ctx.kb_size > 1:
             scores, idx = topk_sharded(
                 q, self.matrix, k, mesh_ctx=self.mesh_ctx,
                 chunk_size=self.chunk_size, valid_rows=self.n,
@@ -421,9 +474,12 @@ class DenseIndex:
     # ---- persistence (parity with faiss index save/load,
     #      ir/search.py:246-248) -------------------------------------------
     def save(self, path):
+        mat = np.asarray(self.matrix)
+        if self.mode == "fused":
+            mat = mat.T  # stored (d, N); persist the (N, d) contract
         np.savez(
             path,
-            vectors=np.asarray(self.matrix)[: self.n].astype(np.float32),
+            vectors=mat[: self.n].astype(np.float32),
             do_l2norm=self.do_l2norm,
         )
 
