@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--queries", type=int, default=5120)
     ap.add_argument("--kb", type=int, default=1_500_000)
     ap.add_argument("--batch", type=int, default=1280)
+    ap.add_argument("--mode", choices=["global", "approx", "fused"],
+                    default="fused")
     args = ap.parse_args()
 
     import jax
@@ -60,7 +62,15 @@ def main():
     params = dpr.init(jax.random.key(0), cfg)
     kb = (jax.random.normal(jax.random.key(1), (args.kb, 768), jnp.bfloat16)
           / np.sqrt(768))
-    index = mips.DenseIndex(np.zeros((1, 768), np.float32), mode="global")
+    index = mips.DenseIndex(np.zeros((1, 768), np.float32), mode=args.mode)
+    if args.mode == "fused":
+        # Pallas q-major kernel layout: transposed (d, N), tile-padded cols
+        n_pad = args.kb + ((-args.kb) % 512)
+        kb = jax.jit(
+            lambda m: jnp.concatenate(
+                [m.T, jnp.zeros((768, n_pad - args.kb), m.dtype)], axis=1
+            )
+        )(kb)
     index.matrix, index.n = kb, args.kb  # device-resident bf16 KB
     index.dtype = jnp.bfloat16
 
