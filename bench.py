@@ -78,6 +78,12 @@ def main():
 
     cfg = dpr.DPRConfig(bert=bert.BertConfig(add_pooler=False))
     params = dpr.init(jax.random.fold_in(key, 2), cfg)
+    # a bf16 serving deployment stores bf16 weights: precasting skips the
+    # per-forward f32->bf16 conversion reads (~440MB f32/step). The fp32
+    # FAISS-contract path keeps the f32 originals.
+    params16 = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16), params
+    )
 
     # realistic question lengths (see module docstring); fixed seed keeps the
     # packed canvas shape stable across runs -> compile-cache hits
@@ -115,7 +121,7 @@ def main():
     def embed_only(params, ids, seg, pos, cr, cc):
         return embed_packed(params, ids, seg, pos, cr, cc)
 
-    q_dev = embed_only(params, *p_args)
+    q_dev = embed_only(params16, *p_args)  # same weights as the exact path
     _, idx_fast = mips.topk_single(
         q_dev, kb, k, chunk_size=min(n_kb, 262_144),
         compute_dtype=jnp.bfloat16, mode="fast",
@@ -147,12 +153,7 @@ def main():
     # stage 2: transpose to the (d, N) kernel layout, FREE the row-major
     # copy, and run the headline exact (Pallas fused) + approx paths on it
     # ======================================================================
-    n_pad = n_kb + ((-n_kb) % 512)
-    kbt = jax.jit(
-        lambda m: jnp.concatenate(
-            [m.T, jnp.zeros((dim, n_pad - n_kb), m.dtype)], axis=1
-        )
-    )(kb)
+    kbt = mips_pallas.to_kernel_layout(kb)
     sync(kbt)
     del kb
 
@@ -173,24 +174,24 @@ def main():
 
     # compile + warmup
     t0 = time.time()
-    out = embed_and_search(params, *p_args, kbt)
+    out = embed_and_search(params16, *p_args, kbt)
     sync(out)
     compile_s = time.time() - t0
 
-    reps = 3
+    reps = 5
     t0 = time.time()
     for _ in range(reps):
-        out = embed_and_search(params, *p_args, kbt)
+        out = embed_and_search(params16, *p_args, kbt)
     sync(out)
     dt = (time.time() - t0) / reps
     qps = n_queries / dt  # count only the real 1,257 queries
 
     # ---- approx variant (lax.approx_max_k fused into the matmul) --------
-    out_a = embed_and_search_approx(params, *p_args, kbt)
+    out_a = embed_and_search_approx(params16, *p_args, kbt)
     sync(out_a)
     t0 = time.time()
     for _ in range(reps):
-        out_a = embed_and_search_approx(params, *p_args, kbt)
+        out_a = embed_and_search_approx(params16, *p_args, kbt)
     sync(out_a)
     approx_qps = n_queries / ((time.time() - t0) / reps)
     idx_exact = np.asarray(out[1])

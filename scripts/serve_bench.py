@@ -65,12 +65,8 @@ def main():
     index = mips.DenseIndex(np.zeros((1, 768), np.float32), mode=args.mode)
     if args.mode == "fused":
         # Pallas q-major kernel layout: transposed (d, N), tile-padded cols
-        n_pad = args.kb + ((-args.kb) % 512)
-        kb = jax.jit(
-            lambda m: jnp.concatenate(
-                [m.T, jnp.zeros((768, n_pad - args.kb), m.dtype)], axis=1
-            )
-        )(kb)
+        from viquae_tpu.ops import mips_pallas
+        kb = mips_pallas.to_kernel_layout(kb)
     index.matrix, index.n = kb, args.kb  # device-resident bf16 KB
     index.dtype = jnp.bfloat16
 

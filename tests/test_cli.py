@@ -295,3 +295,66 @@ def test_cli_serve(tmp_path, capsys):
     run = json.loads((tmp_path / "run.json").read_text())
     assert len(run) == 9
     assert all(len(v) == 5 for v in run.values())
+
+
+def test_cli_serve_fusion(tmp_path, capsys):
+    """`serve` with a late-fusion config ("indexes"/"weights"/"text_index"
+    + query_features .npy) routes through MultiIndexRetrievalPipeline."""
+    from datasets import Dataset
+    from transformers import BertTokenizerFast
+
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + [
+        f"w{i}" for i in range(30)
+    ]
+    tok_dir = tmp_path / "tok"
+    tok_dir.mkdir()
+    (tok_dir / "vocab.txt").write_text("\n".join(vocab))
+    BertTokenizerFast(
+        vocab_file=str(tok_dir / "vocab.txt"), do_lower_case=True
+    ).save_pretrained(tok_dir)
+
+    rng = np.random.default_rng(1)
+    kb_rows = rng.standard_normal((40, 16)).astype(np.float32)
+    Dataset.from_dict(
+        {"embedding": kb_rows.tolist()}
+    ).save_to_disk(str(tmp_path / "kb"))
+    from viquae_tpu.ops import mips
+    clip_idx = mips.DenseIndex(
+        rng.standard_normal((40, 8)).astype(np.float32), do_l2norm=True)
+    clip_idx.save(str(tmp_path / "clip_idx"))
+
+    queries = [f"w{i} w{i + 1} w{i + 2}" for i in range(9)]
+    np.save(tmp_path / "q_clip.npy",
+            rng.standard_normal((9, 8)).astype(np.float32))
+
+    bcfg = dict(vocab_size=40, hidden_size=16, num_hidden_layers=1,
+                num_attention_heads=2, intermediate_size=32,
+                max_position_embeddings=32, add_pooler=False)
+    config = {
+        "model": {"class_name": "DPREncoder", "bert_config": bcfg},
+        "tokenizer": str(tok_dir),
+        "row_len": 16,
+        "indexes": {
+            "dpr": {"dataset": str(tmp_path / "kb"), "column": "embedding",
+                    "mode": "global"},
+            "clip": {"load": str(tmp_path / "clip_idx.npz"),
+                     "mode": "global"},
+        },
+        "weights": {"dpr": 0.6, "clip": 0.4},
+        "text_index": "dpr",
+        "norm": "gzmuv",
+        "query_features": {"clip": str(tmp_path / "q_clip.npy")},
+    }
+    (tmp_path / "serve.json").write_text(json.dumps(config))
+    (tmp_path / "queries.txt").write_text("\n".join(queries))
+
+    cli_main([
+        "serve", str(tmp_path / "queries.txt"),
+        str(tmp_path / "serve.json"), str(tmp_path / "run.json"),
+        "--k", "5", "--batch", "4",
+    ])
+    out = json.loads(capsys.readouterr().out)
+    assert out["queries"] == 9
+    run = json.loads((tmp_path / "run.json").read_text())
+    assert len(run) == 9
+    assert all(len(v) == 5 for v in run.values())

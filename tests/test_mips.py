@@ -302,7 +302,11 @@ def test_dense_index_fused_mode(data, devices):
 
 def test_dense_index_fused_sharded(data, devices):
     """fused mode on a kb-sharded mesh: per-shard Pallas kernels + the
-    all-gather merge must agree with the single-device fused result."""
+    all-gather merge must agree with the single-device fused result —
+    score-for-score; ids may swap ONLY on exact bf16 score ties (the
+    fast-selection contract: tied duplicates straddling a k-th boundary
+    are interchangeable, and per-shard boundaries differ from the global
+    one)."""
     queries, kb = data
     ctx = meshlib.make_kb_mesh()
     with meshlib.use(ctx):
@@ -311,8 +315,30 @@ def test_dense_index_fused_sharded(data, devices):
         s_shard, i_shard = index.search_batch(queries, k=10)
     single = mips.DenseIndex(kb, mode="fused")
     s_one, i_one = single.search_batch(queries, k=10)
-    np.testing.assert_array_equal(i_shard, i_one)
-    np.testing.assert_allclose(s_shard, s_one, rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(s_shard, s_one)
+    mismatch = i_shard != i_one
+    assert np.array_equal(s_shard[mismatch], s_one[mismatch])
+    assert mismatch.mean() < 0.1  # swaps are rare tied duplicates
+
+
+def test_topk_fused_k_exceeds_shard_rows(data, devices):
+    """k larger than one shard's rows: per-shard results pad with NEG_INF /
+    int32-max (topk_single's convention) and the merge still returns the
+    true global top-k."""
+    queries, kb = data
+    queries, kb = queries[:8], kb[:3000]  # 8 shards x 512 rows padded
+    ctx = meshlib.make_kb_mesh()
+    with meshlib.use(ctx):
+        index = mips.DenseIndex(kb, mesh_ctx=ctx, mode="fused")
+        rows_per_shard = index.matrix.shape[1] // ctx.kb_size
+        k = rows_per_shard + 88  # > one shard's candidate pool
+        s, idx = index.search_batch(queries, k=k)
+    _, ref_idx = mips.exact_topk_numpy(queries, kb, k)
+    overlap = np.mean([
+        len(set(idx[i]) & set(ref_idx[i])) / k for i in range(len(idx))
+    ])
+    assert overlap > 0.95, overlap
+    assert np.isfinite(s).all() and idx.max() < len(kb)
 
 
 def test_dense_index_fused_roundtrip(tmp_path, data, devices):

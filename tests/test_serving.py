@@ -194,3 +194,94 @@ def test_fused_pipeline_pallas_fused_index_mode(setup):
     ])
     assert overlap > 0.95, overlap
     assert np.all(np.isfinite(scores))
+
+
+def test_fused_pipeline_sharded_fused_index(setup):
+    """A kb-sharded fused index must route through topk_sharded inside the
+    single-dispatch program (per-shard Pallas kernels; a direct topk_fused
+    over the sharded matrix would make GSPMD all-gather the whole KB)."""
+    from viquae_tpu.core import mesh as meshlib
+
+    tok, cfg, params, queries, kb = setup
+    emb = PackedTextEmbedder(dpr.make_packed_apply(cfg), params, tok,
+                             row_len=32, batch_size=64,
+                             compute_dtype=jnp.float32)
+    ctx = meshlib.make_kb_mesh()
+    with meshlib.use(ctx):
+        index = mips.DenseIndex(kb, mesh_ctx=ctx, mode="fused")
+        pipe = FusedRetrievalPipeline(emb, index, batch_size=64, k=10)
+        scores, idx = pipe.run_arrays(queries)
+    ref_idx = reference_topk(tok, cfg, params, queries, kb, 10)
+    overlap = np.mean([
+        len(set(idx[i]) & set(ref_idx[i])) / 10 for i in range(len(idx))
+    ])
+    assert overlap > 0.95, overlap
+
+
+def test_multi_index_fusion_pipeline(setup):
+    """The reference's late-fusion config shape (text + 2 modal indexes,
+    wsum + gzmuv + default-minimum) as ONE device program: parity vs the
+    host path search -> default_minimum -> normalize_run -> fuse."""
+    from viquae_tpu.ir.serving import MultiIndexRetrievalPipeline
+    from viquae_tpu.rankeval import Run, default_minimum, fuse, normalize_run
+
+    tok, cfg, params, queries, kb = setup
+    queries = queries[:96]
+    rng = np.random.default_rng(42)
+    n_docs = kb.shape[0]
+    kb_clip = rng.normal(size=(n_docs, 24)).astype(np.float32)
+    kb_face = rng.normal(size=(n_docs, 16)).astype(np.float32)
+    feats = {
+        "clip": rng.normal(size=(len(queries), 24)).astype(np.float32),
+        "face": rng.normal(size=(len(queries), 16)).astype(np.float32),
+    }
+    emb = PackedTextEmbedder(dpr.make_packed_apply(cfg), params, tok,
+                             row_len=32, batch_size=48,
+                             compute_dtype=jnp.float32)
+    indexes = {
+        "dpr": mips.DenseIndex(kb, mode="global", dtype=jnp.float32),
+        "clip": mips.DenseIndex(kb_clip, do_l2norm=True, mode="global",
+                                dtype=jnp.float32),
+        "face": mips.DenseIndex(kb_face, mode="global", dtype=jnp.float32),
+    }
+    weights = {"dpr": 0.5, "clip": 0.3, "face": 0.2}
+    pipe = MultiIndexRetrievalPipeline(
+        emb, indexes, weights, text_index="dpr", batch_size=48, k=10,
+        norm="gzmuv", compact_transfer=False,
+    )
+    scores, idx = pipe.run_arrays(queries, feats)
+    run = pipe.run([str(i) for i in range(len(queries))], queries, feats)
+    assert len(run) == len(queries)
+
+    # ---- host reference: per-index search_batch -> rankeval fusion -------
+    q_text = np.zeros((len(queries), kb.shape[1]), np.float32)
+    enc = tok(queries, padding="max_length", truncation=True, max_length=32,
+              return_tensors="np")
+    q_text = np.asarray(dpr.apply(
+        params, cfg, jnp.asarray(enc["input_ids"].astype(np.int32)),
+        jnp.asarray(enc["attention_mask"].astype(np.int32)),
+        deterministic=True,
+    )["pooler_output"])
+    host_runs = []
+    for name, q in (("dpr", q_text), ("clip", feats["clip"]),
+                    ("face", feats["face"])):
+        s, i = indexes[name].search_batch(q, k=10)
+        host_runs.append(Run({
+            str(r): {str(int(d)): float(v) for d, v in zip(i[r], s[r])}
+            for r in range(len(queries))
+        }, name=name))
+    host_runs = default_minimum(host_runs)
+    host_runs = [normalize_run(r, "gzmuv") for r in host_runs]
+    fused = fuse(host_runs, norm=None, method="wsum",
+                 params={"weights": [0.5, 0.3, 0.2]})
+
+    agree = 0
+    for q in range(len(queries)):
+        items = sorted(fused[str(q)].items(),
+                       key=lambda kv: (-kv[1], int(kv[0])))[:10]
+        ref_ids = [int(d) for d, _ in items]
+        agree += np.mean(idx[q] == ref_ids)
+    agree /= len(queries)
+    # packed vs padded text embeddings differ at ~1e-6: near-tied fusion
+    # scores may swap; demand near-perfect positional agreement
+    assert agree > 0.97, agree

@@ -159,25 +159,49 @@ def cmd_serve(args):
         row_len=config.pop("row_len", 64),
         batch_size=args.batch,
     )
-    index_cfg = config.pop("index")
-    if "load" in index_cfg:
-        index = mips.DenseIndex.load(index_cfg["load"],
-                                     mode=index_cfg.get("mode", "global"))
-    else:
+    def build_index(index_cfg):
+        if "load" in index_cfg:
+            return mips.DenseIndex.load(index_cfg["load"],
+                                        mode=index_cfg.get("mode", "global"))
         from datasets import load_from_disk
 
         kb = load_from_disk(index_cfg["dataset"])
-        index = mips.DenseIndex(
+        return mips.DenseIndex(
             np.asarray(kb[index_cfg["column"]], np.float32),
             do_l2norm=index_cfg.get("do_l2norm", False),
             mode=index_cfg.get("mode", "global"),
         )
-    pipeline = FusedRetrievalPipeline(embedder, index,
-                                      batch_size=args.batch, k=args.k)
+
     with open(args.queries) as f:
         queries = [line.rstrip("\n") for line in f if line.strip()]
     ids = [str(i) for i in range(len(queries))]
-    run = pipeline.run(ids, queries)
+
+    if "indexes" in config:
+        # late-fusion serving (the reference's dpr+arcface+clip+imagenet
+        # configs online): {"indexes": {name: index_cfg}, "weights":
+        # {name: w}, "text_index": name, "norm": "gzmuv",
+        # "query_features": {name: path.npy}}
+        from viquae_tpu.ir.serving import MultiIndexRetrievalPipeline
+
+        fusion_cfg = config
+        indexes = {n: build_index(c)
+                   for n, c in fusion_cfg.pop("indexes").items()}
+        feats = {
+            n: np.load(p)
+            for n, p in fusion_cfg.pop("query_features", {}).items()
+        }
+        pipeline = MultiIndexRetrievalPipeline(
+            embedder, indexes, fusion_cfg.pop("weights"),
+            text_index=fusion_cfg.pop("text_index"),
+            batch_size=args.batch, k=args.k,
+            norm=fusion_cfg.pop("norm", "gzmuv"),
+        )
+        run = pipeline.run(ids, queries, feats)
+    else:
+        index = build_index(config.pop("index"))
+        pipeline = FusedRetrievalPipeline(embedder, index,
+                                          batch_size=args.batch, k=args.k)
+        run = pipeline.run(ids, queries)
     run.save(args.output)
     print(json.dumps({"queries": len(queries),
                       "stages": pipeline.report()}))

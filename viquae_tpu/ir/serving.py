@@ -118,6 +118,41 @@ class RetrievalPipeline:
         return self.timer.report()
 
 
+def _device_search(index, q, matrix, k):
+    """Single-dispatch MIPS routing by index mode — called INSIDE jit.
+
+    'fused' uses the Pallas q-major kernel (ops/mips_pallas.topk_fused); a
+    kb-sharded fused matrix MUST go through topk_sharded (per-shard kernels
+    + all-gather merge) because pallas_call cannot be partitioned — jitting
+    topk_fused over a sharded matrix makes GSPMD silently all-gather the
+    whole KB onto every device. 'global'/'approx' are the XLA single-pass
+    selections."""
+    import jax.numpy as jnp
+
+    from viquae_tpu.ops import mips
+
+    q = q.astype(index.dtype)
+    if index.do_l2norm:
+        q = mips.l2_normalize(q)
+    k = min(k, index.n)
+    if index.mode == "fused":
+        if index.mesh_ctx.kb_size > 1:
+            return mips.topk_sharded(
+                q, matrix, k, mesh_ctx=index.mesh_ctx,
+                valid_rows=index.n, compute_dtype=index.dtype, mode="fused",
+            )
+        from viquae_tpu.ops import mips_pallas
+
+        return mips_pallas.topk_fused(
+            q, matrix, k, valid_rows=jnp.int32(index.n)
+        )
+    return mips.topk_global(
+        q, matrix, k, valid_rows=jnp.int32(index.n),
+        compute_dtype=index.dtype,
+        mode="approx" if index.mode == "approx" else "exact",
+    )
+
+
 class FusedRetrievalPipeline(RetrievalPipeline):
     """Single-dispatch serving: tokenize+pack on host, then ONE jitted
     program does packed embed -> (optional L2norm) -> single-pass MIPS ->
@@ -147,8 +182,6 @@ class FusedRetrievalPipeline(RetrievalPipeline):
                 f"('global'/'approx'/'fused'), got {index.mode!r} — use "
                 "RetrievalPipeline for chunked modes"
             )
-        sel_mode = "approx" if index.mode == "approx" else "exact"
-        index_mode = index.mode
         packed_apply = embedder._forward  # jitted packed forward
         k_clamped = self.k
 
@@ -181,24 +214,7 @@ class FusedRetrievalPipeline(RetrievalPipeline):
                 pos.astype(jnp.int32), cr.astype(jnp.int32),
                 cc.astype(jnp.int32),
             )
-            q = q.astype(index.dtype)
-            if index.do_l2norm:
-                # match search_batch's cosine contract ("L2norm,Flat")
-                q = mips.l2_normalize(q)
-            if index_mode == "fused":
-                # Pallas q-major fused kernel over the (d, N) matrix —
-                # the fastest exact path (ops/mips_pallas.topk_fused)
-                from viquae_tpu.ops import mips_pallas
-
-                scores, idx = mips_pallas.topk_fused(
-                    q, matrix, k_clamped, valid_rows=jnp.int32(index.n)
-                )
-            else:
-                scores, idx = mips.topk_global(
-                    q, matrix, k_clamped,
-                    valid_rows=jnp.int32(index.n), compute_dtype=index.dtype,
-                    mode=sel_mode,
-                )
+            scores, idx = _device_search(index, q, matrix, k_clamped)
             scores16 = jax.lax.bitcast_convert_type(
                 scores.astype(jnp.bfloat16), jnp.int16
             )
@@ -277,3 +293,185 @@ class FusedRetrievalPipeline(RetrievalPipeline):
 
         self._drain_lagged(stream(), drain_one)
         return scores_out, idx_out
+
+
+class MultiIndexRetrievalPipeline(FusedRetrievalPipeline):
+    """Late-fusion serving: the reference's best retrieval configs (e.g.
+    DPR + ArcFace + CLIP + ImageNet, wsum [0.3, 0.2, 0.2, 0.2], gzmuv norm,
+    default-minimum — experiments/ir/viquae/dpr+arcface+clip+imagenet/
+    config_test.json) as ONE jitted program per batch:
+
+        packed text embed -> per-index MIPS -> ops.fusion.fuse_topk
+
+    The text index is searched with the packed DPR tower; every other
+    index is searched with PRECOMPUTED per-query embeddings passed to
+    run_arrays (the reference also embeds query images in an offline stage,
+    meerqat/ir/embedding.py). All indexes must share one doc-id space —
+    the reference fuses runs after `map_passage_to_kb`; this pipeline is
+    the online counterpart, while `ir.fuse.Fusion` remains the offline
+    fit/eval path. Imputation follows Fusion(defmin=True).
+
+    indexes: {name: DenseIndex} (insertion order = fusion order);
+    weights: {name: float}; text_index: the name searched with the query
+    TEXT; query_features: arrays for every other name, shape
+    (n_queries, d_name), passed per call.
+    """
+
+    def __init__(self, embedder, indexes, weights, text_index: str,
+                 batch_size: int = 1280, k: int = 100,
+                 norm: str = "gzmuv",
+                 timer: Optional[StageTimer] = None,
+                 compact_transfer: bool = True):
+        if text_index not in indexes:
+            raise ValueError(f"text_index {text_index!r} not in indexes "
+                             f"{list(indexes)}")
+        bad = [n for n, ix in indexes.items()
+               if ix.mode not in ("global", "approx", "fused")]
+        if bad:
+            raise ValueError(
+                f"MultiIndexRetrievalPipeline requires single-pass index "
+                f"modes ('global'/'approx'/'fused'); got chunked modes for "
+                f"{bad}"
+            )
+        if set(weights) != set(indexes):
+            raise ValueError("weights keys must match indexes keys")
+        # base init wires the compact-transfer dtypes + k clamp off the
+        # text index; k is clamped to the SMALLEST index so every per-index
+        # search can return k candidates
+        super().__init__(embedder, indexes[text_index],
+                         batch_size=batch_size,
+                         k=min([k] + [ix.n for ix in indexes.values()]),
+                         timer=timer, compact_transfer=compact_transfer)
+        import jax
+        import jax.numpy as jnp
+
+        from viquae_tpu.ops import fusion as fusion_ops
+
+        self.indexes = dict(indexes)
+        self.names = list(indexes)
+        self.norm = norm
+        self.weights = tuple(float(weights[n]) for n in self.names)
+        packed_apply = embedder._forward
+        k_clamped = self.k
+        names, text_name = self.names, text_index
+        idx_objs = self.indexes
+        wts = self.weights
+
+        @jax.jit
+        def _retrieve(params, ids, seg, pos, cr, cc, feats, matrices,
+                      n_valid):
+            q_text = packed_apply(
+                params, ids.astype(jnp.int32), seg.astype(jnp.int32),
+                pos.astype(jnp.int32), cr.astype(jnp.int32),
+                cc.astype(jnp.int32),
+            )
+            scores_list, idx_list = [], []
+            for name in names:
+                q = q_text if name == text_name else feats[name]
+                s, i = _device_search(
+                    idx_objs[name], q, matrices[name], k_clamped)
+                scores_list.append(s)
+                idx_list.append(i.astype(jnp.int32))
+            fused, fused_idx = fusion_ops.fuse_topk(
+                tuple(scores_list), tuple(idx_list), wts, k_clamped,
+                norm=norm, valid_queries=n_valid,
+            )
+            scores16 = jax.lax.bitcast_convert_type(
+                fused.astype(jnp.bfloat16), jnp.int16
+            )
+            return scores16, fused_idx
+
+        self._retrieve_multi = _retrieve
+
+    def _canvas_stream(self, queries, query_features):
+        import jax.numpy as jnp
+
+        emb = self.embed_fn
+        matrices = {n: ix.matrix for n, ix in self.indexes.items()}
+        feat_dtype = jnp.bfloat16 if self.compact else jnp.float32
+        for start, chunk in self._batches(queries):
+            with self.timer.stage("tokenize+pack+dispatch"):
+                # the packed canvas always carries batch_size CLS slots
+                # (garbage past len(chunk)); pad the modal features to the
+                # same height — fuse_topk's valid_queries keeps the pad
+                # rows out of the gzmuv statistics
+                feats = {}
+                for n, f in query_features.items():
+                    sl = np.asarray(f[start: start + len(chunk)])
+                    if len(sl) < self.batch_size:
+                        sl = np.concatenate([
+                            sl,
+                            np.zeros((self.batch_size - len(sl),)
+                                     + sl.shape[1:], sl.dtype),
+                        ])
+                    feats[n] = jnp.asarray(sl, dtype=feat_dtype)
+                scores16, idx = self._retrieve_multi(
+                    emb.params, *self._upload(emb.pack(list(chunk))),
+                    feats, matrices, jnp.int32(len(chunk)),
+                )
+            yield start, len(chunk), scores16, idx
+
+    def run_arrays(self, queries, query_features=None):
+        import ml_dtypes
+
+        query_features = query_features or {}
+        missing = (set(self.names) - {self._text_name()}
+                   - set(query_features))
+        if missing:
+            raise ValueError(f"missing query_features for indexes "
+                             f"{sorted(missing)}")
+        n = len(queries)
+        for name, f in query_features.items():
+            if len(f) != n:
+                raise ValueError(
+                    f"query_features[{name!r}] has {len(f)} rows for "
+                    f"{n} queries")
+        scores_out = np.empty((n, self.k), np.float32)
+        idx_out = np.empty((n, self.k), np.int64)
+
+        def stream():
+            for item in self._canvas_stream(queries, query_features):
+                for arr in item[2:]:
+                    if hasattr(arr, "copy_to_host_async"):
+                        arr.copy_to_host_async()
+                yield item
+
+        def drain_one(item):
+            start, n_real, scores16, idx = item
+            with self.timer.stage("drain_to_host"):
+                scores_out[start: start + n_real] = (
+                    np.asarray(scores16)[:n_real]
+                    .view(ml_dtypes.bfloat16).astype(np.float32)
+                )
+                idx_out[start: start + n_real] = np.asarray(idx)[:n_real]
+
+        self._drain_lagged(stream(), drain_one)
+        return scores_out, idx_out
+
+    def _text_name(self):
+        for n, ix in self.indexes.items():
+            if ix is self.index:
+                return n
+        raise RuntimeError("text index missing from indexes")
+
+    def run(self, query_ids, queries, query_features=None):
+        assert len(query_ids) == len(queries)
+        scores, indices = self.run_arrays(queries, query_features)
+        with self.timer.stage("build_run"):
+            results = {}
+            score_rows = scores.tolist()
+            idx_rows = indices.tolist()
+            for row, q_id in enumerate(query_ids):
+                results[q_id] = dict(
+                    zip(map(str, idx_rows[row]), score_rows[row])
+                )
+        return Run(results, name="serving-fusion")
+
+    def run_device(self, queries, query_features=None):
+        query_features = query_features or {}
+        return [
+            (start, scores16, idx)
+            for start, _, scores16, idx in PrefetchIterable(
+                self._canvas_stream(queries, query_features), buffer_size=2
+            )
+        ]

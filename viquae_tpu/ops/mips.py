@@ -474,6 +474,11 @@ class DenseIndex:
     # ---- persistence (parity with faiss index save/load,
     #      ir/search.py:246-248) -------------------------------------------
     def save(self, path):
+        """Persist the vectors THIS index searches. NOTE: a bf16 index
+        (mode='fused', or dtype=bfloat16) persists bf16-quantized values
+        (upcast to f32 for the file) — reloading them into an fp32 mode
+        gives the fp32 FAISS contract over the QUANTIZED data, not the
+        original vectors. The source dtype is recorded in the file."""
         mat = np.asarray(self.matrix)
         if self.mode == "fused":
             mat = mat.T  # stored (d, N); persist the (N, d) contract
@@ -481,6 +486,7 @@ class DenseIndex:
             path,
             vectors=mat[: self.n].astype(np.float32),
             do_l2norm=self.do_l2norm,
+            source_dtype=np.str_(jnp.dtype(self.dtype).name),
         )
 
     @classmethod

@@ -71,6 +71,21 @@ def _make_qmajor_kernel(tile: int):
 
 
 @functools.partial(jax.jit, static_argnames=("tile",))
+def to_kernel_layout(kb: jnp.ndarray, tile: int = 512) -> jnp.ndarray:
+    """(N, d) row-major KB -> the kernel's (d, N_pad) layout, columns
+    zero-padded to a multiple of `tile` (mask padding with valid_rows=N).
+    The single owner of the layout contract — bench/serving/scripts build
+    their transposed matrices here."""
+    n, dim = kb.shape
+    pad = (-n) % tile
+    kb_t = kb.T
+    if pad:
+        kb_t = jnp.concatenate(
+            [kb_t, jnp.zeros((dim, pad), kb.dtype)], axis=1)
+    return kb_t
+
+
+@functools.partial(jax.jit, static_argnames=("tile",))
 def fused_score_segmax_qmajor(
     queries: jnp.ndarray,
     kb_t: jnp.ndarray,
@@ -159,11 +174,25 @@ def topk_fused(
         seg_idx[:, :, None] * _SEG
         + jax.lax.broadcasted_iota(jnp.int32, (q_count, p, _SEG), 2)
     ).reshape(q_count, p * _SEG)
-    top_scores, pos = jax.lax.top_k(cand, min(k, p * _SEG))
+    kk = min(k, p * _SEG)  # candidate pool caps at n when k > n
+    top_scores, pos = jax.lax.top_k(cand, kk)
     top_idx = jnp.take_along_axis(cand_idx, pos, axis=1)
     neg, top_idx = jax.lax.sort((-top_scores, top_idx), dimension=-1,
                                 num_keys=2)
-    return -neg[:, :k], top_idx[:, :k]
+    scores_out, idx_out = -neg[:, :kk], top_idx[:, :kk]
+    if kk < k:
+        # pad to the requested k like topk_single (NEG_INF / int32 max), so
+        # topk_sharded's all-gather merge sees uniform (Q, k) shards even
+        # when k exceeds one shard's row count
+        scores_out = jnp.concatenate([
+            scores_out,
+            jnp.full((q_count, k - kk), mips.NEG_INF, scores_out.dtype),
+        ], axis=1)
+        idx_out = jnp.concatenate([
+            idx_out,
+            jnp.full((q_count, k - kk), jnp.iinfo(jnp.int32).max, jnp.int32),
+        ], axis=1)
+    return scores_out, idx_out
 
 
 # --------------------------------------------------------------------------
