@@ -285,3 +285,90 @@ def test_multi_index_fusion_pipeline(setup):
     # packed vs padded text embeddings differ at ~1e-6: near-tied fusion
     # scores may swap; demand near-perfect positional agreement
     assert agree > 0.97, agree
+
+
+def test_multi_index_online_image_tower(setup):
+    """image_encoders: the image embedding is computed INSIDE the fused
+    program from raw query images; queries without an image are absent
+    from that index's run (search_batch_if_not_None semantics)."""
+    from PIL import Image
+
+    from viquae_tpu.image.embedding import ImageEmbedder
+    from viquae_tpu.ir.serving import MultiIndexRetrievalPipeline
+    from viquae_tpu.rankeval import Run, default_minimum, fuse, normalize_run
+
+    tok, cfg, params, queries, kb = setup
+    queries = queries[:40]
+    rng = np.random.default_rng(7)
+    n_docs = kb.shape[0]
+
+    # tiny "CLIP tower": mean-pool pixels -> linear proj
+    w_img = rng.normal(size=(3, 12)).astype(np.float32)
+
+    def img_apply(p, pixels):
+        return pixels.mean(axis=(1, 2)) @ p["w"]
+
+    enc = ImageEmbedder(img_apply, {"w": jnp.asarray(w_img)}, save_as="e",
+                        image_size=16, preprocessing="clip", batch_size=20)
+    images = [
+        None if i % 5 == 4 else Image.fromarray(
+            rng.integers(0, 255, (24, 24, 3), dtype=np.uint8), "RGB")
+        for i in range(len(queries))
+    ]
+    kb_img = rng.normal(size=(n_docs, 12)).astype(np.float32)
+
+    emb = PackedTextEmbedder(dpr.make_packed_apply(cfg), params, tok,
+                             row_len=32, batch_size=20,
+                             compute_dtype=jnp.float32)
+    indexes = {
+        "dpr": mips.DenseIndex(kb, mode="global", dtype=jnp.float32),
+        "img": mips.DenseIndex(kb_img, mode="global", dtype=jnp.float32),
+    }
+    # zmuv: per-query statistics are invariant to serving batching, so the
+    # host run-level reference matches exactly (gzmuv stats are per BATCH
+    # in serving — the batch plays the role of the run — which legitimately
+    # diverges from a whole-run host fusion when batch < run)
+    pipe = MultiIndexRetrievalPipeline(
+        emb, indexes, {"dpr": 0.6, "img": 0.4}, text_index="dpr",
+        batch_size=20, k=10, norm="zmuv", compact_transfer=False,
+        image_encoders={"img": enc},
+    )
+    scores, idx = pipe.run_arrays(queries, query_images={"img": images})
+
+    # ---- host reference --------------------------------------------------
+    enc_host = tok(queries, padding="max_length", truncation=True,
+                   max_length=32, return_tensors="np")
+    q_text = np.asarray(dpr.apply(
+        params, cfg, jnp.asarray(enc_host["input_ids"].astype(np.int32)),
+        jnp.asarray(enc_host["attention_mask"].astype(np.int32)),
+        deterministic=True,
+    )["pooler_output"])
+    s, i = indexes["dpr"].search_batch(q_text, k=10)
+    dpr_run = Run({
+        str(r): {str(int(d)): float(v) for d, v in zip(i[r], s[r])}
+        for r in range(len(queries))
+    }, name="dpr")
+    # image embeddings through the SAME ImageEmbedder device path
+    q_img = enc.embed_images(images)
+    img_results = {}
+    present = [r for r in range(len(queries)) if images[r] is not None]
+    s, i = indexes["img"].search_batch(
+        np.nan_to_num(q_img), k=10)
+    for r in range(len(queries)):
+        img_results[str(r)] = (
+            {str(int(d)): float(v) for d, v in zip(i[r], s[r])}
+            if r in set(present) else {}
+        )
+    img_run = Run(img_results, name="img")
+    runs = default_minimum([dpr_run, img_run])
+    runs = [normalize_run(r, "zmuv") for r in runs]
+    fused = fuse(runs, norm=None, method="wsum",
+                 params={"weights": [0.6, 0.4]})
+
+    agree = 0.0
+    for q in range(len(queries)):
+        items = sorted(fused[str(q)].items(),
+                       key=lambda kv: (-kv[1], int(kv[0])))[:10]
+        agree += np.mean(idx[q] == [int(d) for d, _ in items])
+    agree /= len(queries)
+    assert agree > 0.97, agree

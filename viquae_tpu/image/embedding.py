@@ -39,6 +39,23 @@ def _resize_center_crop(img, target: int) -> np.ndarray:
     return np.asarray(img)
 
 
+def decode_image_batch(pil_images, raw_size: int, batch_size: int):
+    """Host decode/resize of a serving batch of PIL images (None allowed).
+
+    Returns (canvas uint8 (batch_size, raw, raw, 3), valid bool
+    (batch_size,)) — rows past len(pil_images) and None images are zeroed
+    with valid=False. The serving pipelines upload the canvas and run
+    ops.image.preprocess + the encoder INSIDE the retrieval program."""
+    canvas = np.zeros((batch_size, raw_size, raw_size, 3), np.uint8)
+    valid = np.zeros((batch_size,), bool)
+    for i, img in enumerate(pil_images):
+        if img is None:
+            continue
+        canvas[i] = _resize_center_crop(img, raw_size)
+        valid[i] = True
+    return canvas, valid
+
+
 class ImageEmbedder:
     """dataset.map(batched=True) callable writing an embedding column."""
 

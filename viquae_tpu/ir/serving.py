@@ -303,25 +303,38 @@ class MultiIndexRetrievalPipeline(FusedRetrievalPipeline):
 
         packed text embed -> per-index MIPS -> ops.fusion.fuse_topk
 
-    The text index is searched with the packed DPR tower; every other
-    index is searched with PRECOMPUTED per-query embeddings passed to
-    run_arrays (the reference also embeds query images in an offline stage,
-    meerqat/ir/embedding.py). All indexes must share one doc-id space —
-    the reference fuses runs after `map_passage_to_kb`; this pipeline is
-    the online counterpart, while `ir.fuse.Fusion` remains the offline
-    fit/eval path. Imputation follows Fusion(defmin=True).
+    The text index is searched with the packed DPR tower; a non-text index
+    is searched either with PRECOMPUTED per-query embeddings passed to
+    run_arrays (the reference embeds query images in an offline stage,
+    meerqat/ir/embedding.py) or — when an `image_encoders[name]`
+    (image.embedding.ImageEmbedder) is given — with an embedding computed
+    INSIDE the same program from the raw query-image canvas (host decode +
+    device preprocess + encoder forward; queries without an image are
+    masked out of that index's run, the search_batch_if_not_None
+    semantics). Face features stay precomputed: the reference's face run
+    needs the MTCNN->align->ArcFace cascade, which is its own offline
+    stage. All indexes must share one doc-id space — the reference fuses
+    runs after `map_passage_to_kb`; this pipeline is the online
+    counterpart, while `ir.fuse.Fusion` remains the offline fit/eval path.
+    Imputation follows Fusion(defmin=True). NOTE on gzmuv: its global
+    statistics are computed per SERVING BATCH (the batch plays the role of
+    the run); rankings can differ from a whole-run offline fusion when the
+    stream spans several batches — zmuv/min-max are per-query and
+    batching-invariant.
 
     indexes: {name: DenseIndex} (insertion order = fusion order);
     weights: {name: float}; text_index: the name searched with the query
-    TEXT; query_features: arrays for every other name, shape
-    (n_queries, d_name), passed per call.
+    TEXT; query_features: arrays for the remaining names, shape
+    (n_queries, d_name), passed per call; query_images: {name:
+    [PIL.Image | None] * n_queries} for names with an image encoder.
     """
 
     def __init__(self, embedder, indexes, weights, text_index: str,
                  batch_size: int = 1280, k: int = 100,
                  norm: str = "gzmuv",
                  timer: Optional[StageTimer] = None,
-                 compact_transfer: bool = True):
+                 compact_transfer: bool = True,
+                 image_encoders=None):
         if text_index not in indexes:
             raise ValueError(f"text_index {text_index!r} not in indexes "
                              f"{list(indexes)}")
@@ -335,6 +348,13 @@ class MultiIndexRetrievalPipeline(FusedRetrievalPipeline):
             )
         if set(weights) != set(indexes):
             raise ValueError("weights keys must match indexes keys")
+        image_encoders = dict(image_encoders or {})
+        unknown = set(image_encoders) - set(indexes)
+        if unknown or text_index in image_encoders:
+            raise ValueError(
+                f"image_encoders must name non-text indexes; got "
+                f"{sorted(image_encoders)} vs indexes {list(indexes)} "
+                f"(text: {text_index!r})")
         # base init wires the compact-transfer dtypes + k clamp off the
         # text index; k is clamped to the SMALLEST index so every per-index
         # search can return k candidates
@@ -351,15 +371,18 @@ class MultiIndexRetrievalPipeline(FusedRetrievalPipeline):
         self.names = list(indexes)
         self.norm = norm
         self.weights = tuple(float(weights[n]) for n in self.names)
+        self.image_encoders = image_encoders
         packed_apply = embedder._forward
         k_clamped = self.k
         names, text_name = self.names, text_index
         idx_objs = self.indexes
         wts = self.weights
+        img_fwds = {n: e._forward for n, e in image_encoders.items()}
+        int_max = np.iinfo(np.int32).max
 
         @jax.jit
-        def _retrieve(params, ids, seg, pos, cr, cc, feats, matrices,
-                      n_valid):
+        def _retrieve(params, ids, seg, pos, cr, cc, feats, img_inputs,
+                      img_params, matrices, n_valid):
             q_text = packed_apply(
                 params, ids.astype(jnp.int32), seg.astype(jnp.int32),
                 pos.astype(jnp.int32), cr.astype(jnp.int32),
@@ -367,9 +390,24 @@ class MultiIndexRetrievalPipeline(FusedRetrievalPipeline):
             )
             scores_list, idx_list = [], []
             for name in names:
-                q = q_text if name == text_name else feats[name]
+                if name == text_name:
+                    q = q_text
+                elif name in img_fwds:
+                    # raw uint8 canvas -> preprocess + encoder forward, all
+                    # inside this dispatch (ImageEmbedder._forward)
+                    q = img_fwds[name](img_params[name],
+                                       img_inputs[name][0])
+                else:
+                    q = feats[name]
                 s, i = _device_search(
                     idx_objs[name], q, matrices[name], k_clamped)
+                if name in img_fwds:
+                    # queries WITHOUT an image are absent from this run
+                    # (search_batch_if_not_None): empty rows are min-imputed
+                    # away by fuse_topk
+                    ok = img_inputs[name][1][:, None]
+                    s = jnp.where(ok, s, -jnp.inf)
+                    i = jnp.where(ok, i, int_max)
                 scores_list.append(s)
                 idx_list.append(i.astype(jnp.int32))
             fused, fused_idx = fusion_ops.fuse_topk(
@@ -383,11 +421,14 @@ class MultiIndexRetrievalPipeline(FusedRetrievalPipeline):
 
         self._retrieve_multi = _retrieve
 
-    def _canvas_stream(self, queries, query_features):
+    def _canvas_stream(self, queries, query_features, query_images):
         import jax.numpy as jnp
+
+        from viquae_tpu.image.embedding import decode_image_batch
 
         emb = self.embed_fn
         matrices = {n: ix.matrix for n, ix in self.indexes.items()}
+        img_params = {n: e.params for n, e in self.image_encoders.items()}
         feat_dtype = jnp.bfloat16 if self.compact else jnp.float32
         for start, chunk in self._batches(queries):
             with self.timer.stage("tokenize+pack+dispatch"):
@@ -405,18 +446,31 @@ class MultiIndexRetrievalPipeline(FusedRetrievalPipeline):
                                      + sl.shape[1:], sl.dtype),
                         ])
                     feats[n] = jnp.asarray(sl, dtype=feat_dtype)
+                img_inputs = {}
+                for n, enc in self.image_encoders.items():
+                    canvas, ok = decode_image_batch(
+                        query_images[n][start: start + len(chunk)],
+                        enc.raw_size, self.batch_size,
+                    )
+                    img_inputs[n] = (jnp.asarray(canvas), jnp.asarray(ok))
                 scores16, idx = self._retrieve_multi(
                     emb.params, *self._upload(emb.pack(list(chunk))),
-                    feats, matrices, jnp.int32(len(chunk)),
+                    feats, img_inputs, img_params, matrices,
+                    jnp.int32(len(chunk)),
                 )
             yield start, len(chunk), scores16, idx
 
-    def run_arrays(self, queries, query_features=None):
+    def run_arrays(self, queries, query_features=None, query_images=None):
         import ml_dtypes
 
         query_features = query_features or {}
+        query_images = query_images or {}
+        if set(query_images) != set(self.image_encoders):
+            raise ValueError(
+                f"query_images keys {sorted(query_images)} must match "
+                f"image_encoders {sorted(self.image_encoders)}")
         missing = (set(self.names) - {self._text_name()}
-                   - set(query_features))
+                   - set(query_features) - set(self.image_encoders))
         if missing:
             raise ValueError(f"missing query_features for indexes "
                              f"{sorted(missing)}")
@@ -426,11 +480,17 @@ class MultiIndexRetrievalPipeline(FusedRetrievalPipeline):
                 raise ValueError(
                     f"query_features[{name!r}] has {len(f)} rows for "
                     f"{n} queries")
+        for name, imgs in query_images.items():
+            if len(imgs) != n:
+                raise ValueError(
+                    f"query_images[{name!r}] has {len(imgs)} entries for "
+                    f"{n} queries")
         scores_out = np.empty((n, self.k), np.float32)
         idx_out = np.empty((n, self.k), np.int64)
 
         def stream():
-            for item in self._canvas_stream(queries, query_features):
+            for item in self._canvas_stream(queries, query_features,
+                                            query_images):
                 for arr in item[2:]:
                     if hasattr(arr, "copy_to_host_async"):
                         arr.copy_to_host_async()
@@ -454,9 +514,11 @@ class MultiIndexRetrievalPipeline(FusedRetrievalPipeline):
                 return n
         raise RuntimeError("text index missing from indexes")
 
-    def run(self, query_ids, queries, query_features=None):
+    def run(self, query_ids, queries, query_features=None,
+            query_images=None):
         assert len(query_ids) == len(queries)
-        scores, indices = self.run_arrays(queries, query_features)
+        scores, indices = self.run_arrays(queries, query_features,
+                                          query_images)
         with self.timer.stage("build_run"):
             results = {}
             score_rows = scores.tolist()
@@ -467,11 +529,13 @@ class MultiIndexRetrievalPipeline(FusedRetrievalPipeline):
                 )
         return Run(results, name="serving-fusion")
 
-    def run_device(self, queries, query_features=None):
+    def run_device(self, queries, query_features=None, query_images=None):
         query_features = query_features or {}
+        query_images = query_images or {}
         return [
             (start, scores16, idx)
             for start, _, scores16, idx in PrefetchIterable(
-                self._canvas_stream(queries, query_features), buffer_size=2
+                self._canvas_stream(queries, query_features, query_images),
+                buffer_size=2,
             )
         ]

@@ -103,25 +103,31 @@ def fuse_topk(
         valid = ids != _INT_MAX
         s = jnp.where(valid, s_raw.astype(jnp.float32), 0.0)
         p = valid.sum(axis=1).astype(jnp.float32)[:, None]  # present count
+        # a query with NO results in this run contributes nothing at all
+        # (host default_minimum: "queries with empty results stay empty") —
+        # e.g. a faceless query against the face index
+        row_has = valid.any(axis=1, keepdims=True)
         m = jnp.where(
             valid, s_raw.astype(jnp.float32), jnp.inf
         ).min(axis=1, keepdims=True)                        # per-query min
-        m = jnp.where(jnp.isfinite(m), m, 0.0)              # empty query
-        n_imp = jnp.maximum(u_q - p, 0.0)                   # imputed copies
+        m = jnp.where(row_has, m, 0.0)                      # empty query
+        n_imp = jnp.where(row_has, jnp.maximum(u_q - p, 0.0), 0.0)
         if norm in ("gzmuv", "zmuv"):
             s1 = s.sum(axis=1, keepdims=True) + n_imp * m
             s2 = (s * s).sum(axis=1, keepdims=True) + n_imp * m * m
+            stat_mask = row_mask * row_has  # this run's real, in-batch rows
             if norm == "gzmuv":
-                count = jnp.maximum((u_q * row_mask).sum(), 1.0)
-                mean = (s1 * row_mask).sum() / count
-                var = (s2 * row_mask).sum() / count - mean * mean
+                count = jnp.maximum((u_q * stat_mask).sum(), 1.0)
+                mean = (s1 * stat_mask).sum() / count
+                var = (s2 * stat_mask).sum() / count - mean * mean
             else:
                 count = jnp.maximum(u_q, 1.0)
                 mean = s1 / count
                 var = s2 / count - mean * mean
             sigma = jnp.maximum(jnp.sqrt(jnp.maximum(var, 0.0)), 1e-9)
             contrib = w * (s_raw.astype(jnp.float32) - m) / sigma
-            baseline = baseline + w * (m - mean) / sigma
+            baseline = baseline + jnp.where(
+                row_has, w * (m - mean) / sigma, 0.0)
         elif norm == "min-max":
             # duplicated minima change neither per-query min nor max
             hi = jnp.where(

@@ -199,7 +199,9 @@ def topk_single(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "compute_dtype", "mode", "transposed")
+    jax.jit,
+    static_argnames=("k", "compute_dtype", "mode", "transposed",
+                     "recall_target"),
 )
 def topk_global(
     queries: jnp.ndarray,
@@ -209,6 +211,7 @@ def topk_global(
     compute_dtype=jnp.bfloat16,
     mode: str = "exact",
     transposed: bool = False,
+    recall_target: float = 0.99,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Single-pass MIPS: materialize ALL scores once (bf16 for bf16 inputs,
     halving the HBM write vs chunked f32), then ONE global two-level
@@ -257,8 +260,11 @@ def topk_global(
         # TPU PartialReduce fuses the selection into the matmul consumer —
         # no (Q, N) score materialization; measured 29ms vs 73ms exact at
         # 1280 x 1.5M on v5e with R@20-vs-exact ~ 0.97
+        # recall_target trades selection speed for per-call recall (the TPU
+        # PartialReduce picks its reduction shape from it); 0.99 measures
+        # R@20-vs-exact ~0.999 on real DPR embeddings
         top_scores, top_idx = jax.lax.approx_max_k(
-            scores, k, recall_target=0.99, aggregate_to_topk=True
+            scores, k, recall_target=recall_target, aggregate_to_topk=True
         )
         neg, top_idx = jax.lax.sort(
             (-top_scores.astype(jnp.float32), top_idx),
@@ -371,6 +377,7 @@ class DenseIndex:
         dtype=jnp.float32,
         chunk_size: int = 262144,
         mode: str = "fast",
+        approx_recall_target: float = 0.99,
     ):
         self.mesh_ctx = mesh_ctx or meshlib.current()
         self.do_l2norm = do_l2norm
@@ -379,6 +386,7 @@ class DenseIndex:
             raise ValueError(f"unknown top-k mode {mode!r}; "
                              "expected exact|fast|global|approx|fused")
         self.mode = mode
+        self.approx_recall_target = approx_recall_target
         self.n, self.d = vectors.shape
         if mode == "fused":
             # the Pallas q-major kernel is bf16-only (scores are written
@@ -460,6 +468,7 @@ class DenseIndex:
                 q, self.matrix, k, valid_rows=jnp.int32(self.n),
                 compute_dtype=self.dtype,
                 mode="approx" if self.mode == "approx" else "exact",
+                recall_target=self.approx_recall_target,
             )
         else:
             scores, idx = topk_single(
