@@ -147,7 +147,8 @@ def main():
         chunk_size=slice_rows, compute_dtype=jnp.float32, mode="exact",
     )
     overlap = r_at_20(np.asarray(idx), np.asarray(ref_idx), n_check)
-    del kb_f32, q_fp32, q_dev
+    del kb_f32, q_fp32, q_dev, idx, ref_idx
+    del params  # f32 originals: only the fp32-contract stage needs them
 
     # ======================================================================
     # stage 2: transpose to the (d, N) kernel layout, FREE the row-major
@@ -198,6 +199,56 @@ def main():
     idx_approx = np.asarray(out_a[1])
     r20_approx = r_at_20(idx_approx, idx_exact, n_queries)
     r20_fast = r_at_20(idx_fast, idx_exact, n_queries)
+    del out, out_a  # free device result buffers before the fusion stage
+
+    # ---- 3-index late fusion in ONE program (the reference's best-quality
+    # config shape: dpr+arcface+clip wsum [0.6,0.2,0.2], gzmuv, defmin —
+    # experiments/ir/viquae/dpr+clip-cross-modal/config_test.json): packed
+    # embed + dpr Pallas-exact + clip/face approx + ops.fusion.fuse_topk.
+    # The reference runs fusion offline over run files.
+    from viquae_tpu.ops import fusion as fusion_ops
+
+    n_clip = n_kb
+    n_face = 50_624 if small else 506_237  # humans_with_faces
+    kb_clip = jax.random.normal(
+        jax.random.fold_in(key, 7), (n_clip, 512), jnp.bfloat16
+    ) / np.sqrt(512)
+    kb_face = jax.random.normal(
+        jax.random.fold_in(key, 8), (n_face, 512), jnp.bfloat16
+    ) / np.sqrt(512)
+    q_clip = jax.random.normal(
+        jax.random.fold_in(key, 9), (q_pad, 512), jnp.bfloat16)
+    q_face = jax.random.normal(
+        jax.random.fold_in(key, 10), (q_pad, 512), jnp.bfloat16)
+
+    @jax.jit
+    def fusion_program(params, ids, seg, pos, cr, cc, q_clip, q_face,
+                       kbt, kb_clip, kb_face):
+        q = embed_packed(params, ids, seg, pos, cr, cc)
+        s0, i0 = mips_pallas.topk_fused(q, kbt, k,
+                                        valid_rows=jnp.int32(n_kb))
+        s1, i1 = mips.topk_global(q_clip, kb_clip, k,
+                                  compute_dtype=jnp.bfloat16, mode="approx")
+        s2, i2 = mips.topk_global(q_face, kb_face, k,
+                                  compute_dtype=jnp.bfloat16, mode="approx")
+        return fusion_ops.fuse_topk(
+            (s0, s1, s2),
+            (i0.astype(jnp.int32), i1.astype(jnp.int32),
+             i2.astype(jnp.int32)),
+            (0.6, 0.2, 0.2), k, norm="gzmuv",
+            valid_queries=jnp.int32(n_queries),
+        )
+
+    out_f = fusion_program(params16, *p_args, q_clip, q_face,
+                           kbt, kb_clip, kb_face)
+    sync(out_f)
+    t0 = time.time()
+    for _ in range(reps):
+        out_f = fusion_program(params16, *p_args, q_clip, q_face,
+                               kbt, kb_clip, kb_face)
+    sync(out_f)
+    fusion_qps = n_queries / ((time.time() - t0) / reps)
+    del kb_clip, kb_face, q_clip, q_face, out_f, kbt
 
     # ---- reader throughput vs the reference's headline number -----------
     # (MultiPassageBERT test: 2.505 samples/sec on 1xV100,
@@ -302,6 +353,11 @@ def main():
                                    f"mean {lengths.mean():.1f}",
             "topk_mode": "pallas-fused scores+segmax kernel, exact global selection, bf16 scores",
             "approx_qps": round(approx_qps, 1),
+            "fusion_3index_qps": round(fusion_qps, 1),
+            "fusion_3index_config": "dpr(1.5Mx768 pallas-exact) + "
+                                    "clip(1.5Mx512 approx) + "
+                                    "face(506kx512 approx), wsum "
+                                    "[.6,.2,.2] gzmuv defmin, one program",
             "approx_r_at_20_vs_exact_fullkb": round(r20_approx, 4),
             "r_at_20_fast_vs_exact_fullkb": round(r20_fast, 4),
             "r_at_20_fp32_contract_262k_slice": round(overlap, 4),

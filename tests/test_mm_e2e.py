@@ -98,3 +98,65 @@ def test_ict_eca_training(tokenizer, devices):
     )
     acc = tmetrics.accumulate_batch_metrics([m])
     assert acc["MRR@N*M"] > 0.5, acc
+
+
+def test_ict_eca_packed_trainee_matches_padded(tokenizer, devices):
+    """ICTCollator(packed=True) + BiEncoderTrainee over ECAEncoder bundles:
+    the packed loss equals the padded loss (deterministic forward)."""
+    from viquae_tpu.models.mm import ECAEncoder
+    from viquae_tpu.train import trainee as trainee_lib
+
+    cfg = mm.MMConfig(
+        bert=bert.BertConfig(
+            vocab_size=len(tokenizer), hidden_size=24, num_hidden_layers=2,
+            num_attention_heads=2, intermediate_size=48,
+            max_position_embeddings=64, add_pooler=False,
+            hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        ),
+        n_faces=1, face_dim=6, bbox_dim=7, image_dims=(("clip", 8),),
+    )
+    q_model = ECAEncoder(cfg=cfg, seed=0)
+    c_model = ECAEncoder(cfg=cfg, seed=1)
+    be = trainee_lib.BiEncoderTrainee(q_model, c_model)
+
+    feats = tdata.PreComputedImageFeatures(
+        n_faces=1, face_dim=6, bbox_dim=7, image_dims={"clip": 8}
+    )
+    rng = np.random.default_rng(0)
+    items = []
+    for i in range(6):
+        items.append({
+            "sentences": [
+                {"text": f"sentence {j} of doc w{i} ."} for j in range(5)
+            ],
+            "title": f"doc w{i}",
+            "face_embedding": (
+                [rng.standard_normal(6).tolist()] if i % 3 else None
+            ),
+            "face_box": [[0.1] * 7],
+            "clip": (np.eye(8)[i % 8] * 3).tolist(),
+            "context_clip": (np.eye(8)[i % 8] * 3 + 0.1).tolist(),
+            "context_face_embedding": [rng.standard_normal(6).tolist()],
+            "context_face_box": [[0.2] * 7],
+        })
+
+    def make_batch(packed):
+        coll = tdata.ICTCollator(
+            tokenizer, M=2, max_length=16, seed=5, image_features=feats,
+            sentences_per_target=2, packed=packed,
+        )
+        coll.rng = np.random.default_rng(123)  # same pseudo-questions
+        return coll.collate_fn(items)
+
+    b_pad = make_batch(False)
+    b_packed = make_batch(True)
+    key = jax.random.key(0)
+    loss_pad, _ = jax.jit(
+        lambda p, b: be.loss_fn(p, b, key, deterministic=True)
+    )(be.params, b_pad)
+    loss_packed, _ = jax.jit(
+        lambda p, b: be.loss_fn(p, b, key, deterministic=True)
+    )(be.params, b_packed)
+    np.testing.assert_allclose(
+        float(loss_packed), float(loss_pad), rtol=2e-5, atol=2e-5
+    )

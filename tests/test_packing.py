@@ -243,3 +243,72 @@ def test_native_packer_matches_python():
                     getattr(native, field), getattr(pure, field), err_msg=field
                 )
             assert native.n_seqs == pure.n_seqs
+
+
+# --------------------------------------------------------------------------
+# packed multimodal (ECA) forward
+# --------------------------------------------------------------------------
+def _mm_batch(seed, b, exclusive=False, n_faces=2):
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    lens = rng.integers(3, 14, b)
+    ids = np.zeros((b, 16), np.int32)
+    mask = np.zeros((b, 16), np.int32)
+    for i, l in enumerate(lens):
+        ids[i, :l] = rng.integers(1, 90, l)
+        mask[i, :l] = 1
+    face = rng.standard_normal((b, 1, n_faces, 6)).astype(np.float32)
+    bbox = rng.standard_normal((b, 1, n_faces, 7)).astype(np.float32)
+    face_mask = (rng.random((b, 1, n_faces)) < 0.6).astype(np.int32)
+    img = rng.standard_normal((b, 1, 8)).astype(np.float32)
+    img_mask = (rng.random((b, 1)) < 0.7).astype(np.int32)
+    return {
+        "text_inputs": {"input_ids": ids, "attention_mask": mask},
+        "face_inputs": {"face": face, "bbox": bbox,
+                        "attention_mask": face_mask},
+        "image_inputs": {"clip": {"input": img, "attention_mask": img_mask}},
+    }
+
+
+@pytest.mark.parametrize("exclusive", [False, True])
+def test_eca_packed_matches_padded(exclusive):
+    from viquae_tpu.models import bert as bert_lib
+    from viquae_tpu.models import mm
+    from viquae_tpu.train import data as tdata
+
+    cfg = mm.MMConfig(
+        bert=bert_lib.BertConfig(
+            vocab_size=100, hidden_size=24, num_hidden_layers=2,
+            num_attention_heads=2, intermediate_size=48,
+            max_position_embeddings=40, add_pooler=False,
+            hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        ),
+        n_faces=2, face_dim=6, bbox_dim=7, image_dims=(("clip", 8),),
+        face_and_image_are_exclusive=exclusive,
+    )
+    params = mm.eca_init(jax.random.key(3), cfg)
+    batch = _mm_batch(11, b=9, exclusive=exclusive)
+
+    ref = mm.eca_apply(
+        params, cfg, batch["text_inputs"], batch["face_inputs"],
+        batch["image_inputs"], deterministic=True,
+    ).pooler_output
+
+    t_vis = tdata.mm_visual_mask(
+        batch["face_inputs"], batch["image_inputs"]).shape[1]
+    canvas = tdata.pack_mm_text_inputs(
+        batch, 16 + t_vis, face_and_image_are_exclusive=exclusive)
+    out = mm.eca_apply_packed(
+        params, cfg,
+        jnp.asarray(canvas["canvas_input_ids"]),
+        jnp.asarray(canvas["canvas_segment_ids"]),
+        jnp.asarray(canvas["canvas_position_ids"]),
+        jnp.asarray(canvas["canvas_cls_rows"]),
+        jnp.asarray(canvas["canvas_cls_cols"]),
+        jnp.asarray(canvas["canvas_vis_rows"]),
+        jnp.asarray(canvas["canvas_vis_cols"]),
+        batch["face_inputs"], batch["image_inputs"],
+        deterministic=True,
+    )[:9]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)

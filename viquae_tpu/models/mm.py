@@ -212,6 +212,68 @@ def eca_apply(
     )
 
 
+def eca_apply_packed(
+    params,
+    cfg: MMConfig,
+    input_ids: jnp.ndarray,
+    segment_ids: jnp.ndarray,
+    position_ids: jnp.ndarray,
+    cls_rows: jnp.ndarray,
+    cls_cols: jnp.ndarray,
+    vis_rows: jnp.ndarray,
+    vis_cols: jnp.ndarray,
+    face_inputs: Dict[str, jnp.ndarray],
+    image_inputs: Optional[Dict[str, Dict[str, jnp.ndarray]]] = None,
+    deterministic: bool = True,
+    rng=None,
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Packed-canvas ECA forward: many samples per row (ops/packing.py).
+
+    The canvas comes from `packing.pack_with_reserved(seqs, T_vis, ...)`:
+    each sample's segment holds its text tokens followed by T_vis reserved
+    slots at (vis_rows, vis_cols) (shape (n_cls, T_vis)). The text canvas
+    is embedded normally, then each sample's face/image tokens
+    (`_visual_tokens`, identical to `eca_apply`) are SCATTERED into its
+    reserved slots — `.set` replaces the whole vector there, so reserved
+    slots carry no position/LN treatment, exactly like the unpacked concat
+    (meerqat/models/mm.py:736 appends projections to the embedding output).
+    Slots whose face/image is absent must be given segment id 0 by the
+    collator (attention then ignores them, the mask-concat equivalent).
+    Pointers past `n_seqs` are out of bounds and dropped by the scatter.
+
+    Returns (n_cls, D) CLS states; entries past the packer's n_seqs are
+    garbage — slice them off.
+    """
+    if cfg.no_text:
+        raise NotImplementedError(
+            "packed ECA assumes text tokens; use eca_apply for no_text")
+    rngs = jax.random.split(rng, 3) if rng is not None else (None,) * 3
+    vis_tokens, _ = _visual_tokens(
+        params, cfg, face_inputs, image_inputs, deterministic, rngs[0]
+    )
+    hidden = bert.embed(
+        params["bert"], cfg.bert, input_ids,
+        position_ids=position_ids,
+        deterministic=deterministic, rng=rngs[1],
+    )
+    d = hidden.shape[-1]
+    b, t_vis = vis_tokens.shape[:2]
+    # pointer arrays are n_cls-padded; visual inputs carry the true batch
+    vis_rows, vis_cols = vis_rows[:b], vis_cols[:b]
+    assert vis_rows.shape == (b, t_vis), (vis_rows.shape, (b, t_vis))
+    hidden = hidden.at[
+        vis_rows.reshape(-1), vis_cols.reshape(-1)
+    ].set(vis_tokens.reshape(-1, d).astype(hidden.dtype), mode="drop")
+    sequence = bert.encode(
+        params["bert"], cfg.bert, hidden,
+        deterministic=deterministic, rng=rngs[2],
+        compute_dtype=compute_dtype,
+        segment_ids=segment_ids,
+    )
+    return sequence[cls_rows, cls_cols]
+
+
 # --------------------------------------------------------------------------
 # Intermediate Linear Fusion
 # --------------------------------------------------------------------------
@@ -418,6 +480,17 @@ class _MMEncoderBundle:
 class ECAEncoder(_MMEncoderBundle):
     init_fn = staticmethod(eca_init)
     forward = staticmethod(eca_apply)
+
+    def packed_apply_fn(self, params, input_ids, segment_ids, position_ids,
+                        cls_rows, cls_cols, vis_rows, vis_cols,
+                        face_inputs, image_inputs=None, **kw):
+        """Packed-canvas forward (mm.eca_apply_packed) — the trainee routes
+        here when the collator emits mm canvases (packed=True)."""
+        return eca_apply_packed(
+            params, self.cfg, input_ids, segment_ids, position_ids,
+            cls_rows, cls_cols, vis_rows, vis_cols,
+            face_inputs, image_inputs, **kw,
+        )
 
 
 @_register("IntermediateLinearFusion")

@@ -226,3 +226,46 @@ def gather_indices(packed: PackedBatch, out_len: int
         idx[i, :li] = r * row_len + c + np.arange(li, dtype=np.int32)
         mask[i, :li] = True
     return idx, mask
+
+
+def pack_with_reserved(
+    seqs: Sequence[np.ndarray],
+    n_reserved: int,
+    row_len: int,
+    n_rows: Optional[int] = None,
+    n_cls: Optional[int] = None,
+    pad_rows_to: int = 8,
+    pad_token_id: int = 0,
+) -> Tuple[PackedBatch, np.ndarray, np.ndarray]:
+    """Pack sequences with ``n_reserved`` extra canvas slots per sequence.
+
+    The reserved slots sit right after each sequence's tokens inside its
+    segment — the multimodal (ECA) packed path scatters face/image tokens
+    there (models/mm.eca_apply_packed). Returns (packed, res_rows,
+    res_cols) with the reserved positions as (n_cls, n_reserved) int32 in
+    ORIGINAL input order; entries past ``n_seqs`` point OUT OF BOUNDS
+    (rows, 0) so a jnp scatter with mode='drop' ignores them.
+
+    Sequences longer than row_len - n_reserved are truncated so the
+    reserved slots always fit.
+    """
+    max_text = row_len - n_reserved
+    assert max_text > 0, (row_len, n_reserved)
+    trimmed = [s[:max_text] for s in seqs]
+    ext = [
+        np.concatenate([s, np.full(n_reserved, pad_token_id, s.dtype)])
+        for s in trimmed
+    ]
+    p = pack_token_sequences(
+        ext, row_len, n_rows=n_rows, n_cls=n_cls,
+        pad_rows_to=pad_rows_to, pad_token_id=pad_token_id,
+    )
+    n_out = len(p.cls_rows)
+    res_rows = np.full((n_out, n_reserved), p.rows, np.int32)  # OOB default
+    res_cols = np.zeros((n_out, n_reserved), np.int32)
+    lens = np.array([len(s) for s in trimmed], np.int32)
+    offs = np.arange(n_reserved, dtype=np.int32)[None, :]
+    k = p.n_seqs
+    res_rows[:k] = p.cls_rows[:k, None]
+    res_cols[:k] = p.cls_cols[:k, None] + lens[:k, None] + offs
+    return p, res_rows, res_cols

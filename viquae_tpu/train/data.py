@@ -279,20 +279,86 @@ def pack_text_inputs(inputs: Dict[str, np.ndarray], row_len: int) -> dict:
     }
 
 
+def mm_visual_mask(face_inputs, image_inputs,
+                   face_and_image_are_exclusive: bool = False) -> np.ndarray:
+    """(B, T_vis) visual-token validity in models.mm._visual_tokens ORDER:
+    faces (n_images*n_faces) then each image kind (n_images each) in
+    image_inputs insertion order, with the face/image exclusivity rule."""
+    faces = face_inputs["face"]
+    b, n_images, n_faces = faces.shape[:3]
+    parts = []
+    face_mask = face_inputs["attention_mask"].reshape(b, n_images * n_faces)
+    if n_faces > 0:
+        parts.append(face_mask)
+    image_parts = [
+        v["attention_mask"] for v in (image_inputs or {}).values()
+    ]
+    if image_parts:
+        im = np.concatenate(image_parts, axis=1)
+        if face_and_image_are_exclusive:
+            has_face = face_mask.sum(axis=1, keepdims=True) > 0
+            im = np.where(has_face, 0, im)
+        parts.append(im)
+    if not parts:
+        return np.zeros((b, 0), np.int32)
+    return np.concatenate(parts, axis=1).astype(np.int32)
+
+
+def pack_mm_text_inputs(mm_inputs: Dict[str, Any], row_len: int,
+                        face_and_image_are_exclusive: bool = False) -> dict:
+    """Canvas fields for mm.eca_apply_packed: strip text padding, pack with
+    T_vis reserved slots per sample (the visual-token scatter targets), and
+    zero the segment id of slots whose face/image is ABSENT so attention
+    ignores them (the packed equivalent of eca_apply's mask concat).
+    `face_and_image_are_exclusive` must mirror the model's MMConfig."""
+    from viquae_tpu.ops import packing
+
+    text = mm_inputs["text_inputs"]
+    vis_mask = mm_visual_mask(
+        mm_inputs["face_inputs"], mm_inputs.get("image_inputs"),
+        face_and_image_are_exclusive,
+    )
+    t_vis = vis_mask.shape[1]
+    ids = text["input_ids"]
+    lens = text["attention_mask"].sum(axis=1).astype(int)
+    seqs = [ids[i, : lens[i]] for i in range(len(ids))]
+    p, vis_rows, vis_cols = packing.pack_with_reserved(
+        seqs, t_vis, row_len=row_len, pad_rows_to=8
+    )
+    seg = p.segment_ids.copy()
+    b = len(seqs)
+    absent = vis_mask[:b] == 0
+    seg[vis_rows[:b][absent], vis_cols[:b][absent]] = 0
+    return {
+        "canvas_input_ids": p.input_ids,
+        "canvas_segment_ids": seg,
+        "canvas_position_ids": p.position_ids,
+        "canvas_cls_rows": p.cls_rows,
+        "canvas_cls_cols": p.cls_cols,
+        "canvas_vis_rows": vis_rows,
+        "canvas_vis_cols": vis_cols,
+    }
+
+
 # --------------------------------------------------------------------------
 # biencoder
 # --------------------------------------------------------------------------
 class BiEncoderCollator(QADataModule):
     def __init__(self, *args, passage_type_ids: bool = False,
-                 packed: bool = False, **kwargs):
+                 packed: bool = False,
+                 face_and_image_are_exclusive: bool = False, **kwargs):
         super().__init__(*args, **kwargs)
         self.passage_type_ids = passage_type_ids
-        # packed=True adds canvases (pack_text_inputs) so a DPR-style
-        # trainee runs dpr.apply_packed on both towers — ~2-4x fewer
+        # packed=True adds canvases (pack_text_inputs, or
+        # pack_mm_text_inputs when image features are attached) so the
+        # trainee runs dpr.apply_packed / mm.eca_apply_packed — ~2-4x fewer
         # encoder FLOPs at real question/passage lengths
         if packed and passage_type_ids:
             raise ValueError("packed biencoder does not carry token types")
         self.packed = packed
+        # must mirror the model's MMConfig.face_and_image_are_exclusive
+        # (affects which visual slots leave the packed attention)
+        self.face_and_image_are_exclusive = face_and_image_are_exclusive
 
     def collate_fn(self, items: Sequence[dict]) -> dict:
         assert self.n_relevant_passages == 1
@@ -329,19 +395,32 @@ class BiEncoderCollator(QADataModule):
             context_inputs, all_passages
         )
         if self.packed:
-            question_inputs = {
-                **question_inputs,
-                **pack_text_inputs(question_inputs, self.max_length),
-            }
-            context_inputs = {
-                **context_inputs,
-                **pack_text_inputs(context_inputs, self.max_length),
-            }
+            question_inputs = self._pack(question_inputs)
+            context_inputs = self._pack(context_inputs)
         return {
             "question_inputs": question_inputs,
             "context_inputs": context_inputs,
             "labels": np.asarray(labels, np.int32),
         }
+
+    def _pack(self, inputs: dict) -> dict:
+        if "face_inputs" in inputs:  # multimodal (ECA) inputs
+            # T_vis reserved slots per sample; row budget must cover
+            # max_length text + the visual tokens
+            t_vis = mm_visual_mask(
+                inputs["face_inputs"], inputs.get("image_inputs")
+            ).shape[1]
+            return {
+                **inputs,
+                "text_inputs": {
+                    **inputs["text_inputs"],
+                    **pack_mm_text_inputs(
+                        inputs, self.max_length + t_vis,
+                        self.face_and_image_are_exclusive,
+                    ),
+                },
+            }
+        return {**inputs, **pack_text_inputs(inputs, self.max_length)}
 
 
 class JointBiEncoderAndClipCollator(BiEncoderCollator):
@@ -711,13 +790,19 @@ class ReRankerCollator(QADataModule):
 class ICTCollator(QADataModule):
     def __init__(self, *args, sentences_per_target: int = 4,
                  prepend_title: bool = False, text_mask_rate: float = 1.0,
-                 image_mask_rate: float = 1.0, **kwargs):
+                 image_mask_rate: float = 1.0, packed: bool = False,
+                 face_and_image_are_exclusive: bool = False, **kwargs):
         super().__init__(*args, **kwargs)
         assert self.n_relevant_passages == 1
         self.sentences_per_target = sentences_per_target
         self.prepend_title = prepend_title
         self.text_mask_rate = text_mask_rate
         self.image_mask_rate = image_mask_rate
+        # packed=True emits mm canvases (pack_mm_text_inputs) so the
+        # trainee runs mm.eca_apply_packed on both towers; the flag must
+        # mirror MMConfig.face_and_image_are_exclusive
+        self.packed = packed
+        self.face_and_image_are_exclusive = face_and_image_are_exclusive
 
     def get_pseudo_question(self, item: dict):
         sentences = item["sentences"]
@@ -789,6 +874,18 @@ class ICTCollator(QADataModule):
                     [fi[k]] + [np.roll(fi[k], s + 1, 0) for s in range(n_hard)]
                 )
         labels = np.arange(len(items), dtype=np.int32)
+        if self.packed and self.image_formatter.precomputed:
+            for inputs in (question_inputs, context_inputs):
+                t_vis = mm_visual_mask(
+                    inputs["face_inputs"], inputs.get("image_inputs")
+                ).shape[1]
+                inputs["text_inputs"] = {
+                    **inputs["text_inputs"],
+                    **pack_mm_text_inputs(
+                        inputs, self.max_length + t_vis,
+                        self.face_and_image_are_exclusive,
+                    ),
+                }
         return {
             "question_inputs": question_inputs,
             "context_inputs": context_inputs,

@@ -65,6 +65,27 @@ class BiEncoderTrainee:
 
     def _encode(self, params, model, inputs, rng, deterministic):
         packed_apply = getattr(model, "packed_apply_fn", None)
+        if "face_inputs" in inputs:
+            # multimodal encoder inputs ({"text_inputs", "face_inputs",
+            # "image_inputs"}) — e.g. an mm.ECAEncoder bundle
+            text = inputs["text_inputs"]
+            if "canvas_input_ids" in text and packed_apply is not None:
+                # packed mm canvas from ICTCollator/BiEncoderCollator
+                # (packed=True): mm.eca_apply_packed
+                return packed_apply(
+                    params,
+                    text["canvas_input_ids"], text["canvas_segment_ids"],
+                    text["canvas_position_ids"],
+                    text["canvas_cls_rows"], text["canvas_cls_cols"],
+                    text["canvas_vis_rows"], text["canvas_vis_cols"],
+                    inputs["face_inputs"], inputs.get("image_inputs"),
+                    deterministic=deterministic, rng=rng,
+                )
+            return model.apply_fn(
+                params, _text_kwargs(inputs), inputs["face_inputs"],
+                inputs.get("image_inputs"),
+                deterministic=deterministic, rng=rng,
+            ).pooler_output
         if "canvas_input_ids" in inputs and packed_apply is not None:
             # packed canvas from BiEncoderCollator(packed=True)
             return packed_apply(
