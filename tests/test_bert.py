@@ -180,3 +180,32 @@ def test_sequence_sharding_seam(devices):
         out = fwd(params, ids, mask)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_remat_layers_gradient_equality():
+    """Per-layer gradient checkpointing must not change values or grads."""
+    from viquae_tpu.models import bert as bert_lib
+
+    cfg = bert_lib.BertConfig(
+        vocab_size=50, hidden_size=16, num_hidden_layers=3,
+        num_attention_heads=2, intermediate_size=32,
+        max_position_embeddings=32, add_pooler=False,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    params = bert_lib.init(jax.random.key(0), cfg)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, 50, (4, 12)), jnp.int32)
+    mask = jnp.ones((4, 12), jnp.int32)
+
+    def loss(params, remat):
+        out = bert_lib.apply(params, cfg, ids, mask, deterministic=True,
+                             remat_layers=remat)
+        return jnp.sum(out["last_hidden_state"] ** 2)
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(p, False))(params)
+    l1, g1 = jax.value_and_grad(lambda p: loss(p, True))(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)

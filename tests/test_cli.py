@@ -358,3 +358,54 @@ def test_cli_serve_fusion(tmp_path, capsys):
     run = json.loads((tmp_path / "run.json").read_text())
     assert len(run) == 9
     assert all(len(v) == 5 for v in run.values())
+
+
+def test_cli_embed_packed_matches_padded(tmp_path, devices):
+    """`embed` with "packed": true routes to PackedColumnEmbedder (packed
+    corpus embedding) and matches the padded TextEmbedder column."""
+    import json
+
+    from datasets import Dataset, load_from_disk
+    from transformers import BertTokenizerFast
+
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + [
+        f"w{i}" for i in range(40)
+    ]
+    tok_dir = tmp_path / "tok"
+    tok_dir.mkdir()
+    (tok_dir / "vocab.txt").write_text("\n".join(vocab))
+    BertTokenizerFast(
+        vocab_file=str(tok_dir / "vocab.txt"), do_lower_case=True
+    ).save_pretrained(tok_dir)
+
+    rng = np.random.default_rng(0)
+    texts = [
+        " ".join(f"w{j}" for j in rng.integers(0, 40, rng.integers(3, 12)))
+        for _ in range(17)
+    ]
+    Dataset.from_dict({"passage": texts}).save_to_disk(str(tmp_path / "ds"))
+    Dataset.from_dict({"passage": texts}).save_to_disk(str(tmp_path / "ds2"))
+
+    base = {
+        "model": {
+            "class_name": "DPREncoder",
+            "bert_config": dict(
+                vocab_size=50, hidden_size=16, num_hidden_layers=1,
+                num_attention_heads=2, intermediate_size=32,
+                max_position_embeddings=32, add_pooler=False),
+            "seed": 3,
+        },
+        "tokenizer": str(tok_dir),
+        "max_length": 16,
+        "batch_size": 8,
+    }
+    (tmp_path / "pad.json").write_text(json.dumps(
+        {**base, "key": "passage", "save_as": "embedding"}))
+    (tmp_path / "packed.json").write_text(json.dumps(
+        {**base, "key": "passage", "save_as": "embedding", "packed": True}))
+
+    cli_main(["embed", str(tmp_path / "ds"), str(tmp_path / "pad.json")])
+    cli_main(["embed", str(tmp_path / "ds2"), str(tmp_path / "packed.json")])
+    pad = np.asarray(load_from_disk(str(tmp_path / "ds"))["embedding"])
+    packed = np.asarray(load_from_disk(str(tmp_path / "ds2"))["embedding"])
+    np.testing.assert_allclose(packed, pad, rtol=2e-4, atol=2e-4)

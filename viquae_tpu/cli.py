@@ -117,9 +117,25 @@ def cmd_embed(args):
                 "config needs an 'image_features' block (n_faces/face_dim/"
                 "image_dims) naming the precomputed feature columns"
             )
-        embedder = TextEmbedder(
-            model.apply_fn, model.params, tokenizer, **config
-        )
+        if config.pop("packed", False):
+            # packed corpus embedding: the reference pads all passages to
+            # max_length (2.5x the tokens at uniform_passages' ~100); pack
+            # them at real lengths instead. CLS pooling only.
+            from viquae_tpu.ir.embedding import PackedColumnEmbedder
+            from viquae_tpu.models import dpr as dpr_lib
+
+            if config.get("layers"):
+                raise ValueError("packed embedding extracts CLS only; "
+                                 "drop 'packed' to use 'layers'")
+            row_len = config.pop("max_length", 256)
+            embedder = PackedColumnEmbedder(
+                dpr_lib.make_packed_apply(model.cfg), model.params,
+                tokenizer, row_len=row_len, **config,
+            )
+        else:
+            embedder = TextEmbedder(
+                model.apply_fn, model.params, tokenizer, **config
+            )
     dataset_embed(args.dataset, embedder, output_path=args.output)
 
 

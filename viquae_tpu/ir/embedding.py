@@ -246,6 +246,38 @@ class PackedTextEmbedder:
         return self.embed_texts(texts)
 
 
+class PackedColumnEmbedder(PackedTextEmbedder):
+    """dataset.map(batched=True) column adapter over the PACKED tower —
+    the corpus-embedding counterpart of PackedTextEmbedder.
+
+    The reference embeds every passage padded to max_length
+    (ir/embedding.py:249-272 with experiments/ir/*/passages configs,
+    max_length 256) although `uniform_passages` makes them ~100 tokens:
+    >2x of the encoder FLOPs are padding. This packs passages at their
+    real lengths instead; CLS pooling only (no per-layer extraction).
+    """
+
+    def __init__(self, *args, key: str = "passage",
+                 save_as: str = "embedding",
+                 extra_input_fn: Optional[Callable] = None, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.key = key
+        self.save_as = save_as
+        self.extra_input_fn = extra_input_fn
+
+    def __call__(self, batch: dict) -> dict:  # type: ignore[override]
+        texts = batch[self.key]
+        if self.extra_input_fn is not None:
+            texts = self.extra_input_fn(batch, texts)
+        chunks = []
+        for start in range(0, len(texts), self.batch_size):
+            sub = list(texts[start: start + self.batch_size])
+            out = np.asarray(self.embed_texts(sub))[: len(sub)]
+            chunks.append(out.astype(np.float32))
+        batch[self.save_as] = np.concatenate(chunks, axis=0)
+        return batch
+
+
 class MMEmbedder:
     """Multimodal query/passage embedding (ECA/ILF encoders): tokenized text
     + precomputed face/image feature columns -> embedding column (parity

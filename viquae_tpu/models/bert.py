@@ -153,8 +153,16 @@ def encode(
     output_hidden_states: bool = False,
     activation_sharding=None,
     segment_ids: Optional[jnp.ndarray] = None,
+    remat_layers: bool = False,
 ) -> jnp.ndarray:
     """Encoder stack over pre-built (B, L, D) hidden states.
+
+    `remat_layers=True` checkpoints each transformer layer (PER-LAYER
+    gradient checkpointing — the reference's MICT recipe trains batch 512
+    with torch checkpointing, EXPERIMENTS.rst:337-339): the backward pass
+    recomputes one layer's attention probabilities at a time instead of
+    keeping all L x (B, H, S, S) score tensors live, which is what bounds
+    large-batch training memory.
 
     `segment_ids` (B, L), 0 = padding: packed-batch mode — attention is
     block-diagonal per segment (ops/packing.py), overriding
@@ -180,22 +188,28 @@ def encode(
         if rng is not None
         else [None] * (2 * cfg.num_hidden_layers)
     )
-    x = hidden
-    all_hidden = [x]
-    for i, layer in enumerate(params["layers"]):
+    def layer_fn(layer, x, bias, rng_a, rng_b):
         attn = L.mha(
             layer["attention"], x, bias=bias,
             n_heads=cfg.num_attention_heads,
             deterministic=deterministic,
             dropout_rate=cfg.attention_probs_dropout_prob,
-            rng=rngs[2 * i],
+            rng=rng_a,
             compute_dtype=compute_dtype,
         )
-        attn = L.dropout(attn, cfg.hidden_dropout_prob, deterministic, rngs[2 * i])
+        attn = L.dropout(attn, cfg.hidden_dropout_prob, deterministic, rng_a)
         x = L.layer_norm(layer["attention_ln"], x + attn, cfg.layer_norm_eps)
         ff = L.mlp(layer["mlp"], x, cfg.hidden_act, compute_dtype)
-        ff = L.dropout(ff, cfg.hidden_dropout_prob, deterministic, rngs[2 * i + 1])
-        x = L.layer_norm(layer["output_ln"], x + ff, cfg.layer_norm_eps)
+        ff = L.dropout(ff, cfg.hidden_dropout_prob, deterministic, rng_b)
+        return L.layer_norm(layer["output_ln"], x + ff, cfg.layer_norm_eps)
+
+    if remat_layers:
+        layer_fn = jax.checkpoint(layer_fn)
+
+    x = hidden
+    all_hidden = [x]
+    for i, layer in enumerate(params["layers"]):
+        x = layer_fn(layer, x, bias, rngs[2 * i], rngs[2 * i + 1])
         if activation_sharding is not None:
             x = jax.lax.with_sharding_constraint(x, activation_sharding)
         if output_hidden_states:
@@ -219,6 +233,7 @@ def apply(
     output_hidden_states: bool = False,
     activation_sharding=None,
     segment_ids: Optional[jnp.ndarray] = None,
+    remat_layers: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Full forward: embed -> encode -> optional tanh pooler.
 
@@ -247,6 +262,7 @@ def apply(
         output_hidden_states=output_hidden_states,
         activation_sharding=activation_sharding,
         segment_ids=segment_ids,
+        remat_layers=remat_layers,
     )
     hidden_states = None
     if output_hidden_states:

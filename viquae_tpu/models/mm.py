@@ -180,6 +180,7 @@ def eca_apply(
     deterministic: bool = True,
     rng=None,
     compute_dtype=jnp.float32,
+    remat_layers: bool = False,
 ) -> ECAEncoderOutput:
     rngs = jax.random.split(rng, 3) if rng is not None else (None,) * 3
     vis_tokens, vis_mask = _visual_tokens(
@@ -205,7 +206,7 @@ def eca_apply(
     sequence = bert.encode(
         params["bert"], cfg.bert, hidden, mask,
         deterministic=deterministic, rng=rngs[2],
-        compute_dtype=compute_dtype,
+        compute_dtype=compute_dtype, remat_layers=remat_layers,
     )
     return ECAEncoderOutput(
         pooler_output=sequence[:, 0], last_hidden_state=sequence
@@ -227,6 +228,7 @@ def eca_apply_packed(
     deterministic: bool = True,
     rng=None,
     compute_dtype=jnp.float32,
+    remat_layers: bool = False,
 ) -> jnp.ndarray:
     """Packed-canvas ECA forward: many samples per row (ops/packing.py).
 
@@ -269,7 +271,7 @@ def eca_apply_packed(
         params["bert"], cfg.bert, hidden,
         deterministic=deterministic, rng=rngs[2],
         compute_dtype=compute_dtype,
-        segment_ids=segment_ids,
+        segment_ids=segment_ids, remat_layers=remat_layers,
     )
     return sequence[cls_rows, cls_cols]
 
