@@ -136,6 +136,31 @@ def main():
             return params, opt_state, loss
         return step
 
+    def make_accum_step(loss_fn):
+        # TRUE 2-microbatch gradient accumulation: two fwd+bwd, gradients
+        # averaged, ONE optimizer update per 512 pairs (charging two adam
+        # updates would overstate the padded baseline's cost). lax.scan
+        # forces the microbatches SEQUENTIAL — an unrolled version lets XLA
+        # interleave both backward passes and OOMs by 1.3GB.
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def step(params, opt_state, b1, b2):
+            stacked = jax.tree_util.tree_map(
+                lambda a, b: jnp.stack([a, b]), b1, b2)
+
+            def body(acc, mb):
+                (l, _), g = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params, mb, None)
+                return jax.tree_util.tree_map(jnp.add, acc, g), l
+
+            zero = jax.tree_util.tree_map(jnp.zeros_like, params)
+            grads, losses = jax.lax.scan(body, zero, stacked)
+            grads = jax.tree_util.tree_map(lambda x: x / 2, grads)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            import optax
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, losses[0]
+        return step
+
     # the padded step at batch 512 misses HBM by ~0.5GB even with
     # per-layer remat (16.26G needed of 15.75G); a practitioner runs it as
     # 2x256 gradient accumulation (the framework's grad_accum; the
@@ -184,33 +209,34 @@ def main():
         print(f"{side}: canvas {rows} density {dens:.3f} (T_vis={t_vis})",
               file=sys.stderr)
 
-    def timeit(name, step, batch, reps=5):
+    def timeit(name, step, *batches, reps=5, pairs=None):
         # fresh state per timing (host -> device): step donates its inputs.
         # The batch is uploaded ONCE: a real input pipeline overlaps
         # uploads with compute, and the tunneled dev link serializes them
         # (~12MB/batch would otherwise dominate the step).
-        batch = jax.tree_util.tree_map(jnp.asarray, batch)
+        batches = tuple(
+            jax.tree_util.tree_map(jnp.asarray, b) for b in batches)
         p = jax.tree_util.tree_map(jnp.asarray, params)
         o = tx.init(p)
-        p, o, loss = step(p, o, batch)
+        p, o, loss = step(p, o, *batches)
         sync(loss)
         t0 = time.time()
         pp, oo = p, o
         for _ in range(reps):
-            pp, oo, loss = step(pp, oo, batch)
+            pp, oo, loss = step(pp, oo, *batches)
         sync(loss)
         del pp, oo
         dt = (time.time() - t0) / reps
-        print(f"{name}: {dt*1e3:.1f} ms/step = {B/dt:.0f} pairs/s "
+        pairs = pairs or B
+        print(f"{name}: {dt*1e3:.1f} ms/step = {pairs/dt:.0f} pairs/s "
               f"(loss {float(loss):.4f})", file=sys.stderr)
         return dt
 
-    dt_pad_half = timeit(
-        f"padded ECA train step (seq 256, microbatch {half})",
-        make_step(loss_padded), pad_batch_half)
-    dt_pad = 2 * dt_pad_half  # 2 accumulation microbatches per 512 pairs
-    print(f"padded per 512 pairs (2x accumulation): {dt_pad*1e3:.1f} ms "
-          f"= {B/dt_pad:.0f} pairs/s", file=sys.stderr)
+    dt_pad = timeit(
+        f"padded ECA train step (seq 256, 2x{half} grad accumulation, "
+        "one adam update)",
+        make_accum_step(loss_padded), pad_batch_half, pad_batch_half,
+        pairs=B)
     dt_packed = timeit("packed ECA train step (real lengths, batch 512)",
                        make_step(loss_packed), packed_batch)
     print(f"speedup: {dt_pad/dt_packed:.2f}x", file=sys.stderr)

@@ -372,3 +372,32 @@ def test_multi_index_online_image_tower(setup):
         agree += np.mean(idx[q] == [int(d) for d, _ in items])
     agree /= len(queries)
     assert agree > 0.97, agree
+
+
+def test_multi_index_nan_features_masked(setup):
+    """Precomputed features with NaN rows (ImageEmbedder's 'no image'
+    contract) are treated as absent from that index's run — a NaN row must
+    NOT poison the batch's gzmuv statistics or outputs."""
+    from viquae_tpu.ir.serving import MultiIndexRetrievalPipeline
+
+    tok, cfg, params, queries, kb = setup
+    queries = queries[:24]
+    rng = np.random.default_rng(3)
+    kb_img = rng.normal(size=(kb.shape[0], 12)).astype(np.float32)
+    feats = rng.normal(size=(24, 12)).astype(np.float32)
+    feats[5] = np.nan
+    feats[17] = np.nan
+    emb = PackedTextEmbedder(dpr.make_packed_apply(cfg), params, tok,
+                             row_len=32, batch_size=24,
+                             compute_dtype=jnp.float32)
+    indexes = {
+        "dpr": mips.DenseIndex(kb, mode="global", dtype=jnp.float32),
+        "img": mips.DenseIndex(kb_img, mode="global", dtype=jnp.float32),
+    }
+    pipe = MultiIndexRetrievalPipeline(
+        emb, indexes, {"dpr": 0.6, "img": 0.4}, text_index="dpr",
+        batch_size=24, k=8, norm="gzmuv", compact_transfer=False,
+    )
+    scores, idx = pipe.run_arrays(queries, {"img": feats})
+    assert np.isfinite(scores).all()
+    assert (idx >= 0).all() and (idx < kb.shape[0]).all()

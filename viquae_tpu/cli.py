@@ -101,7 +101,12 @@ def cmd_embed(args):
     # IntermediateLinearFusion over precomputed face+image feature columns,
     # parity with the reference's image_kwargs in ir/embedding.py configs)
     image_features = config.pop("image_features", None)
+    packed_embed = config.pop("packed", False)
     if image_features is not None:
+        if packed_embed:
+            raise ValueError(
+                "packed embedding supports text towers only; drop 'packed' "
+                "for multimodal (image_features) configs")
         from viquae_tpu.train.data import PreComputedImageFeatures
 
         embedder = MMEmbedder(
@@ -117,7 +122,7 @@ def cmd_embed(args):
                 "config needs an 'image_features' block (n_faces/face_dim/"
                 "image_dims) naming the precomputed feature columns"
             )
-        if config.pop("packed", False):
+        if packed_embed:
             # packed corpus embedding: the reference pads all passages to
             # max_length (2.5x the tokens at uniform_passages' ~100); pack
             # them at real lengths instead. CLS pooling only.

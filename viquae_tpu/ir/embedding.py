@@ -260,6 +260,10 @@ class PackedColumnEmbedder(PackedTextEmbedder):
     def __init__(self, *args, key: str = "passage",
                  save_as: str = "embedding",
                  extra_input_fn: Optional[Callable] = None, **kwargs):
+        # corpus embeddings default to f32 like TextEmbedder — flipping
+        # "packed" on must change PACKING, not the numeric contract (the
+        # serving-oriented parent defaults to bf16)
+        kwargs.setdefault("compute_dtype", jnp.float32)
         super().__init__(*args, **kwargs)
         self.key = key
         self.save_as = save_as

@@ -150,6 +150,7 @@ def _device_search(index, q, matrix, k):
         q, matrix, k, valid_rows=jnp.int32(index.n),
         compute_dtype=index.dtype,
         mode="approx" if index.mode == "approx" else "exact",
+        recall_target=getattr(index, "approx_recall_target", 0.99),
     )
 
 
@@ -390,6 +391,7 @@ class MultiIndexRetrievalPipeline(FusedRetrievalPipeline):
             )
             scores_list, idx_list = [], []
             for name in names:
+                ok = None
                 if name == text_name:
                     q = q_text
                 elif name in img_fwds:
@@ -397,15 +399,21 @@ class MultiIndexRetrievalPipeline(FusedRetrievalPipeline):
                     # inside this dispatch (ImageEmbedder._forward)
                     q = img_fwds[name](img_params[name],
                                        img_inputs[name][0])
+                    ok = img_inputs[name][1][:, None]
                 else:
                     q = feats[name]
+                    # NaN rows are ImageEmbedder's 'query has no image'
+                    # contract (embed_images): treat them as absent from
+                    # this run — ONE NaN row would otherwise poison the
+                    # batch-global gzmuv statistics
+                    ok = jnp.all(jnp.isfinite(q), axis=1, keepdims=True)
+                    q = jnp.where(ok, q, 0.0)
                 s, i = _device_search(
                     idx_objs[name], q, matrices[name], k_clamped)
-                if name in img_fwds:
+                if ok is not None:
                     # queries WITHOUT an image are absent from this run
                     # (search_batch_if_not_None): empty rows are min-imputed
                     # away by fuse_topk
-                    ok = img_inputs[name][1][:, None]
                     s = jnp.where(ok, s, -jnp.inf)
                     i = jnp.where(ok, i, int_max)
                 scores_list.append(s)
@@ -460,11 +468,7 @@ class MultiIndexRetrievalPipeline(FusedRetrievalPipeline):
                 )
             yield start, len(chunk), scores16, idx
 
-    def run_arrays(self, queries, query_features=None, query_images=None):
-        import ml_dtypes
-
-        query_features = query_features or {}
-        query_images = query_images or {}
+    def _validate_inputs(self, queries, query_features, query_images):
         if set(query_images) != set(self.image_encoders):
             raise ValueError(
                 f"query_images keys {sorted(query_images)} must match "
@@ -485,6 +489,14 @@ class MultiIndexRetrievalPipeline(FusedRetrievalPipeline):
                 raise ValueError(
                     f"query_images[{name!r}] has {len(imgs)} entries for "
                     f"{n} queries")
+
+    def run_arrays(self, queries, query_features=None, query_images=None):
+        import ml_dtypes
+
+        query_features = query_features or {}
+        query_images = query_images or {}
+        self._validate_inputs(queries, query_features, query_images)
+        n = len(queries)
         scores_out = np.empty((n, self.k), np.float32)
         idx_out = np.empty((n, self.k), np.int64)
 
@@ -532,6 +544,7 @@ class MultiIndexRetrievalPipeline(FusedRetrievalPipeline):
     def run_device(self, queries, query_features=None, query_images=None):
         query_features = query_features or {}
         query_images = query_images or {}
+        self._validate_inputs(queries, query_features, query_images)
         return [
             (start, scores16, idx)
             for start, _, scores16, idx in PrefetchIterable(

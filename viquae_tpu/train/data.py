@@ -801,6 +801,11 @@ class ICTCollator(QADataModule):
         # packed=True emits mm canvases (pack_mm_text_inputs) so the
         # trainee runs mm.eca_apply_packed on both towers; the flag must
         # mirror MMConfig.face_and_image_are_exclusive
+        if packed and not self.image_formatter.precomputed:
+            raise ValueError(
+                "ICTCollator(packed=True) needs precomputed image features "
+                "(image_features=...); without them there is no packed mm "
+                "path and training would silently run padded")
         self.packed = packed
         self.face_and_image_are_exclusive = face_and_image_are_exclusive
 
@@ -874,7 +879,7 @@ class ICTCollator(QADataModule):
                     [fi[k]] + [np.roll(fi[k], s + 1, 0) for s in range(n_hard)]
                 )
         labels = np.arange(len(items), dtype=np.int32)
-        if self.packed and self.image_formatter.precomputed:
+        if self.packed:
             for inputs in (question_inputs, context_inputs):
                 t_vis = mm_visual_mask(
                     inputs["face_inputs"], inputs.get("image_inputs")
