@@ -287,3 +287,58 @@ def test_retrieval_pipeline_streaming(devices):
         assert top == str(i)
     report = pipeline.report()
     assert report["search_dispatch"]["count"] == 3  # ceil(10/4) batches
+
+
+def test_mm_embedder_packed_matches_padded(devices):
+    """MMEmbedder(packed_bundle=...) embeds via the packed mm forward and
+    matches the padded column for both ECA and ILF."""
+    import jax
+
+    from viquae_tpu.ir.embedding import MMEmbedder
+    from viquae_tpu.models import bert, mm
+    from viquae_tpu.train.data import PreComputedImageFeatures
+
+    class Tok:
+        def __call__(self, texts, **kw):
+            rng = np.random.default_rng(0)
+            n = len(texts)
+            L = kw["max_length"]
+            ids = np.zeros((n, L), np.int64)
+            mask = np.zeros((n, L), np.int64)
+            for i, t in enumerate(texts):
+                l = max(2, min(L, len(str(t)) % L + 2))
+                ids[i, :l] = rng.integers(1, 60, l)
+                mask[i, :l] = 1
+            return {"input_ids": ids, "attention_mask": mask}
+
+    feats = PreComputedImageFeatures(
+        n_faces=2, face_dim=4, bbox_dim=7, image_dims={"clip": 5}
+    )
+    batch = {
+        "input": [f"question number {i} {'x' * (i % 7)}" for i in range(6)],
+        "face_embedding": [
+            [[1.0] * 4] if i % 3 else None for i in range(6)
+        ],
+        "face_box": [[[0.1] * 7] if i % 3 else None for i in range(6)],
+        "clip": [[float(i)] * 5 for i in range(6)],
+    }
+    mm_cfg = dict(
+        bert=bert.BertConfig(
+            vocab_size=64, hidden_size=16, num_hidden_layers=1,
+            num_attention_heads=2, intermediate_size=32,
+            max_position_embeddings=32, add_pooler=False,
+            hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        ),
+        n_faces=2, face_dim=4, bbox_dim=7, image_dims=(("clip", 5),),
+    )
+    for cls in (mm.ECAEncoder, mm.IntermediateLinearFusion):
+        bundle = cls(cfg=mm.MMConfig(**mm_cfg), seed=2)
+        padded = MMEmbedder(bundle.apply_fn, bundle.params, Tok(), feats,
+                            key="input", max_length=12, batch_size=4)
+        packed = MMEmbedder(bundle.apply_fn, bundle.params, Tok(), feats,
+                            key="input", max_length=12, batch_size=4,
+                            packed_bundle=bundle)
+        out_pad = padded(dict(batch))["mm_embedding"]
+        out_packed = packed(dict(batch))["mm_embedding"]
+        np.testing.assert_allclose(out_packed, out_pad, rtol=2e-5,
+                                   atol=2e-5)

@@ -388,3 +388,56 @@ def test_registry_wrappers_roundtrip(tmp_path):
             again.apply_fn(again.params, text, face, image).pooler_output
         )
         np.testing.assert_allclose(pooled, pooled2, atol=1e-5)
+
+
+def test_ilf_packed_matches_padded(devices):
+    """ilf_apply_packed == ilf_apply (the ILF visual side is a sum, so the
+    packed canvas carries text only)."""
+    from viquae_tpu.train import data as tdata
+
+    cfg = mm.MMConfig(
+        bert=bert.BertConfig(
+            vocab_size=100, hidden_size=24, num_hidden_layers=2,
+            num_attention_heads=2, intermediate_size=48,
+            max_position_embeddings=40, add_pooler=False,
+            hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        ),
+        n_faces=2, face_dim=6, bbox_dim=7, image_dims=(("clip", 8),),
+        n_images=1,
+    )
+    params = mm.ilf_init(jax.random.key(5), cfg)
+    rng = np.random.default_rng(4)
+    b = 7
+    lens = rng.integers(3, 14, b)
+    ids = np.zeros((b, 16), np.int32)
+    mask = np.zeros((b, 16), np.int32)
+    for i, l in enumerate(lens):
+        ids[i, :l] = rng.integers(1, 90, l)
+        mask[i, :l] = 1
+    text = {"input_ids": ids, "attention_mask": mask}
+    face = {
+        "face": rng.standard_normal((b, 1, 2, 6)).astype(np.float32),
+        "bbox": rng.standard_normal((b, 1, 2, 7)).astype(np.float32),
+        "attention_mask": (rng.random((b, 1, 2)) < 0.6).astype(np.int32),
+    }
+    image = {"clip": {
+        "input": rng.standard_normal((b, 1, 8)).astype(np.float32),
+        "attention_mask": np.ones((b, 1), np.int32),
+    }}
+    ref = mm.ilf_apply(params, cfg, text, face, image,
+                       deterministic=True).pooler_output
+    canvas = tdata.pack_mm_text_inputs(
+        {"text_inputs": text, "face_inputs": face, "image_inputs": image},
+        16, needs_vis=False)
+    assert "canvas_vis_rows" not in canvas
+    out = mm.ilf_apply_packed(
+        params, cfg,
+        jnp.asarray(canvas["canvas_input_ids"]),
+        jnp.asarray(canvas["canvas_segment_ids"]),
+        jnp.asarray(canvas["canvas_position_ids"]),
+        jnp.asarray(canvas["canvas_cls_rows"]),
+        jnp.asarray(canvas["canvas_cls_cols"]),
+        face, image, deterministic=True,
+    )[:b]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)

@@ -103,15 +103,16 @@ def cmd_embed(args):
     image_features = config.pop("image_features", None)
     packed_embed = config.pop("packed", False)
     if image_features is not None:
-        if packed_embed:
-            raise ValueError(
-                "packed embedding supports text towers only; drop 'packed' "
-                "for multimodal (image_features) configs")
         from viquae_tpu.train.data import PreComputedImageFeatures
 
+        if packed_embed and not hasattr(model, "packed_apply_fn"):
+            raise ValueError(
+                f"{model_kwargs.get('class_name')} has no packed path; "
+                "drop 'packed'")
         embedder = MMEmbedder(
             model.apply_fn, model.params, tokenizer,
-            PreComputedImageFeatures(**image_features), **config
+            PreComputedImageFeatures(**image_features),
+            packed_bundle=model if packed_embed else None, **config
         )
     else:
         from viquae_tpu.models.mm import _MMEncoderBundle

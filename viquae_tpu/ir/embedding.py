@@ -292,7 +292,7 @@ class MMEmbedder:
                  key: str = "input", save_as: str = "mm_embedding",
                  max_length: int = 256, batch_size: int = 64,
                  mesh_ctx=None, compute_dtype=jnp.float32,
-                 kb=None, kb_features=None):
+                 kb=None, kb_features=None, packed_bundle=None):
         from viquae_tpu.train.data import PreComputedImageFeatures
 
         self.tokenizer = tokenizer
@@ -305,6 +305,13 @@ class MMEmbedder:
         self.params = params
         self.kb = kb                    # article KB for passage joins
         self.kb_features = kb_features  # feature column names to join
+        # packed_bundle: an _MMEncoderBundle with packed_apply_fn
+        # (ECAEncoder / IntermediateLinearFusion) — embeds the text at REAL
+        # lengths on a packed canvas (the reference pads every ~100-token
+        # passage to max_length)
+        self.packed_bundle = packed_bundle
+        self._needs_vis = bool(
+            getattr(packed_bundle, "PACKED_NEEDS_VIS", False))
 
         @jax.jit
         def forward(params, text_inputs, face_inputs, image_inputs):
@@ -319,6 +326,18 @@ class MMEmbedder:
             return out.pooler_output if hasattr(out, "pooler_output") else out
 
         self._forward = forward
+
+        if packed_bundle is not None:
+            packed_apply = packed_bundle.packed_apply_fn
+
+            @jax.jit
+            def forward_packed(params, canvas, face_inputs, image_inputs):
+                return packed_apply(
+                    params, *canvas, face_inputs, image_inputs,
+                    deterministic=True, compute_dtype=compute_dtype,
+                )
+
+            self._forward_packed = forward_packed
 
     def __call__(self, batch: dict) -> dict:
         items = [
@@ -342,21 +361,53 @@ class MMEmbedder:
                 padding="max_length", truncation=True,
                 max_length=self.max_length, return_tensors="np",
             )
-            text_inputs = {
-                "input_ids": jnp.asarray(enc["input_ids"].astype(np.int32)),
-                "attention_mask": jnp.asarray(
-                    enc["attention_mask"].astype(np.int32)
-                ),
-            }
-            face_inputs = jax.tree_util.tree_map(
-                jnp.asarray, self.features.get_face_inputs(chunk)
-            )
-            image_inputs = jax.tree_util.tree_map(
-                jnp.asarray, self.features.get_image_inputs(chunk)
-            )
-            out = np.asarray(self._forward(
-                self.params, text_inputs, face_inputs, image_inputs
-            ))[:n_real]
+            face_np = self.features.get_face_inputs(chunk)
+            image_np = self.features.get_image_inputs(chunk)
+            face_inputs = jax.tree_util.tree_map(jnp.asarray, face_np)
+            image_inputs = jax.tree_util.tree_map(jnp.asarray, image_np)
+            if self.packed_bundle is not None:
+                from viquae_tpu.train.data import (
+                    mm_visual_mask, pack_mm_text_inputs,
+                )
+
+                mm_inputs = {
+                    "text_inputs": {
+                        "input_ids": enc["input_ids"].astype(np.int32),
+                        "attention_mask":
+                            enc["attention_mask"].astype(np.int32),
+                    },
+                    "face_inputs": face_np,
+                    "image_inputs": image_np,
+                }
+                t_vis = mm_visual_mask(face_np, image_np).shape[1] \
+                    if self._needs_vis else 0
+                c = pack_mm_text_inputs(
+                    mm_inputs, self.max_length + t_vis,
+                    self.packed_bundle.cfg.face_and_image_are_exclusive,
+                    needs_vis=self._needs_vis,
+                )
+                canvas = [
+                    c["canvas_input_ids"], c["canvas_segment_ids"],
+                    c["canvas_position_ids"], c["canvas_cls_rows"],
+                    c["canvas_cls_cols"],
+                ]
+                if self._needs_vis:
+                    canvas += [c["canvas_vis_rows"], c["canvas_vis_cols"]]
+                out = np.asarray(self._forward_packed(
+                    self.params, tuple(jnp.asarray(a) for a in canvas),
+                    face_inputs, image_inputs,
+                ))[:n_real]
+            else:
+                text_inputs = {
+                    "input_ids":
+                        jnp.asarray(enc["input_ids"].astype(np.int32)),
+                    "attention_mask": jnp.asarray(
+                        enc["attention_mask"].astype(np.int32)
+                    ),
+                }
+                out = np.asarray(self._forward(
+                    self.params, text_inputs, face_inputs, image_inputs
+                ))[:n_real]
             embeddings.append(out)
         batch[self.save_as] = np.concatenate(embeddings, axis=0)
         return batch

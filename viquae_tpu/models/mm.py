@@ -345,6 +345,66 @@ def ilf_apply(
     return EncoderOutput(pooler_output=output)
 
 
+def ilf_apply_packed(
+    params,
+    cfg: MMConfig,
+    input_ids: jnp.ndarray,
+    segment_ids: jnp.ndarray,
+    position_ids: jnp.ndarray,
+    cls_rows: jnp.ndarray,
+    cls_cols: jnp.ndarray,
+    face_inputs: Dict[str, jnp.ndarray],
+    image_inputs: Optional[Dict[str, Dict[str, jnp.ndarray]]] = None,
+    deterministic: bool = True,
+    rng=None,
+    compute_dtype=jnp.float32,
+    remat_layers: bool = False,
+) -> jnp.ndarray:
+    """Packed-canvas ILF forward: the text CLS comes from a packed DPR
+    tower (block-diagonal attention); the visual side is a per-sample SUM
+    of projections (no tokens), so no reserved slots are needed — plain
+    `pack_text_inputs` canvases work. Returns (n_cls, D); rows past the
+    packer's n_seqs are garbage."""
+    rngs = jax.random.split(rng, 3) if rng is not None else (None,) * 3
+    hidden = bert.apply(
+        params["dpr_encoder"], cfg.bert, input_ids,
+        position_ids=position_ids, segment_ids=segment_ids,
+        deterministic=deterministic, rng=rngs[0],
+        compute_dtype=compute_dtype, remat_layers=remat_layers,
+    )["last_hidden_state"]
+    text = hidden[cls_rows, cls_cols]
+
+    faces = face_inputs["face"]
+    b, n_images, n_faces, _ = faces.shape
+    text = text[: b]
+    output = L.dense(params["dpr_proj"], text)
+    if n_faces > 0:
+        face_out = face_embedding_apply(
+            params["face_embedding"], cfg,
+            faces.reshape(b, n_images * n_faces, -1),
+            face_inputs["bbox"].reshape(b, n_images * n_faces, -1),
+            deterministic=deterministic, rng=rngs[1],
+        )
+        mask = face_inputs["attention_mask"].reshape(b, n_images * n_faces, 1)
+        output = output + (face_out * mask).sum(axis=1)
+
+    face_mask_flat = face_inputs["attention_mask"].reshape(b, -1)
+    has_face = face_mask_flat.sum(axis=1, keepdims=True) > 0
+    for name, image in (image_inputs or {}).items():
+        inp = image["input"].reshape(b, -1)
+        if cfg.face_and_image_are_exclusive:
+            inp = jnp.where(has_face, 0.0, inp)
+        output = output + image_embedding_apply(
+            params["image_embeddings"][name], cfg, inp,
+            deterministic=deterministic, rng=rngs[2],
+        )
+    output = L.layer_norm(params["ln"], output, cfg.bert.layer_norm_eps)
+    output = L.dropout(
+        output, cfg.bert.hidden_dropout_prob, deterministic, rngs[2]
+    )
+    return output
+
+
 # --------------------------------------------------------------------------
 # Flamant: gated cross-attention every n layers
 # --------------------------------------------------------------------------
@@ -482,6 +542,7 @@ class _MMEncoderBundle:
 class ECAEncoder(_MMEncoderBundle):
     init_fn = staticmethod(eca_init)
     forward = staticmethod(eca_apply)
+    PACKED_NEEDS_VIS = True  # visual tokens scatter into reserved slots
 
     def packed_apply_fn(self, params, input_ids, segment_ids, position_ids,
                         cls_rows, cls_cols, vis_rows, vis_cols,
@@ -499,6 +560,15 @@ class ECAEncoder(_MMEncoderBundle):
 class IntermediateLinearFusion(_MMEncoderBundle):
     init_fn = staticmethod(ilf_init)
     forward = staticmethod(ilf_apply)
+    PACKED_NEEDS_VIS = False  # visual side is a sum, not tokens
+
+    def packed_apply_fn(self, params, input_ids, segment_ids, position_ids,
+                        cls_rows, cls_cols, face_inputs, image_inputs=None,
+                        **kw):
+        return ilf_apply_packed(
+            params, self.cfg, input_ids, segment_ids, position_ids,
+            cls_rows, cls_cols, face_inputs, image_inputs, **kw,
+        )
 
 
 # --------------------------------------------------------------------------

@@ -305,15 +305,22 @@ def mm_visual_mask(face_inputs, image_inputs,
 
 
 def pack_mm_text_inputs(mm_inputs: Dict[str, Any], row_len: int,
-                        face_and_image_are_exclusive: bool = False) -> dict:
+                        face_and_image_are_exclusive: bool = False,
+                        needs_vis: bool = True) -> dict:
     """Canvas fields for mm.eca_apply_packed: strip text padding, pack with
     T_vis reserved slots per sample (the visual-token scatter targets), and
     zero the segment id of slots whose face/image is ABSENT so attention
     ignores them (the packed equivalent of eca_apply's mask concat).
-    `face_and_image_are_exclusive` must mirror the model's MMConfig."""
+    `face_and_image_are_exclusive` must mirror the model's MMConfig.
+
+    needs_vis=False (IntermediateLinearFusion: the visual side is a SUM of
+    projections, not attention tokens) packs the text alone — reserved
+    slots would otherwise sit in the text attention as stray pad tokens."""
     from viquae_tpu.ops import packing
 
     text = mm_inputs["text_inputs"]
+    if not needs_vis:
+        return pack_text_inputs(text, row_len)
     vis_mask = mm_visual_mask(
         mm_inputs["face_inputs"], mm_inputs.get("image_inputs"),
         face_and_image_are_exclusive,
@@ -346,9 +353,12 @@ def pack_mm_text_inputs(mm_inputs: Dict[str, Any], row_len: int,
 class BiEncoderCollator(QADataModule):
     def __init__(self, *args, passage_type_ids: bool = False,
                  packed: bool = False,
-                 face_and_image_are_exclusive: bool = False, **kwargs):
+                 face_and_image_are_exclusive: bool = False,
+                 mm_packed_needs_vis: bool = True, **kwargs):
         super().__init__(*args, **kwargs)
         self.passage_type_ids = passage_type_ids
+        # False for IntermediateLinearFusion towers (no visual tokens)
+        self.mm_packed_needs_vis = mm_packed_needs_vis
         # packed=True adds canvases (pack_text_inputs, or
         # pack_mm_text_inputs when image features are attached) so the
         # trainee runs dpr.apply_packed / mm.eca_apply_packed — ~2-4x fewer
@@ -404,12 +414,12 @@ class BiEncoderCollator(QADataModule):
         }
 
     def _pack(self, inputs: dict) -> dict:
-        if "face_inputs" in inputs:  # multimodal (ECA) inputs
+        if "face_inputs" in inputs:  # multimodal (ECA/ILF) inputs
             # T_vis reserved slots per sample; row budget must cover
-            # max_length text + the visual tokens
+            # max_length text + the visual tokens (ECA only)
             t_vis = mm_visual_mask(
                 inputs["face_inputs"], inputs.get("image_inputs")
-            ).shape[1]
+            ).shape[1] if self.mm_packed_needs_vis else 0
             return {
                 **inputs,
                 "text_inputs": {
@@ -417,6 +427,7 @@ class BiEncoderCollator(QADataModule):
                     **pack_mm_text_inputs(
                         inputs, self.max_length + t_vis,
                         self.face_and_image_are_exclusive,
+                        needs_vis=self.mm_packed_needs_vis,
                     ),
                 },
             }
@@ -791,7 +802,8 @@ class ICTCollator(QADataModule):
     def __init__(self, *args, sentences_per_target: int = 4,
                  prepend_title: bool = False, text_mask_rate: float = 1.0,
                  image_mask_rate: float = 1.0, packed: bool = False,
-                 face_and_image_are_exclusive: bool = False, **kwargs):
+                 face_and_image_are_exclusive: bool = False,
+                 mm_packed_needs_vis: bool = True, **kwargs):
         super().__init__(*args, **kwargs)
         assert self.n_relevant_passages == 1
         self.sentences_per_target = sentences_per_target
@@ -808,6 +820,7 @@ class ICTCollator(QADataModule):
                 "path and training would silently run padded")
         self.packed = packed
         self.face_and_image_are_exclusive = face_and_image_are_exclusive
+        self.mm_packed_needs_vis = mm_packed_needs_vis
 
     def get_pseudo_question(self, item: dict):
         sentences = item["sentences"]
@@ -883,12 +896,13 @@ class ICTCollator(QADataModule):
             for inputs in (question_inputs, context_inputs):
                 t_vis = mm_visual_mask(
                     inputs["face_inputs"], inputs.get("image_inputs")
-                ).shape[1]
+                ).shape[1] if self.mm_packed_needs_vis else 0
                 inputs["text_inputs"] = {
                     **inputs["text_inputs"],
                     **pack_mm_text_inputs(
                         inputs, self.max_length + t_vis,
                         self.face_and_image_are_exclusive,
+                        needs_vis=self.mm_packed_needs_vis,
                     ),
                 }
         return {

@@ -71,13 +71,19 @@ class BiEncoderTrainee:
             text = inputs["text_inputs"]
             if "canvas_input_ids" in text and packed_apply is not None:
                 # packed mm canvas from ICTCollator/BiEncoderCollator
-                # (packed=True): mm.eca_apply_packed
-                return packed_apply(
-                    params,
+                # (packed=True): eca_apply_packed takes the visual-slot
+                # pointers; ilf_apply_packed has no reserved slots
+                canvas = (
                     text["canvas_input_ids"], text["canvas_segment_ids"],
                     text["canvas_position_ids"],
                     text["canvas_cls_rows"], text["canvas_cls_cols"],
-                    text["canvas_vis_rows"], text["canvas_vis_cols"],
+                )
+                if "canvas_vis_rows" in text:
+                    canvas = canvas + (
+                        text["canvas_vis_rows"], text["canvas_vis_cols"],
+                    )
+                return packed_apply(
+                    params, *canvas,
                     inputs["face_inputs"], inputs.get("image_inputs"),
                     deterministic=deterministic, rng=rng,
                 )
