@@ -1,0 +1,275 @@
+"""End-to-end batch QA serving: retrieve -> read -> answer strings.
+
+The reference runs its full pipeline (embed -> search -> read) as offline
+dataset stages plus a ONE-query-at-a-time REPL (meerqat/interact/
+system.py); reading alone is its throughput headline (2.505 samples/s on
+a V100, experiments/rc/viquae/metrics.json). This module is the batch
+deployment loop over the same stages:
+
+- retrieval: any serving pipeline with `run_arrays` (FusedRetrievalPipeline
+  / MultiIndexRetrievalPipeline) — one device dispatch per batch;
+- passage fetch + (question, passage) pair tokenization on host, in a
+  prefetch thread so it overlaps the reader's device compute;
+- reader: jitted MultiPassageBERT forward with the reference's GLOBAL
+  softmax over all M passages per question, spans decoded to strings with
+  `qa.log_probs_to_answers`.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from viquae_tpu.core.profiling import StageTimer
+from viquae_tpu.train.prefetch import PrefetchIterable
+
+
+class AnswerPipeline:
+    """queries (+ modal features/images) -> extractive answers, batched.
+
+    Parameters
+    ----------
+    retrieval: serving pipeline with run_arrays(queries, ...) -> (scores,
+        indices) over the PASSAGE id space.
+    kb: passage dataset/list; kb[int(id)][passage_key] is the text.
+    reader_cfg / reader_params: models.qa MultiPassageBERT bundle.
+    tokenizer: HF tokenizer for (question, passage) pairs + span decode.
+    m_passages: top-M passages read per question (reference default 24).
+    questions_per_step: reader batch (fixed XLA shape).
+    """
+
+    def __init__(self, retrieval, kb, reader_cfg, reader_params, tokenizer,
+                 m_passages: int = 24, reader_seq: int = 256,
+                 passage_key: str = "passage",
+                 passage_tokens_key: Optional[str] = None,
+                 questions_per_step: int = 16,
+                 timer: Optional[StageTimer] = None,
+                 compute_dtype=None,
+                 packed_reader: bool = False):
+        import jax
+        import jax.numpy as jnp
+
+        from viquae_tpu.models import qa
+
+        self.retrieval = retrieval
+        self.kb = kb
+        self.reader_cfg = reader_cfg
+        self.reader_params = reader_params
+        self.tokenizer = tokenizer
+        self.M = m_passages
+        self.reader_seq = reader_seq
+        self.passage_key = passage_key
+        # passage_tokens_key: column of PRE-TOKENIZED passage ids (no
+        # special tokens). KB passages are static, so a deployment
+        # tokenizes them once at index-build time; at serve time only the
+        # short questions hit the tokenizer and the (question, passage)
+        # pairs are assembled with numpy. Without it, tokenizing M=24
+        # full pairs per question is the end-to-end bottleneck (~33s for
+        # the 1,257-question protocol vs ~9s of reader compute).
+        self.passage_tokens_key = passage_tokens_key
+        self.n_q = questions_per_step
+        self.timer = timer or StageTimer("qa-serving")
+        # packed_reader: run the forward on a packed canvas at the REAL
+        # pair lengths (qa.reader_apply_packed, ~1.8x at the reference's
+        # ~125-token pairs); the padded ids are still built host-side for
+        # span decode only
+        self.packed_reader = packed_reader
+        compute_dtype = compute_dtype or jnp.bfloat16
+        m = m_passages
+
+        def _postprocess(start_logits, end_logits, mask):
+            # the reference's GLOBAL normalization (softmax over all M
+            # passages jointly, train/optim.py:42-87) + span selection, ALL
+            # inside the jit: the host receives three (n,) index vectors
+            # instead of (n*m, L) log-probs — over the tunneled link the
+            # per-batch syncs were the end-to-end bottleneck
+            neg = jnp.asarray(-1e30, start_logits.dtype)
+            s = jnp.where(mask > 0, start_logits, neg)
+            e = jnp.where(mask > 0, end_logits, neg)
+            nm, length = s.shape
+            n = nm // m
+            start_p = jax.nn.softmax(
+                s.reshape(n, m * length), axis=-1).reshape(n, m, length)
+            end_p = jax.nn.softmax(
+                e.reshape(n, m * length), axis=-1).reshape(n, m, length)
+            return qa.get_best_spans(start_p, end_p)
+
+        @jax.jit
+        def _read(params, ids, mask, token_types):
+            # the reference's GLOBAL normalization: softmax over all M
+            # passages of a question jointly (train/optim.py:42-87); pad
+            # positions can't win spans (_postprocess masks them)
+            out = qa.reader_apply(
+                params, reader_cfg, ids, attention_mask=mask,
+                token_type_ids=token_types, m_passages=m,
+                deterministic=True, compute_dtype=compute_dtype,
+            )
+            return _postprocess(out.start_logits, out.end_logits, mask)
+
+        @jax.jit
+        def _read_packed(params, ids, seg, pos, tt, g_idx, g_mask, mask):
+            out = qa.reader_apply_packed(
+                params, reader_cfg, ids, seg, pos, tt, g_idx, g_mask,
+                m_passages=m, deterministic=True,
+                compute_dtype=compute_dtype,
+            )
+            return _postprocess(out.start_logits, out.end_logits, mask)
+
+        self._read = _read
+        self._read_packed = _read_packed
+        self._qa = qa
+
+    # ------------------------------------------------------------------
+    def _reader_batches_pretokenized(self, queries, indices):
+        """Host producer over PRE-TOKENIZED passages: one batched tokenizer
+        call for all questions, then pure-numpy pair assembly
+        ([CLS] q [SEP] p [SEP], token types 0/1 — BertTokenizerFast pair
+        format, parity-tested)."""
+        tok = self.tokenizer
+        cls_id, sep_id = tok.cls_token_id, tok.sep_token_id
+        q_tok = tok(list(map(str, queries)), add_special_tokens=False,
+                    truncation=True, max_length=self.reader_seq // 2)
+        q_ids_all = q_tok["input_ids"]
+        seq = self.reader_seq
+        for start in range(0, len(queries), self.n_q):
+            chunk = range(start, min(start + self.n_q, len(queries)))
+            n_real = len(chunk)
+            nm = self.n_q * self.M
+            ids = np.zeros((nm, seq), np.int32)
+            mask = np.zeros((nm, seq), np.int32)
+            tt = np.zeros((nm, seq), np.int32)
+            row = 0
+            for qi in chunk:
+                q_ids = q_ids_all[qi]
+                head = [cls_id] + list(q_ids) + [sep_id]
+                budget = seq - len(head) - 1
+                for d in indices[qi][: self.M]:
+                    p_ids = (
+                        self.kb[int(d)][self.passage_tokens_key]
+                        if 0 <= int(d) < len(self.kb) else []
+                    )
+                    p_ids = list(p_ids)[: max(budget, 0)]
+                    full = head + p_ids + [sep_id]
+                    L = len(full)
+                    ids[row, :L] = full
+                    mask[row, :L] = 1
+                    tt[row, len(head): L] = 1
+                    row += 1
+                row += self.M - min(self.M, len(indices[qi][: self.M]))
+            yield start, n_real, ids, mask, tt
+
+    def _reader_batches(self, queries, indices):
+        """Host producer: fetch top-M passages + tokenize pair batches."""
+        if self.passage_tokens_key is not None:
+            yield from self._reader_batches_pretokenized(queries, indices)
+            return
+        tok = self.tokenizer
+        for start in range(0, len(queries), self.n_q):
+            chunk_q = queries[start: start + self.n_q]
+            n_real = len(chunk_q)
+            pairs_q, pairs_p = [], []
+            for i, q in enumerate(chunk_q):
+                ids = indices[start + i][: self.M]
+                texts = [
+                    self.kb[int(d)][self.passage_key]
+                    if 0 <= int(d) < len(self.kb) else ""
+                    for d in ids
+                ]
+                texts += [""] * (self.M - len(texts))
+                pairs_q.extend([str(q)] * self.M)
+                pairs_p.extend(texts)
+            # pad the question dim to the compiled shape
+            pad = (self.n_q - n_real) * self.M
+            pairs_q += [""] * pad
+            pairs_p += [""] * pad
+            enc = tok(pairs_q, pairs_p, padding="max_length",
+                      truncation="only_second", max_length=self.reader_seq,
+                      return_tensors="np")
+            token_types = enc.get("token_type_ids")
+            yield (start, n_real, enc["input_ids"].astype(np.int32),
+                   enc["attention_mask"].astype(np.int32),
+                   token_types.astype(np.int32)
+                   if token_types is not None else None)
+
+    def run(self, queries: List[str], **retrieval_kwargs) -> List[Dict]:
+        """Answer every query; returns [{"answer", "passage_ids",
+        "scores"}] in input order."""
+        import jax.numpy as jnp
+
+        with self.timer.stage("retrieve"):
+            scores, indices = self.retrieval.run_arrays(
+                queries, **retrieval_kwargs)
+
+        answers: List[Optional[str]] = [None] * len(queries)
+
+        def stream():
+            for item in self._reader_batches(queries, indices):
+                start, n_real, ids, mask, tt = item
+                with self.timer.stage("reader_dispatch"):
+                    if self.packed_reader:
+                        from viquae_tpu.ops import packing
+
+                        lens = mask.sum(axis=1).clip(min=1)
+                        seqs = [ids[r, : lens[r]] for r in range(len(ids))]
+                        p = packing.pack_token_sequences(
+                            seqs, row_len=self.reader_seq, pad_rows_to=16)
+                        tts = (
+                            [tt[r, : lens[r]] for r in range(len(ids))]
+                            if tt is not None else
+                            [np.zeros(int(lens[r]), np.int32)
+                             for r in range(len(ids))]
+                        )
+                        tt_canvas = packing.pack_parallel(p, tts)
+                        g_idx, g_mask = packing.gather_indices(
+                            p, self.reader_seq)
+                        spans = self._read_packed(
+                            self.reader_params,
+                            jnp.asarray(p.input_ids),
+                            jnp.asarray(p.segment_ids),
+                            jnp.asarray(p.position_ids),
+                            jnp.asarray(tt_canvas),
+                            jnp.asarray(g_idx), jnp.asarray(g_mask),
+                            jnp.asarray(mask),
+                        )
+                    else:
+                        spans = self._read(
+                            self.reader_params, jnp.asarray(ids),
+                            jnp.asarray(mask),
+                            jnp.asarray(tt) if tt is not None else None,
+                        )
+                    for arr in spans:
+                        if hasattr(arr, "copy_to_host_async"):
+                            arr.copy_to_host_async()
+                yield start, n_real, ids, spans
+
+        def drain_one(item):
+            start, n_real, ids, spans = item
+            with self.timer.stage("decode"):
+                passage, s_idx, e_idx = (np.asarray(a) for a in spans)
+                ids3 = ids.reshape(self.n_q, self.M, self.reader_seq)
+                for i in range(n_real):
+                    span = ids3[i, passage[i], s_idx[i]: e_idx[i]]
+                    answers[start + i] = self.tokenizer.decode(
+                        span, skip_special_tokens=True)
+
+        # prefetch: batch i+1 tokenizes while batch i reads on device;
+        # lagged drain overlaps span decode with the next reader step
+        pending = []
+        for item in PrefetchIterable(stream(), buffer_size=2):
+            pending.append(item)
+            if len(pending) > 1:
+                drain_one(pending.pop(0))
+        for item in pending:
+            drain_one(item)
+
+        return [
+            {
+                "answer": answers[i],
+                "passage_ids": indices[i][: self.M].tolist(),
+                "scores": scores[i][: self.M].tolist(),
+            }
+            for i in range(len(queries))
+        ]
+
+    def report(self) -> dict:
+        return self.timer.report()
