@@ -229,6 +229,65 @@ def cmd_serve(args):
                       "stages": pipeline.report()}))
 
 
+def cmd_answer(args):
+    """Batch end-to-end QA over a query file: retrieve -> read -> answer
+    strings (ir/qa_serving.AnswerPipeline); writes a JSON list of
+    {question, answer, passage_ids, scores}."""
+    import json
+
+    import numpy as np
+    from transformers import AutoTokenizer
+
+    from datasets import load_from_disk
+
+    from viquae_tpu.core.config import get_pretrained
+    from viquae_tpu.ir.embedding import PackedTextEmbedder
+    from viquae_tpu.ir.qa_serving import AnswerPipeline
+    from viquae_tpu.ir.serving import FusedRetrievalPipeline
+    from viquae_tpu.models import dpr as dpr_lib
+    from viquae_tpu.models import qa as qa_lib
+    from viquae_tpu.ops import mips
+
+    config = load_config(args.config)
+    model = get_pretrained(**config.pop("model"))
+    tokenizer = AutoTokenizer.from_pretrained(config.pop("tokenizer"))
+    embedder = PackedTextEmbedder(
+        dpr_lib.make_packed_apply(model.cfg), model.params, tokenizer,
+        row_len=config.pop("row_len", 64), batch_size=args.batch,
+    )
+    index_cfg = config.pop("index")
+    if "load" in index_cfg:
+        index = mips.DenseIndex.load(
+            index_cfg["load"], mode=index_cfg.get("mode", "fused"))
+    else:
+        kb_ds = load_from_disk(index_cfg["dataset"])
+        index = mips.DenseIndex(
+            np.asarray(kb_ds[index_cfg["column"]], np.float32),
+            do_l2norm=index_cfg.get("do_l2norm", False),
+            mode=index_cfg.get("mode", "fused"),
+        )
+    retrieval = FusedRetrievalPipeline(
+        embedder, index, batch_size=args.batch, k=args.m_passages)
+
+    reader_cfg_kwargs = config.pop("reader")
+    reader = get_pretrained(**reader_cfg_kwargs)
+    kb = load_from_disk(config.pop("passages"))
+    pipeline = AnswerPipeline(
+        retrieval, kb, reader.cfg, reader.params, tokenizer,
+        m_passages=args.m_passages, **config,
+    )
+    with open(args.queries) as f:
+        queries = [line.rstrip("\n") for line in f if line.strip()]
+    results = pipeline.run(queries)
+    for r, q in zip(results, queries):
+        r["question"] = q
+    with open(args.output, "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps({"queries": len(queries),
+                      "stages": pipeline.report()}))
+
+
+
 def cmd_fuse(args):
     from viquae_tpu.ir.fuse import Fusion
 
@@ -444,6 +503,14 @@ def main(argv=None):
     p.add_argument("--k", type=int, default=100)
     p.add_argument("--batch", type=int, default=1280)
     p.set_defaults(fn=cmd_serve)
+
+    p = sub.add_parser("answer", help="batch QA: retrieve -> read -> "
+                                      "answers JSON")
+    p.add_argument("queries"), _add_config_positional(p)
+    p.add_argument("output")
+    p.add_argument("--m-passages", type=int, default=24)
+    p.add_argument("--batch", type=int, default=1280)
+    p.set_defaults(fn=cmd_answer)
 
     p = sub.add_parser("fuse", help="late fusion fit/test")
     p.add_argument("subcommand", choices=["fit", "test"])

@@ -271,3 +271,43 @@ def log_probs_to_answers(start_log_probs, end_log_probs, input_ids,
         span = ids[i, passage[i], start[i]: end[i]]
         answers.append(tokenizer.decode(span, skip_special_tokens=True))
     return answers
+
+
+# --------------------------------------------------------------------------
+# config-registry bundle (get_pretrained entry for the serving CLI)
+# --------------------------------------------------------------------------
+from viquae_tpu.core.config import register as _register  # noqa: E402
+
+
+@_register("MultiPassageBERTReader")
+class MultiPassageBERTReader:
+    """cfg + params bundle for the extractive reader, instantiable by
+    class_name via core.config.get_pretrained (the `answer` CLI) — the
+    counterpart of the reference's get_pretrained(MultiPassageBERT, ...)
+    (meerqat/train/trainee.py reader setup)."""
+
+    def __init__(self, cfg: "ReaderConfig" = None, params=None, seed: int = 0,
+                 bert_config=None, fuse_ir_score: bool = False):
+        from viquae_tpu.models import bert as bert_lib
+
+        if cfg is None:
+            bcfg = (
+                bert_lib.BertConfig(**{**bert_config, "add_pooler": False})
+                if bert_config is not None
+                else bert_lib.BertConfig(add_pooler=False)
+            )
+            cfg = ReaderConfig(bert=bcfg, fuse_ir_score=fuse_ir_score)
+        self.cfg = cfg
+        self.params = (
+            params if params is not None
+            else init(jax.random.key(seed), cfg)
+        )
+
+    @classmethod
+    def from_pretrained(cls, path, **kwargs):
+        """Load from an export_params dir (train.checkpoint contract)."""
+        from viquae_tpu.train.checkpoint import import_params
+
+        bundle = cls(**kwargs)
+        bundle.params = import_params(path, bundle.params)
+        return bundle
