@@ -140,3 +140,30 @@ def test_answer_pipeline_pretokenized_matches_text(qa_setup):
     out_pre = pretok_pipe.run(queries)
     for a, b in zip(out_text, out_pre):
         assert a["answer"] == b["answer"], (a, b)
+
+
+def test_answer_pipeline_long_question_and_ir_score(qa_setup):
+    """A question longer than reader_seq must not crash pair tokenization
+    (pre-truncation), and a fuse_ir_score reader gets the retrieval scores
+    plumbed through the serving path."""
+    tok, dcfg, d_params, rcfg, r_params, kb_rows, kb_mat, queries = qa_setup
+    M, seq = 3, 32
+    rng = np.random.default_rng(9)
+    long_q = " ".join(f"w{j}" for j in rng.integers(0, 200, 120))
+    queries = [long_q] + list(queries[:5])
+
+    fused_cfg = qa.ReaderConfig(bert=rcfg.bert, fuse_ir_score=True)
+    fused_params = qa.init(jax.random.key(7), fused_cfg)
+
+    emb = PackedTextEmbedder(dpr.make_packed_apply(dcfg), d_params, tok,
+                             row_len=24, batch_size=8,
+                             compute_dtype=jnp.float32)
+    index = mips.DenseIndex(kb_mat, mode="global", dtype=jnp.float32)
+    retrieval = FusedRetrievalPipeline(emb, index, batch_size=8, k=M)
+    pipe = AnswerPipeline(retrieval, kb_rows, fused_cfg, fused_params, tok,
+                          m_passages=M, reader_seq=seq,
+                          questions_per_step=3,
+                          compute_dtype=jnp.float32)
+    out = pipe.run(queries)
+    assert len(out) == 6
+    assert all(o["answer"] is not None for o in out)

@@ -158,6 +158,26 @@ def cmd_search(args):
     )
 
 
+def _build_dense_index(index_cfg, default_mode="global"):
+    """Shared index construction for serve/answer (mode defaults differ:
+    serve historically 'global', answer 'fused')."""
+    import numpy as np
+
+    from viquae_tpu.ops import mips
+
+    if "load" in index_cfg:
+        return mips.DenseIndex.load(
+            index_cfg["load"], mode=index_cfg.get("mode", default_mode))
+    from datasets import load_from_disk
+
+    kb = load_from_disk(index_cfg["dataset"])
+    return mips.DenseIndex(
+        np.asarray(kb[index_cfg["column"]], np.float32),
+        do_l2norm=index_cfg.get("do_l2norm", False),
+        mode=index_cfg.get("mode", default_mode),
+    )
+
+
 def cmd_serve(args):
     """Streaming retrieval over a query file (one query per line) with the
     fused packed pipeline; writes a ranx-format run JSON."""
@@ -182,17 +202,7 @@ def cmd_serve(args):
         batch_size=args.batch,
     )
     def build_index(index_cfg):
-        if "load" in index_cfg:
-            return mips.DenseIndex.load(index_cfg["load"],
-                                        mode=index_cfg.get("mode", "global"))
-        from datasets import load_from_disk
-
-        kb = load_from_disk(index_cfg["dataset"])
-        return mips.DenseIndex(
-            np.asarray(kb[index_cfg["column"]], np.float32),
-            do_l2norm=index_cfg.get("do_l2norm", False),
-            mode=index_cfg.get("mode", "global"),
-        )
+        return _build_dense_index(index_cfg, default_mode="global")
 
     with open(args.queries) as f:
         queries = [line.rstrip("\n") for line in f if line.strip()]
@@ -255,17 +265,7 @@ def cmd_answer(args):
         dpr_lib.make_packed_apply(model.cfg), model.params, tokenizer,
         row_len=config.pop("row_len", 64), batch_size=args.batch,
     )
-    index_cfg = config.pop("index")
-    if "load" in index_cfg:
-        index = mips.DenseIndex.load(
-            index_cfg["load"], mode=index_cfg.get("mode", "fused"))
-    else:
-        kb_ds = load_from_disk(index_cfg["dataset"])
-        index = mips.DenseIndex(
-            np.asarray(kb_ds[index_cfg["column"]], np.float32),
-            do_l2norm=index_cfg.get("do_l2norm", False),
-            mode=index_cfg.get("mode", "fused"),
-        )
+    index = _build_dense_index(config.pop("index"), default_mode="fused")
     retrieval = FusedRetrievalPipeline(
         embedder, index, batch_size=args.batch, k=args.m_passages)
 

@@ -21,7 +21,7 @@ from typing import Dict, List, Optional
 import numpy as np
 
 from viquae_tpu.core.profiling import StageTimer
-from viquae_tpu.train.prefetch import PrefetchIterable
+from viquae_tpu.ir.serving import drain_lagged
 
 
 class AnswerPipeline:
@@ -45,7 +45,8 @@ class AnswerPipeline:
                  questions_per_step: int = 16,
                  timer: Optional[StageTimer] = None,
                  compute_dtype=None,
-                 packed_reader: bool = False):
+                 packed_reader: bool = False,
+                 packed_rows: Optional[int] = None):
         import jax
         import jax.numpy as jnp
 
@@ -74,8 +75,15 @@ class AnswerPipeline:
         # ~125-token pairs); the padded ids are still built host-side for
         # span decode only
         self.packed_reader = packed_reader
+        # packed_rows pins the packed canvas height to ONE compiled shape
+        # (PackedTextEmbedder.fixed_rows counterpart) — without it every
+        # new per-batch row count recompiles the reader; batches that
+        # overflow the pinned canvas fall back to an unpinned pack
+        self.packed_rows = packed_rows
         compute_dtype = compute_dtype or jnp.bfloat16
         m = m_passages
+        self.fuse_ir_score = bool(getattr(reader_cfg, "fuse_ir_score",
+                                          False))
 
         def _postprocess(start_logits, end_logits, mask):
             # the reference's GLOBAL normalization (softmax over all M
@@ -95,23 +103,27 @@ class AnswerPipeline:
             return qa.get_best_spans(start_p, end_p)
 
         @jax.jit
-        def _read(params, ids, mask, token_types):
+        def _read(params, ids, mask, token_types, passage_scores):
             # the reference's GLOBAL normalization: softmax over all M
             # passages of a question jointly (train/optim.py:42-87); pad
-            # positions can't win spans (_postprocess masks them)
+            # positions can't win spans (_postprocess masks them);
+            # passage_scores feed the fuse_ir_score projection when the
+            # reader was trained with it
             out = qa.reader_apply(
                 params, reader_cfg, ids, attention_mask=mask,
                 token_type_ids=token_types, m_passages=m,
+                passage_scores=passage_scores,
                 deterministic=True, compute_dtype=compute_dtype,
             )
             return _postprocess(out.start_logits, out.end_logits, mask)
 
         @jax.jit
-        def _read_packed(params, ids, seg, pos, tt, g_idx, g_mask, mask):
+        def _read_packed(params, ids, seg, pos, tt, g_idx, g_mask, mask,
+                         passage_scores):
             out = qa.reader_apply_packed(
                 params, reader_cfg, ids, seg, pos, tt, g_idx, g_mask,
-                m_passages=m, deterministic=True,
-                compute_dtype=compute_dtype,
+                m_passages=m, passage_scores=passage_scores,
+                deterministic=True, compute_dtype=compute_dtype,
             )
             return _postprocess(out.start_logits, out.end_logits, mask)
 
@@ -164,6 +176,16 @@ class AnswerPipeline:
             yield from self._reader_batches_pretokenized(queries, indices)
             return
         tok = self.tokenizer
+        # pre-truncate questions to reader_seq//2 tokens: pair tokenization
+        # with truncation="only_second" RAISES when the question alone
+        # exceeds max_length, and this also matches the pretokenized path's
+        # question budget
+        q_enc = tok(list(map(str, queries)), add_special_tokens=False,
+                    truncation=True, max_length=self.reader_seq // 2)
+        queries = [
+            tok.decode(ids) if len(ids) else ""
+            for ids in q_enc["input_ids"]
+        ]
         for start in range(0, len(queries), self.n_q):
             chunk_q = queries[start: start + self.n_q]
             n_real = len(chunk_q)
@@ -205,14 +227,26 @@ class AnswerPipeline:
         def stream():
             for item in self._reader_batches(queries, indices):
                 start, n_real, ids, mask, tt = item
+                p_scores = None
+                if self.fuse_ir_score:
+                    sl = np.zeros((self.n_q, self.M), np.float32)
+                    sl[:n_real] = scores[start: start + n_real, : self.M]
+                    p_scores = jnp.asarray(sl.reshape(-1))
                 with self.timer.stage("reader_dispatch"):
                     if self.packed_reader:
                         from viquae_tpu.ops import packing
 
                         lens = mask.sum(axis=1).clip(min=1)
                         seqs = [ids[r, : lens[r]] for r in range(len(ids))]
-                        p = packing.pack_token_sequences(
-                            seqs, row_len=self.reader_seq, pad_rows_to=16)
+                        try:
+                            p = packing.pack_token_sequences(
+                                seqs, row_len=self.reader_seq,
+                                n_rows=self.packed_rows, pad_rows_to=16)
+                        except ValueError:
+                            # batch overflows the pinned canvas
+                            p = packing.pack_token_sequences(
+                                seqs, row_len=self.reader_seq,
+                                pad_rows_to=16)
                         tts = (
                             [tt[r, : lens[r]] for r in range(len(ids))]
                             if tt is not None else
@@ -229,13 +263,14 @@ class AnswerPipeline:
                             jnp.asarray(p.position_ids),
                             jnp.asarray(tt_canvas),
                             jnp.asarray(g_idx), jnp.asarray(g_mask),
-                            jnp.asarray(mask),
+                            jnp.asarray(mask), p_scores,
                         )
                     else:
                         spans = self._read(
                             self.reader_params, jnp.asarray(ids),
                             jnp.asarray(mask),
                             jnp.asarray(tt) if tt is not None else None,
+                            p_scores,
                         )
                     for arr in spans:
                         if hasattr(arr, "copy_to_host_async"):
@@ -254,13 +289,7 @@ class AnswerPipeline:
 
         # prefetch: batch i+1 tokenizes while batch i reads on device;
         # lagged drain overlaps span decode with the next reader step
-        pending = []
-        for item in PrefetchIterable(stream(), buffer_size=2):
-            pending.append(item)
-            if len(pending) > 1:
-                drain_one(pending.pop(0))
-        for item in pending:
-            drain_one(item)
+        drain_lagged(stream(), drain_one)
 
         return [
             {

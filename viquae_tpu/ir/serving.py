@@ -25,6 +25,18 @@ from viquae_tpu.rankeval import Run
 from viquae_tpu.train.prefetch import PrefetchIterable
 
 
+def drain_lagged(stream, drain_one):
+    """Consume a prefetched stream keeping one batch pending: the host
+    sync of batch i runs while the device computes batch i+1."""
+    pending: deque = deque()
+    for item in PrefetchIterable(stream, buffer_size=2):
+        pending.append(item)
+        if len(pending) > 1:
+            drain_one(pending.popleft())
+    while pending:
+        drain_one(pending.popleft())
+
+
 class RetrievalPipeline:
     """embed -> MIPS search, pipelined over a query stream.
 
@@ -52,15 +64,7 @@ class RetrievalPipeline:
             yield start, queries[start: start + self.batch_size]
 
     def _drain_lagged(self, stream, drain_one):
-        """Consume a prefetched stream keeping one batch pending: the host
-        sync of batch i runs while the device computes batch i+1."""
-        pending: deque = deque()
-        for item in PrefetchIterable(stream, buffer_size=2):
-            pending.append(item)
-            if len(pending) > 1:
-                drain_one(pending.popleft())
-        while pending:
-            drain_one(pending.popleft())
+        drain_lagged(stream, drain_one)
 
     def run_arrays(self, queries: List[str]
                    ) -> Tuple[np.ndarray, np.ndarray]:
