@@ -30,7 +30,7 @@ def main():
     from viquae_tpu.ir.qa_serving import AnswerPipeline
     from viquae_tpu.ir.serving import FusedRetrievalPipeline
     from viquae_tpu.models import bert, dpr, qa
-    from viquae_tpu.ops import mips, mips_pallas
+    from viquae_tpu.ops import mips
 
     n_kb, dim = 1_500_000, 768
     n_queries = 1257

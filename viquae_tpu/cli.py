@@ -255,7 +255,6 @@ def cmd_answer(args):
     from viquae_tpu.ir.qa_serving import AnswerPipeline
     from viquae_tpu.ir.serving import FusedRetrievalPipeline
     from viquae_tpu.models import dpr as dpr_lib
-    from viquae_tpu.models import qa as qa_lib
     from viquae_tpu.ops import mips
 
     config = load_config(args.config)
@@ -265,9 +264,28 @@ def cmd_answer(args):
         dpr_lib.make_packed_apply(model.cfg), model.params, tokenizer,
         row_len=config.pop("row_len", 64), batch_size=args.batch,
     )
-    index = _build_dense_index(config.pop("index"), default_mode="fused")
-    retrieval = FusedRetrievalPipeline(
-        embedder, index, batch_size=args.batch, k=args.m_passages)
+    run_kwargs = {}
+    if "indexes" in config:
+        # late-fusion retrieval feeding the reader (the reference's best
+        # config end to end): same schema as the `serve` fusion config
+        from viquae_tpu.ir.serving import MultiIndexRetrievalPipeline
+
+        indexes = {n: _build_dense_index(c, default_mode="fused")
+                   for n, c in config.pop("indexes").items()}
+        feats = {n: np.load(p)
+                 for n, p in config.pop("query_features", {}).items()}
+        retrieval = MultiIndexRetrievalPipeline(
+            embedder, indexes, config.pop("weights"),
+            text_index=config.pop("text_index"),
+            batch_size=args.batch, k=args.m_passages,
+            norm=config.pop("norm", "gzmuv"),
+        )
+        run_kwargs["query_features"] = feats
+    else:
+        index = _build_dense_index(config.pop("index"),
+                                   default_mode="fused")
+        retrieval = FusedRetrievalPipeline(
+            embedder, index, batch_size=args.batch, k=args.m_passages)
 
     reader_cfg_kwargs = config.pop("reader")
     reader = get_pretrained(**reader_cfg_kwargs)
@@ -278,7 +296,7 @@ def cmd_answer(args):
     )
     with open(args.queries) as f:
         queries = [line.rstrip("\n") for line in f if line.strip()]
-    results = pipeline.run(queries)
+    results = pipeline.run(queries, **run_kwargs)
     for r, q in zip(results, queries):
         r["question"] = q
     with open(args.output, "w") as f:
