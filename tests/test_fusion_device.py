@@ -51,8 +51,9 @@ def _host_fuse(scores_list, idx_list, weights, norm):
 
 
 @pytest.mark.parametrize("norm", ["gzmuv", "zmuv", "min-max", None])
-def test_fuse_topk_matches_host_pipeline(norm):
-    scores_list, idx_list = _make_runs()
+@pytest.mark.parametrize("seed", [0, 7, 21])
+def test_fuse_topk_matches_host_pipeline(norm, seed):
+    scores_list, idx_list = _make_runs(seed=seed)
     weights = (0.5, 0.3, 0.2)
     k = 10
     top, top_idx = fuse_topk(
