@@ -312,3 +312,62 @@ def test_eca_packed_matches_padded(exclusive):
     )[:9]
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+def test_packing_invariants_fuzz(seed):
+    """Structural invariants of the packer across random workloads:
+    every sequence lands contiguously in one row, CLS pointers address its
+    first token, segments are disjoint, reserved slots share the segment,
+    and gather_indices reconstructs each sequence."""
+    from viquae_tpu.ops import packing
+
+    rng = np.random.default_rng(seed)
+    row_len = int(rng.integers(16, 65))
+    n_res = int(rng.integers(0, 5))
+    n = int(rng.integers(1, 40))
+    seqs = [
+        rng.integers(1, 1000, rng.integers(1, row_len + 10)).astype(np.int32)
+        for _ in range(n)
+    ]
+    if n_res:
+        p, rr, rc = packing.pack_with_reserved(
+            seqs, n_res, row_len=row_len)
+        trimmed = [s[: row_len - n_res] for s in seqs]
+    else:
+        p = packing.pack_token_sequences(seqs, row_len=row_len)
+        trimmed = [s[:row_len] for s in seqs]
+
+    assert p.n_seqs == n
+    seg_seen = set()
+    for i, s in enumerate(trimmed):
+        r, c = int(p.cls_rows[i]), int(p.cls_cols[i])
+        np.testing.assert_array_equal(p.input_ids[r, c: c + len(s)], s)
+        seg = p.segment_ids[r, c]
+        assert seg > 0
+        total = len(s) + n_res
+        assert (p.segment_ids[r, c: c + total] == seg).all()
+        # positions restart per segment
+        np.testing.assert_array_equal(
+            p.position_ids[r, c: c + total], np.arange(total))
+        assert (r, seg) not in seg_seen
+        seg_seen.add((r, seg))
+        if n_res:
+            assert (rr[i] == r).all()
+            np.testing.assert_array_equal(
+                rc[i], np.arange(c + len(s), c + total))
+    # padding slots carry segment 0
+    covered = np.zeros_like(p.segment_ids, dtype=bool)
+    for i, s in enumerate(trimmed):
+        r, c = int(p.cls_rows[i]), int(p.cls_cols[i])
+        covered[r, c: c + len(s) + n_res] = True
+    assert (p.segment_ids[~covered] == 0).all()
+
+    if not n_res:
+        out_len = row_len
+        g_idx, g_mask = packing.gather_indices(p, out_len)
+        flat = p.input_ids.reshape(-1)
+        for i, s in enumerate(trimmed):
+            got = flat[g_idx[i]] * g_mask[i]
+            np.testing.assert_array_equal(got[: len(s)], s)
+            assert (g_mask[i][len(s):] == 0).all()
