@@ -91,7 +91,9 @@ def main():
         pipe = AnswerPipeline(retrieval, LazyKB(), rcfg, r_params, tok,
                               m_passages=M, reader_seq=reader_seq,
                               passage_tokens_key="passage_tokens",
-                              questions_per_step=64, packed_reader=packed)
+                              questions_per_step=64, packed_reader=packed,
+                              packed_rows=768)  # ~719 rows/batch at ~120
+        # tokens/pair; one compiled shape, overflow falls back
         pipe.run(queries[:64])  # warmup/compile
         pipe.run(queries)        # first full pass: absorbs the canvas-shape
         # compiles the packed reader sees across real batches (persistent
