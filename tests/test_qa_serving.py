@@ -167,3 +167,15 @@ def test_answer_pipeline_long_question_and_ir_score(qa_setup):
     out = pipe.run(queries)
     assert len(out) == 6
     assert all(o["answer"] is not None for o in out)
+
+
+def test_answer_pipeline_rejects_short_retrieval_k(qa_setup):
+    tok, dcfg, d_params, rcfg, r_params, kb_rows, kb_mat, queries = qa_setup
+    emb = PackedTextEmbedder(dpr.make_packed_apply(dcfg), d_params, tok,
+                             row_len=24, batch_size=8,
+                             compute_dtype=jnp.float32)
+    index = mips.DenseIndex(kb_mat, mode="global", dtype=jnp.float32)
+    retrieval = FusedRetrievalPipeline(emb, index, batch_size=8, k=2)
+    with pytest.raises(ValueError, match="m_passages"):
+        AnswerPipeline(retrieval, kb_rows, rcfg, r_params, tok,
+                       m_passages=5, reader_seq=32)

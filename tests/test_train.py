@@ -357,3 +357,34 @@ def test_step_indexed_batches_small_dataset_fills_batch():
         batch = src(step)
         assert batch.shape == (32,)
         assert set(batch.tolist()) == set(range(10))
+
+
+def test_grad_accum_rejects_packed_canvases(devices):
+    """grad_accum cannot slice packed-canvas batches (pointers index the
+    FULL canvas) — must fail loudly, not silently corrupt the gather."""
+    import jax
+    import numpy as np
+    import pytest as _pytest
+
+    from viquae_tpu.core import mesh as meshlib
+    from viquae_tpu.train import optim
+    from viquae_tpu.train.trainer import Trainer, TrainerConfig
+
+    params = {"w": np.zeros((4,), np.float32)}
+
+    def loss_fn(p, batch, rng):
+        import jax.numpy as jnp
+        return jnp.sum(p["w"] ** 2), {}
+
+    batch = {
+        "canvas_input_ids": np.zeros((8, 4), np.int32),
+        "canvas_cls_rows": np.zeros((8,), np.int32),
+        "labels": np.zeros((8,), np.int32),
+    }
+    ctx = meshlib.make_mesh(data=8)
+    with meshlib.use(ctx):
+        tr = Trainer(loss_fn, params,
+                     optim.make_optimizer(params, lr=1e-3, total_steps=2),
+                     TrainerConfig(max_steps=1, grad_accum=2), mesh_ctx=ctx)
+        with _pytest.raises(ValueError, match="canvas"):
+            tr.fit([batch])

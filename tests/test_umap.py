@@ -67,3 +67,20 @@ def test_reduce_entry_and_projection_route():
 
     y3 = projection.project(x, method="umap", n_epochs=30)
     assert y3.shape == (len(x), 2)
+
+
+def test_smooth_knn_duplicate_points():
+    """Exact duplicates (zero nearest-neighbor distance) keep the
+    local-connectivity property: rho = nearest NON-zero distance."""
+    from viquae_tpu.viz.umap import smooth_knn
+
+    dists = np.array([
+        [0.0, 0.5, 1.0, 2.0],   # duplicate neighbor at distance 0
+        [0.3, 0.6, 0.9, 1.2],   # no duplicates
+        [0.0, 0.0, 0.0, 0.0],   # all duplicates
+    ])
+    rho, sigma = smooth_knn(dists)
+    assert rho[0] == 0.5
+    assert rho[1] == 0.3
+    assert rho[2] == 0.0
+    assert (sigma > 0).all()

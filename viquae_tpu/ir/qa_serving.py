@@ -53,6 +53,13 @@ class AnswerPipeline:
         from viquae_tpu.models import qa
 
         self.retrieval = retrieval
+        r_k = getattr(retrieval, "k", None)
+        if r_k is not None and r_k < m_passages:
+            raise ValueError(
+                f"retrieval returns k={r_k} passages but m_passages="
+                f"{m_passages}; construct the retrieval pipeline with "
+                "k >= m_passages (the fuse_ir_score path would otherwise "
+                "crash on the short score rows)")
         self.kb = kb
         self.reader_cfg = reader_cfg
         self.reader_params = reader_params

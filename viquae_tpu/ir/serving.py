@@ -25,6 +25,15 @@ from viquae_tpu.rankeval import Run
 from viquae_tpu.train.prefetch import PrefetchIterable
 
 
+def _build_run(scores, indices, query_ids, name):
+    results: Dict[str, Dict[str, float]] = {}
+    score_rows = scores.tolist()   # bulk-convert: much faster than
+    idx_rows = indices.tolist()    # per-element float()/str()
+    for row, q_id in enumerate(query_ids):
+        results[q_id] = dict(zip(map(str, idx_rows[row]), score_rows[row]))
+    return Run(results, name=name)
+
+
 def drain_lagged(stream, drain_one):
     """Consume a prefetched stream keeping one batch pending: the host
     sync of batch i runs while the device computes batch i+1."""
@@ -109,14 +118,7 @@ class RetrievalPipeline:
         assert len(query_ids) == len(queries)
         scores, indices = self.run_arrays(queries)
         with self.timer.stage("build_run"):
-            results: Dict[str, Dict[str, float]] = {}
-            score_rows = scores.tolist()   # bulk-convert: much faster than
-            idx_rows = indices.tolist()    # per-element float()/str()
-            for row, q_id in enumerate(query_ids):
-                results[q_id] = dict(
-                    zip(map(str, idx_rows[row]), score_rows[row])
-                )
-        return Run(results, name="serving")
+            return _build_run(scores, indices, query_ids, "serving")
 
     def report(self) -> dict:
         return self.timer.report()
@@ -135,9 +137,11 @@ def _device_search(index, q, matrix, k):
 
     from viquae_tpu.ops import mips
 
-    q = q.astype(index.dtype)
     if index.do_l2norm:
-        q = mips.l2_normalize(q)
+        # normalize in f32 BEFORE the dtype cast — DenseIndex.search_batch
+        # does the same; an all-bf16 norm perturbs scores near ties
+        q = mips.l2_normalize(q.astype(jnp.float32))
+    q = q.astype(index.dtype)
     k = min(k, index.n)
     if index.mode == "fused":
         if index.mesh_ctx.kb_size > 1:
@@ -536,14 +540,7 @@ class MultiIndexRetrievalPipeline(FusedRetrievalPipeline):
         scores, indices = self.run_arrays(queries, query_features,
                                           query_images)
         with self.timer.stage("build_run"):
-            results = {}
-            score_rows = scores.tolist()
-            idx_rows = indices.tolist()
-            for row, q_id in enumerate(query_ids):
-                results[q_id] = dict(
-                    zip(map(str, idx_rows[row]), score_rows[row])
-                )
-        return Run(results, name="serving-fusion")
+            return _build_run(scores, indices, query_ids, "serving-fusion")
 
     def run_device(self, queries, query_features=None, query_images=None):
         query_features = query_features or {}

@@ -80,13 +80,16 @@ def fuse_topk(
                          "expected gzmuv|zmuv|min-max|None")
 
     # ---- pass 1: per-query union size U_q across all indexes -------------
+    # (the ids are sorted ONCE here; the contribution payload is permuted
+    # by the same order later via argsort-free two-array sort reuse)
     all_idx = jnp.concatenate(
         [i.astype(jnp.int32) for i in idx_list], axis=1)
-    idx_only_sorted = jax.lax.sort(all_idx, dimension=-1)
+    order = jnp.argsort(all_idx, axis=-1)
+    idx_sorted_early = jnp.take_along_axis(all_idx, order, axis=1)
     distinct = jnp.concatenate([
-        jnp.ones_like(idx_only_sorted[:, :1], dtype=bool),
-        idx_only_sorted[:, 1:] != idx_only_sorted[:, :-1],
-    ], axis=1) & (idx_only_sorted != _INT_MAX)
+        jnp.ones_like(idx_sorted_early[:, :1], dtype=bool),
+        idx_sorted_early[:, 1:] != idx_sorted_early[:, :-1],
+    ], axis=1) & (idx_sorted_early != _INT_MAX)
     u_q = distinct.sum(axis=1).astype(jnp.float32)[:, None]  # (Q, 1)
     q_count_total = all_idx.shape[0]
     if valid_queries is None:
@@ -142,11 +145,10 @@ def fuse_topk(
             baseline = baseline + w * m
         contribs.append(jnp.where(valid, contrib, 0.0))
 
-    # ---- union-merge: sort by id + segmented sum of contributions --------
+    # ---- union-merge: reuse pass 1's id order for the contributions ------
     all_c = jnp.concatenate(contribs, axis=1)
-    idx_sorted, c_sorted = jax.lax.sort(
-        (all_idx, all_c), dimension=-1, num_keys=1
-    )
+    idx_sorted = idx_sorted_early
+    c_sorted = jnp.take_along_axis(all_c, order, axis=1)
     starts = jnp.concatenate([
         jnp.ones_like(idx_sorted[:, :1], dtype=bool),
         idx_sorted[:, 1:] != idx_sorted[:, :-1],

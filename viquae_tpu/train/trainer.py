@@ -112,6 +112,22 @@ class Trainer:
                 # for batch-coupled losses (in-batch negatives) it has the
                 # standard smaller-negative-pool semantics, same as DDP+accum
                 # in the reference recipe (EXPERIMENTS.rst:274-279).
+                flat_keys = [
+                    "/".join(str(getattr(p, "key", p)) for p in path)
+                    for path, _ in jax.tree_util.tree_flatten_with_path(
+                        batch)[0]
+                ]
+                bad = [k for k in flat_keys
+                       if "canvas_" in k or "gather_idx" in k]
+                if bad:
+                    raise ValueError(
+                        "grad_accum > 1 cannot split packed-canvas batches: "
+                        f"keys {bad[:3]} hold pointers into the FULL canvas, "
+                        "so slicing rows silently corrupts the gather. Use "
+                        "packed=False with grad_accum, or a smaller batch "
+                        "without accumulation."
+                    )
+
                 def to_micro(x):
                     if x.shape[0] % accum:
                         raise ValueError(

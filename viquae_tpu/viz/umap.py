@@ -41,7 +41,13 @@ def smooth_knn(dists: np.ndarray, n_iter: int = 64,
     sum_j exp(-max(d_ij - rho, 0)/sigma) = log2(k) by binary search."""
     k = dists.shape[1]
     target = np.log2(k) * bandwidth
-    rho = dists[:, 0].copy()
+    # nearest NON-ZERO distance (umap-learn's local connectivity): with
+    # exact duplicates the first column is 0 and would break the
+    # nearest-neighbor-weight == 1 property
+    nonzero = dists > 0
+    first_nz = nonzero.argmax(axis=1)
+    rho = np.where(nonzero.any(axis=1),
+                   dists[np.arange(len(dists)), first_nz], 0.0)
     lo = np.full(len(dists), 1e-8)
     hi = np.full(len(dists), 1e4)
     mid = np.ones(len(dists))
