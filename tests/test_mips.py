@@ -350,3 +350,17 @@ def test_dense_index_fused_roundtrip(tmp_path, data, devices):
     _, idx = index.search_batch(queries, k=5)
     _, idx2 = loaded.search_batch(queries, k=5)
     np.testing.assert_array_equal(idx, idx2)
+
+
+def test_to_kernel_layout(devices):
+    from viquae_tpu.ops import mips_pallas
+
+    rng = np.random.default_rng(0)
+    kb = rng.standard_normal((1000, 32)).astype(np.float32)
+    kbt = np.asarray(mips_pallas.to_kernel_layout(jnp.asarray(kb)))
+    assert kbt.shape == (32, 1024)  # padded to the 512 tile
+    np.testing.assert_array_equal(kbt[:, :1000], kb.T)
+    assert (kbt[:, 1000:] == 0).all()
+    # already aligned: no padding
+    kbt2 = np.asarray(mips_pallas.to_kernel_layout(jnp.asarray(kb[:512])))
+    assert kbt2.shape == (32, 512)
