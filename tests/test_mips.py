@@ -341,6 +341,28 @@ def test_topk_fused_k_exceeds_shard_rows(data, devices):
     assert np.isfinite(s).all() and idx.max() < len(kb)
 
 
+def test_topk_sharded_pad_sentinel_unshifted(data, devices):
+    """Total valid candidates < k: the merged output must carry the
+    documented int32-max pad convention (NEG_INF score), NOT base-shifted
+    sentinels wrapped to negative garbage ids — fuse_topk and QA serving
+    key on the sentinel value."""
+    queries, kb = data
+    queries, kb = queries[:4], kb[:100]  # 100 valid rows over 8 shards
+    ctx = meshlib.make_kb_mesh()
+    with meshlib.use(ctx):
+        index = mips.DenseIndex(kb, mesh_ctx=ctx, mode="fused")
+        k = 256  # > total valid candidates
+        s, idx = index.search_batch(queries, k=k)
+    _, ref_idx = mips.exact_topk_numpy(queries, kb, min(k, len(kb)))
+    pad_id = np.iinfo(np.int32).max
+    real = idx[:, : len(kb)]
+    assert (real >= 0).all() and (real < len(kb)).all()
+    np.testing.assert_array_equal(np.sort(real, 1), np.sort(ref_idx, 1))
+    assert (idx[:, len(kb):] == pad_id).all(), idx[:, len(kb):]
+    assert np.isneginf(s[:, len(kb):]).all() or (
+        s[:, len(kb):] < -1e30).all()
+
+
 def test_dense_index_fused_roundtrip(tmp_path, data, devices):
     queries, kb = data
     index = mips.DenseIndex(kb, mode="fused")

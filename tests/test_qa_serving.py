@@ -179,3 +179,22 @@ def test_answer_pipeline_rejects_short_retrieval_k(qa_setup):
     with pytest.raises(ValueError, match="m_passages"):
         AnswerPipeline(retrieval, kb_rows, rcfg, r_params, tok,
                        m_passages=5, reader_seq=32)
+
+
+def test_packed_column_embedder_empty_batch(qa_setup):
+    """dataset.map can hand a 0-row batch; the embedder must return an
+    empty (0, d) column instead of crashing in np.concatenate."""
+    from viquae_tpu.ir.embedding import PackedColumnEmbedder
+
+    tok, dcfg, d_params, *_ = qa_setup
+    emb = PackedColumnEmbedder(
+        dpr.make_packed_apply(dcfg), d_params, tok,
+        row_len=24, batch_size=8, key="passage", save_as="emb")
+    out = emb({"passage": []})
+    assert out["emb"].shape == (0, dcfg.bert.hidden_size)
+    assert out["emb"].dtype == np.float32
+    # and a later real batch still works (dim cache path)
+    out2 = emb({"passage": ["w1 w2 w3", "w4"]})
+    assert out2["emb"].shape == (2, dcfg.bert.hidden_size)
+    out3 = emb({"passage": []})
+    assert out3["emb"].shape == (0, dcfg.bert.hidden_size)

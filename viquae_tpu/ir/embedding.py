@@ -273,12 +273,21 @@ class PackedColumnEmbedder(PackedTextEmbedder):
         texts = batch[self.key]
         if self.extra_input_fn is not None:
             texts = self.extra_input_fn(batch, texts)
+        if len(texts) == 0:
+            # np.concatenate([]) raises on an empty dataset.map batch;
+            # probe the tower once for the output width instead
+            if not hasattr(self, "_dim"):
+                self._dim = int(
+                    np.asarray(self.embed_texts([""])).shape[-1])
+            batch[self.save_as] = np.zeros((0, self._dim), np.float32)
+            return batch
         chunks = []
         for start in range(0, len(texts), self.batch_size):
             sub = list(texts[start: start + self.batch_size])
             out = np.asarray(self.embed_texts(sub))[: len(sub)]
             chunks.append(out.astype(np.float32))
         batch[self.save_as] = np.concatenate(chunks, axis=0)
+        self._dim = int(batch[self.save_as].shape[-1])
         return batch
 
 

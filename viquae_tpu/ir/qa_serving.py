@@ -183,42 +183,49 @@ class AnswerPipeline:
             yield from self._reader_batches_pretokenized(queries, indices)
             return
         tok = self.tokenizer
-        # pre-truncate questions to reader_seq//2 tokens: pair tokenization
-        # with truncation="only_second" RAISES when the question alone
-        # exceeds max_length, and this also matches the pretokenized path's
-        # question budget
+        cls_id, sep_id = tok.cls_token_id, tok.sep_token_id
+        # Encode questions ONCE (truncated to reader_seq//2 — the
+        # pretokenized path's question budget) and build the pairs from
+        # the encoded ids directly: a decode->re-encode round trip is not
+        # guaranteed token-identical (unk/byte-level artifacts), so span
+        # inputs could drift from the pretokenized path it must match.
         q_enc = tok(list(map(str, queries)), add_special_tokens=False,
                     truncation=True, max_length=self.reader_seq // 2)
-        queries = [
-            tok.decode(ids) if len(ids) else ""
-            for ids in q_enc["input_ids"]
-        ]
+        q_ids_all = q_enc["input_ids"]
+        seq = self.reader_seq
         for start in range(0, len(queries), self.n_q):
-            chunk_q = queries[start: start + self.n_q]
-            n_real = len(chunk_q)
-            pairs_q, pairs_p = [], []
-            for i, q in enumerate(chunk_q):
-                ids = indices[start + i][: self.M]
-                texts = [
-                    self.kb[int(d)][self.passage_key]
-                    if 0 <= int(d) < len(self.kb) else ""
-                    for d in ids
-                ]
-                texts += [""] * (self.M - len(texts))
-                pairs_q.extend([str(q)] * self.M)
-                pairs_p.extend(texts)
-            # pad the question dim to the compiled shape
-            pad = (self.n_q - n_real) * self.M
-            pairs_q += [""] * pad
-            pairs_p += [""] * pad
-            enc = tok(pairs_q, pairs_p, padding="max_length",
-                      truncation="only_second", max_length=self.reader_seq,
-                      return_tensors="np")
-            token_types = enc.get("token_type_ids")
-            yield (start, n_real, enc["input_ids"].astype(np.int32),
-                   enc["attention_mask"].astype(np.int32),
-                   token_types.astype(np.int32)
-                   if token_types is not None else None)
+            chunk = range(start, min(start + self.n_q, len(queries)))
+            n_real = len(chunk)
+            # tokenize this chunk's passages in one batched call
+            texts = []
+            for qi in chunk:
+                for d in indices[qi][: self.M]:
+                    texts.append(
+                        str(self.kb[int(d)][self.passage_key])
+                        if 0 <= int(d) < len(self.kb) else "")
+            p_enc = tok(texts, add_special_tokens=False,
+                        truncation=True, max_length=seq)["input_ids"] \
+                if texts else []
+            nm = self.n_q * self.M
+            ids = np.zeros((nm, seq), np.int32)
+            mask = np.zeros((nm, seq), np.int32)
+            tt = np.zeros((nm, seq), np.int32)
+            row, p_i = 0, 0
+            for qi in chunk:
+                head = [cls_id] + list(q_ids_all[qi]) + [sep_id]
+                budget = seq - len(head) - 1
+                n_docs = min(self.M, len(indices[qi][: self.M]))
+                for _ in range(n_docs):
+                    p_ids = list(p_enc[p_i])[: max(budget, 0)]
+                    p_i += 1
+                    full = head + p_ids + [sep_id]
+                    L = len(full)
+                    ids[row, :L] = full
+                    mask[row, :L] = 1
+                    tt[row, len(head): L] = 1
+                    row += 1
+                row += self.M - n_docs
+            yield start, n_real, ids, mask, tt
 
     def run(self, queries: List[str], **retrieval_kwargs) -> List[Dict]:
         """Answer every query; returns [{"answer", "passage_ids",

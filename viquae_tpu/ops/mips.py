@@ -335,7 +335,11 @@ def topk_sharded(
                 q, kb_local, k, chunk_size=chunk_size,
                 valid_rows=local_valid, compute_dtype=compute_dtype, mode=mode,
             )
-        i = i + base
+        # shift local->global ids, but keep the int32-max pad sentinel
+        # (emitted by topk_fused when k exceeds a shard's valid columns)
+        # unshifted: base + INT_MAX wraps to negative garbage otherwise
+        pad_id = jnp.iinfo(jnp.int32).max
+        i = jnp.where(i == pad_id, i, i + base)
         # gather candidates from every shard: (n_dev, Q, k) -> merge
         all_s = jax.lax.all_gather(s, meshlib.KB_AXIS)
         all_i = jax.lax.all_gather(i, meshlib.KB_AXIS)
