@@ -388,3 +388,87 @@ def test_grad_accum_rejects_packed_canvases(devices):
                      TrainerConfig(max_steps=1, grad_accum=2), mesh_ctx=ctx)
         with _pytest.raises(ValueError, match="canvas"):
             tr.fit([batch])
+
+
+def test_grad_accum_packed_microbatched(devices):
+    """Packing composes with gradient accumulation (VERDICT r2 item 5):
+    grad(accum=2, one packed canvas PER microbatch, microbatched=True)
+    matches grad(accum=1, all sequences in one canvas) to tolerance for a
+    mean-per-example loss — including ragged canvas shapes across
+    microbatches (zero-pad rows are inert)."""
+    import optax
+
+    from viquae_tpu.train.data import (
+        microbatch_collate, pack_text_inputs, stack_microbatches)
+
+    cfg = dpr.DPRConfig(bert=bert.BertConfig(**TINY))
+    params = dpr.init(jax.random.key(0), cfg)
+    rng = np.random.default_rng(3)
+    n = 16
+    # wildly different lengths so the two microbatch canvases disagree in
+    # row count (stack_microbatches must zero-pad)
+    lens = np.concatenate([rng.integers(3, 6, n // 2),
+                           rng.integers(20, 30, n // 2)])
+    ids = np.zeros((n, 32), np.int32)
+    mask = np.zeros((n, 32), np.int32)
+    for i, l in enumerate(lens):
+        ids[i, :l] = rng.integers(5, 50, l)
+        mask[i, :l] = 1
+    target = rng.normal(size=(n, TINY["hidden_size"])).astype(np.float32)
+    items = [{"ids": ids[i], "mask": mask[i], "target": target[i]}
+             for i in range(n)]
+
+    def collate(group):
+        sub = {
+            "input_ids": np.stack([it["ids"] for it in group]),
+            "attention_mask": np.stack([it["mask"] for it in group]),
+        }
+        return {
+            **pack_text_inputs(sub, row_len=32),
+            "target": np.stack([it["target"] for it in group]),
+        }
+
+    def loss_fn(params, batch, rng):
+        out = dpr.apply_packed(
+            params, cfg,
+            batch["canvas_input_ids"], batch["canvas_segment_ids"],
+            batch["canvas_position_ids"], batch["canvas_cls_rows"],
+            batch["canvas_cls_cols"], deterministic=True,
+        )[: batch["target"].shape[0]]
+        return jnp.mean((out - batch["target"]) ** 2), {}
+
+    ctx = meshlib.make_mesh(data=8)
+    results = {}
+    with meshlib.use(ctx):
+        for accum in (1, 2):
+            tx = optax.sgd(1.0)
+            t = Trainer(loss_fn, params, tx,
+                        TrainerConfig(max_steps=1, grad_accum=accum,
+                                      microbatched=accum > 1, log_every=0),
+                        mesh_ctx=ctx)
+            if accum == 1:
+                t.fit([collate(items)])
+            else:
+                batch = microbatch_collate(collate, accum)(items)
+                # ragged canvases really happened (the interesting case)
+                assert batch["canvas_input_ids"].ndim == 3
+                t.fit([batch])
+            results[accum] = jax.tree_util.tree_leaves(t.state["params"])
+    for a, b in zip(results[1], results[2]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-5, atol=3e-5)
+
+    # stack_microbatches pads ragged arrays and keeps host-only leaves
+    s = stack_microbatches([
+        {"a": np.ones((2, 3)), "s": "x"}, {"a": np.ones((4, 3)), "s": "y"}])
+    assert s["a"].shape == (2, 4, 3) and s["s"] == ["x", "y"]
+    assert (s["a"][0, 2:] == 0).all()
+
+
+def test_microbatch_collate_validation():
+    from viquae_tpu.train.data import microbatch_collate
+
+    with pytest.raises(ValueError, match="divisible"):
+        microbatch_collate(lambda g: {}, 3)([1, 2, 3, 4])
+    with pytest.raises(ValueError, match=">= 1"):
+        microbatch_collate(lambda g: {}, 0)

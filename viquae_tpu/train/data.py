@@ -347,6 +347,68 @@ def pack_mm_text_inputs(mm_inputs: Dict[str, Any], row_len: int,
     }
 
 
+def stack_microbatches(batches: Sequence[dict]) -> dict:
+    """Stack per-microbatch dicts into one batch with a leading accum dim.
+
+    Packed canvases may disagree in row count across microbatches (adaptive
+    pad_rows_to rounding); arrays are zero-padded to the elementwise-max
+    shape first — zero rows carry segment_id 0, which packed attention
+    ignores, so padding is numerically inert. Host-only leaves (strings,
+    ragged lists) are kept as a per-microbatch list; the trainer drops them
+    before the device step anyway."""
+    out: Dict[str, Any] = {}
+    for key in batches[0]:
+        vals = [b[key] for b in batches]
+        if isinstance(vals[0], dict):
+            out[key] = stack_microbatches(vals)
+        elif isinstance(vals[0], np.ndarray):
+            shape = tuple(
+                int(m) for m in np.max([v.shape for v in vals], axis=0)
+            )
+            padded = []
+            for v in vals:
+                if v.shape != shape:
+                    pv = np.zeros(shape, v.dtype)
+                    pv[tuple(slice(0, s) for s in v.shape)] = v
+                    v = pv
+                padded.append(v)
+            out[key] = np.stack(padded)
+        else:
+            out[key] = vals
+    return out
+
+
+def microbatch_collate(collate_fn, accum: int):
+    """Compose packing with gradient accumulation: split the items into
+    `accum` equal groups, collate each group independently (each packed
+    canvas's pointers stay local to its microbatch), and stack with a
+    leading accum dim for Trainer(grad_accum=accum, microbatched=True).
+
+    This is how the reference's global-batch-256 recipe
+    (EXPERIMENTS.rst:274-279) runs packed on memory-constrained configs:
+    the per-microbatch canvas bounds live memory while the scan in the
+    train step accumulates the full-batch gradient. Note the in-batch
+    negative pool is per-microbatch — the standard DDP+accumulation
+    semantics, identical to the unpacked grad_accum path."""
+    if accum < 1:
+        raise ValueError(f"accum must be >= 1, got {accum}")
+
+    def fn(items):
+        n = len(items)
+        if n % accum:
+            raise ValueError(
+                f"microbatch_collate(accum={accum}) needs len(items) "
+                f"divisible by accum, got {n}"
+            )
+        size = n // accum
+        return stack_microbatches([
+            collate_fn(items[i * size: (i + 1) * size])
+            for i in range(accum)
+        ])
+
+    return fn
+
+
 # --------------------------------------------------------------------------
 # biencoder
 # --------------------------------------------------------------------------

@@ -44,6 +44,11 @@ class TrainerConfig:
     early_stop_patience: Optional[int] = None  # in eval rounds
     seed: int = DEFAULT_SEED
     grad_accum: int = 1
+    # batches arrive PRE-microbatched with a leading grad_accum dim (one
+    # packed canvas per microbatch — data.microbatch_collate); the trainer
+    # scans that axis instead of slicing, which is how packing composes
+    # with accumulation (slicing one canvas would corrupt its pointers)
+    microbatched: bool = False
     # torch detect_anomaly counterpart (SURVEY §5.2): fail fast on NaN/Inf
     debug_nans: bool = False
 
@@ -112,33 +117,50 @@ class Trainer:
                 # for batch-coupled losses (in-batch negatives) it has the
                 # standard smaller-negative-pool semantics, same as DDP+accum
                 # in the reference recipe (EXPERIMENTS.rst:274-279).
-                flat_keys = [
-                    "/".join(str(getattr(p, "key", p)) for p in path)
-                    for path, _ in jax.tree_util.tree_flatten_with_path(
-                        batch)[0]
-                ]
-                bad = [k for k in flat_keys
-                       if "canvas_" in k or "gather_idx" in k]
-                if bad:
-                    raise ValueError(
-                        "grad_accum > 1 cannot split packed-canvas batches: "
-                        f"keys {bad[:3]} hold pointers into the FULL canvas, "
-                        "so slicing rows silently corrupts the gather. Use "
-                        "packed=False with grad_accum, or a smaller batch "
-                        "without accumulation."
-                    )
+                if config.microbatched:
+                    # batches arrive with a leading accum dim; each slice is
+                    # a self-contained microbatch (its own packed canvas,
+                    # pointers local — data.microbatch_collate)
+                    def check(x):
+                        if x.shape[0] != accum:
+                            raise ValueError(
+                                f"microbatched=True expects every leaf to "
+                                f"lead with grad_accum={accum}, got shape "
+                                f"{x.shape}. Wrap the collator with "
+                                "data.microbatch_collate(collate, accum)."
+                            )
+                        return x
 
-                def to_micro(x):
-                    if x.shape[0] % accum:
+                    micro = jax.tree_util.tree_map(check, batch)
+                else:
+                    flat_keys = [
+                        "/".join(str(getattr(p, "key", p)) for p in path)
+                        for path, _ in jax.tree_util.tree_flatten_with_path(
+                            batch)[0]
+                    ]
+                    bad = [k for k in flat_keys
+                           if "canvas_" in k or "gather_idx" in k]
+                    if bad:
                         raise ValueError(
-                            f"grad_accum={accum} requires every batch "
-                            f"leading dim to be divisible by it, got "
-                            f"shape {x.shape}"
+                            "grad_accum > 1 cannot split packed-canvas "
+                            f"batches: keys {bad[:3]} hold pointers into the "
+                            "FULL canvas, so slicing rows silently corrupts "
+                            "the gather. Pack per-microbatch instead: wrap "
+                            "the collator with data.microbatch_collate and "
+                            "set TrainerConfig(microbatched=True)."
                         )
-                    return x.reshape((accum, x.shape[0] // accum)
-                                     + x.shape[1:])
 
-                micro = jax.tree_util.tree_map(to_micro, batch)
+                    def to_micro(x):
+                        if x.shape[0] % accum:
+                            raise ValueError(
+                                f"grad_accum={accum} requires every batch "
+                                f"leading dim to be divisible by it, got "
+                                f"shape {x.shape}"
+                            )
+                        return x.reshape((accum, x.shape[0] // accum)
+                                         + x.shape[1:])
+
+                    micro = jax.tree_util.tree_map(to_micro, batch)
                 rngs = jax.random.split(rng, accum)
                 params = state["params"]
                 zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
@@ -187,11 +209,20 @@ class Trainer:
                 isinstance(v, list) and v and isinstance(v[0], (str, list))
             )
 
+        micro = self.cfg.microbatched and self.cfg.grad_accum > 1
+
         def put(key, v):
             arr = jnp.asarray(v)
             spec = self._batch_sharding.get(key)
             if spec is not None:
                 sharding = ctx.sharding(*spec)
+            elif micro:
+                # leading dim is grad_accum; the batch dim to shard over
+                # `data` is axis 1 (same rule as below, shifted one axis in)
+                if arr.ndim > 1 and arr.shape[1] % ctx.data_size == 0:
+                    sharding = ctx.sharding(None, meshlib.DATA_AXIS)
+                else:
+                    sharding = ctx.replicated
             elif arr.ndim > 0 and arr.shape[0] % ctx.data_size == 0:
                 sharding = ctx.batch_sharded
             else:  # leading dim not divisible by the data axis: replicate
