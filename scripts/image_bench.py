@@ -1,13 +1,21 @@
 """Image-chain throughput on the real chip: MTCNN cascade, ArcFace
 embedding, CLIP ViT-B/32 + ModifiedResNet image embedding, ImageNet
 ResNet-50. The reference runs these as CUDA models (facenet_pytorch,
-insightface, openai-CLIP, torchvision); these are the TPU-native numbers.
+insightface, openai-CLIP, torchvision — meerqat/image/embedding.py:169-183,
+face_detection.py:87-139); these are the TPU-native numbers.
 
-    python scripts/image_bench.py [--batch 64]
+CRITICAL LESSON (round 3): params must be passed as jit ARGUMENTS, never
+captured in a closure — closed-over weights are embedded as HLO constants
+(CLIP ViT-B/32 = 351 MB of proto), which exceeds the tunnel's remote-compile
+payload cap (HTTP 413) and would crawl through the link even below it.
+
+    python scripts/image_bench.py [--batch 64] [--mtcnn-batch 16]
 """
 from __future__ import annotations
 
 import argparse
+import functools
+import json
 import os
 import sys
 import time
@@ -20,6 +28,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--mtcnn-batch", type=int, default=16)
+    ap.add_argument("--mtcnn-canvas", type=int, default=256)
     args = ap.parse_args()
 
     import jax
@@ -31,7 +41,7 @@ def main():
     def sync(x):
         return np.asarray(jax.tree_util.tree_leaves(x)[0].ravel()[:1])
 
-    def timeit(name, fn, *a, n_items, reps=3):
+    def timeit(name, fn, *a, n_items, reps=5):
         out = fn(*a); sync(out)
         t0 = time.time()
         for _ in range(reps):
@@ -42,27 +52,30 @@ def main():
               file=sys.stderr)
         return n_items / dt
 
+    def cos(a, b):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        num = (a * b).sum(-1)
+        den = np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1) + 1e-9
+        return float((num / den).mean())
+
     rng = np.random.default_rng(0)
     results = {}
 
-    # ---- MTCNN cascade (512px canvas, full pyramid) ----------------------
+    # ---- MTCNN cascade ---------------------------------------------------
     from viquae_tpu.models import mtcnn
 
-    params = mtcnn.params_from_facenet({
-        k: v for k, v in _facenet_like_sd().items()
-    })
-    # NOTE: the full 512px/min_face-20 pyramid compiles fine on a directly
-    # attached host (tests run it on CPU) but its HLO embeds per-scale
-    # resize constants and exceeds this tunnel's remote-compile payload cap
-    # (HTTP 413); bench a 256px/min_face-40 pyramid here.
-    cfg = mtcnn.MTCNNConfig(canvas=256, min_face_size=40)
-    n_img = min(args.batch, 8)
+    params = mtcnn.params_from_facenet(_facenet_like_sd())
+    side = args.mtcnn_canvas
+    cfg = mtcnn.MTCNNConfig(
+        canvas=side, min_face_size=max(20, 40 * side // 512))
+    n_img = args.mtcnn_batch
     images = jnp.asarray(
-        rng.uniform(0, 255, (n_img, 256, 256, 3)).astype(np.float32))
-    hws = jnp.asarray(np.full((n_img, 2), 256.0, np.float32))
-    fn = jax.jit(lambda im, hw: mtcnn.detect_faces_batch(params, im, hw, cfg))
+        rng.uniform(0, 255, (n_img, side, side, 3)).astype(np.float32))
+    hws = jnp.asarray(np.full((n_img, 2), float(side), np.float32))
+    fn = jax.jit(functools.partial(mtcnn.detect_faces_batch, cfg=cfg))
     results["mtcnn_images_per_s"] = timeit(
-        f"MTCNN cascade 256px x{n_img}", fn, images, hws, n_items=n_img)
+        f"MTCNN cascade {side}px x{n_img}", fn, params, images, hws,
+        n_items=n_img)
 
     # ---- ArcFace iresnet50 (112px crops) ---------------------------------
     from viquae_tpu.models import arcface
@@ -71,9 +84,17 @@ def main():
     aparams = arcface.init(jax.random.key(1), acfg)
     crops = jnp.asarray(
         rng.standard_normal((args.batch, 112, 112, 3)).astype(np.float32))
-    afn = jax.jit(lambda x: arcface.apply(aparams, acfg, x))
+    af32 = jax.jit(lambda p, x: arcface.apply(p, acfg, x))
+    abf16 = jax.jit(
+        lambda p, x: arcface.apply(p, acfg, x, compute_dtype=jnp.bfloat16))
+    results["arcface_faces_per_s_f32"] = timeit(
+        f"ArcFace r50 112px x{args.batch} f32", af32,
+        aparams, crops, n_items=args.batch)
     results["arcface_faces_per_s"] = timeit(
-        f"ArcFace r50 112px x{args.batch}", afn, crops, n_items=args.batch)
+        f"ArcFace r50 112px x{args.batch} bf16", abf16,
+        aparams, crops, n_items=args.batch)
+    results["arcface_bf16_cos"] = round(
+        cos(abf16(aparams, crops), af32(aparams, crops)), 6)
 
     # ---- CLIP ViT-B/32 (224px) -------------------------------------------
     from viquae_tpu.models import clip as clip_lib
@@ -85,21 +106,98 @@ def main():
     vparams = clip_lib.vit_init(jax.random.key(2), vcfg)
     pixels = jnp.asarray(
         rng.standard_normal((args.batch, 224, 224, 3)).astype(np.float32))
-    cfn = jax.jit(lambda x: clip_lib.vit_apply(vparams, vcfg, x)["image_embeds"])
+    cf32 = jax.jit(lambda p, x: clip_lib.vit_apply(p, vcfg, x)["image_embeds"])
+    cbf16 = jax.jit(lambda p, x: clip_lib.vit_apply(
+        p, vcfg, x, compute_dtype=jnp.bfloat16)["image_embeds"])
+    results["clip_vit_images_per_s_f32"] = timeit(
+        f"CLIP ViT-B/32 224px x{args.batch} f32", cf32, vparams, pixels,
+        n_items=args.batch)
     results["clip_vit_images_per_s"] = timeit(
-        f"CLIP ViT-B/32 224px x{args.batch}", cfn, pixels, n_items=args.batch)
+        f"CLIP ViT-B/32 224px x{args.batch} bf16", cbf16, vparams, pixels,
+        n_items=args.batch)
+    results["clip_vit_bf16_cos"] = round(
+        cos(cbf16(vparams, pixels), cf32(vparams, pixels)), 6)
+
+    # ---- CLIP ModifiedResNet RN50 (224px, attention pool) ----------------
+    mcfg = clip_lib.ModifiedResNetConfig()
+    mparams = _modified_resnet_params(mcfg)
+    mf32 = jax.jit(lambda p, x: clip_lib.modified_resnet_apply(p, mcfg, x))
+    mbf16 = jax.jit(lambda p, x: clip_lib.modified_resnet_apply(
+        p, mcfg, x, compute_dtype=jnp.bfloat16))
+    results["clip_rn50_images_per_s_f32"] = timeit(
+        f"CLIP RN50 224px x{args.batch} f32", mf32, mparams, pixels,
+        n_items=args.batch)
+    results["clip_rn50_images_per_s"] = timeit(
+        f"CLIP RN50 224px x{args.batch} bf16", mbf16, mparams, pixels,
+        n_items=args.batch)
+    results["clip_rn50_bf16_cos"] = round(
+        cos(mbf16(mparams, pixels), mf32(mparams, pixels)), 6)
 
     # ---- torchvision-style ResNet-50 (ImageNet encoder) -------------------
     from viquae_tpu.models import resnet as resnet_lib
 
     rcfg = resnet_lib.ResNetConfig()
     rparams = resnet_lib.init(jax.random.key(3), rcfg)
-    rfn = jax.jit(lambda x: resnet_lib.apply(rparams, rcfg, x))
+    rf32 = jax.jit(lambda p, x: resnet_lib.apply(p, rcfg, x))
+    rbf16 = jax.jit(
+        lambda p, x: resnet_lib.apply(p, rcfg, x,
+                                      compute_dtype=jnp.bfloat16))
+    results["resnet50_images_per_s_f32"] = timeit(
+        f"ResNet-50 224px x{args.batch} f32", rf32, rparams, pixels,
+        n_items=args.batch)
     results["resnet50_images_per_s"] = timeit(
-        f"ResNet-50 224px x{args.batch}", rfn, pixels, n_items=args.batch)
+        f"ResNet-50 224px x{args.batch} bf16", rbf16, rparams, pixels,
+        n_items=args.batch)
+    results["resnet50_bf16_cos"] = round(
+        cos(rbf16(rparams, pixels), rf32(rparams, pixels)), 6)
 
-    import json
-    print(json.dumps({k: round(v, 1) for k, v in results.items()}))
+    print(json.dumps({k: round(v, 4) for k, v in results.items()}))
+
+
+def _modified_resnet_params(mcfg):
+    """Random CLIP-RN50 params via the OpenAI-layout port (timing only)."""
+    import torch
+
+    from viquae_tpu.models import clip as clip_lib
+
+    torch.manual_seed(4)
+    sd = {}
+
+    def conv(name, cin, cout, k):
+        sd[f"{name}.weight"] = torch.randn(cout, cin, k, k) * 0.05
+
+    def bn(name, c):
+        sd[f"{name}.weight"] = torch.rand(c) * 0.5 + 0.75
+        sd[f"{name}.bias"] = torch.zeros(c)
+        sd[f"{name}.running_mean"] = torch.randn(c) * 0.1
+        sd[f"{name}.running_var"] = torch.rand(c) * 0.5 + 0.75
+
+    w = mcfg.width
+    conv("visual.conv1", 3, w // 2, 3); bn("visual.bn1", w // 2)
+    conv("visual.conv2", w // 2, w // 2, 3); bn("visual.bn2", w // 2)
+    conv("visual.conv3", w // 2, w, 3); bn("visual.bn3", w)
+    cin = w
+    for stage, n in enumerate(mcfg.stage_sizes):
+        planes = w * 2 ** stage
+        for b in range(n):
+            base = f"visual.layer{stage + 1}.{b}"
+            conv(f"{base}.conv1", cin, planes, 1); bn(f"{base}.bn1", planes)
+            conv(f"{base}.conv2", planes, planes, 3); bn(f"{base}.bn2", planes)
+            conv(f"{base}.conv3", planes, planes * 4, 1)
+            bn(f"{base}.bn3", planes * 4)
+            if b == 0:
+                # OpenAI layout: downsample = [avgpool, conv, bn]
+                conv(f"{base}.downsample.1", cin, planes * 4, 1)
+                bn(f"{base}.downsample.2", planes * 4)
+            cin = planes * 4
+    spacial = mcfg.image_size // 32
+    sd["visual.attnpool.positional_embedding"] = (
+        torch.randn(spacial * spacial + 1, cin) * 0.02)
+    for proj, out in (("q_proj", cin), ("k_proj", cin), ("v_proj", cin),
+                      ("c_proj", mcfg.output_dim)):
+        sd[f"visual.attnpool.{proj}.weight"] = torch.randn(out, cin) * 0.02
+        sd[f"visual.attnpool.{proj}.bias"] = torch.zeros(out)
+    return clip_lib.visual_params_from_openai(sd, mcfg)
 
 
 def _facenet_like_sd():

@@ -461,3 +461,87 @@ def test_clip_preprocess_preserves_aspect():
     assert denorm[14:18].mean() >= 0.45
     edges = np.concatenate([denorm[:8], denorm[-8:]]).mean()
     assert edges < 0.1
+
+
+def test_image_towers_bf16_parity():
+    """compute_dtype=bfloat16 (MXU fast path) must stay within bf16
+    rounding of the f32 tower: cosine > 0.999, no dtype leak (output f32)."""
+    rng = np.random.default_rng(9)
+
+    def cos(a, b):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        return float(((a * b).sum(-1) / (
+            np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1) + 1e-9
+        )).min())
+
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)), jnp.float32)
+
+    cfg = resnet_lib.ResNetConfig(stage_sizes=(2, 2), width=8)
+    p = resnet_lib.init(jax.random.key(0), cfg)
+    f32 = resnet_lib.apply(p, cfg, x)
+    bf16 = resnet_lib.apply(p, cfg, x, compute_dtype=jnp.bfloat16)
+    assert bf16.dtype == jnp.float32
+    assert cos(bf16, f32) > 0.999
+
+    from viquae_tpu.models import arcface
+
+    acfg = arcface.ArcFaceConfig(stage_sizes=(1, 1, 1, 1), width=8,
+                                 embedding_size=16)
+    ap = arcface.init(jax.random.key(1), acfg)
+    xa = jnp.asarray(rng.standard_normal((2, 112, 112, 3)), jnp.float32)
+    f32 = arcface.apply(ap, acfg, xa)
+    bf16 = arcface.apply(ap, acfg, xa, compute_dtype=jnp.bfloat16)
+    assert bf16.dtype == jnp.float32
+    assert cos(bf16, f32) > 0.999
+
+    mcfg = clip_lib.ModifiedResNetConfig(stage_sizes=(1, 1), width=8,
+                                         output_dim=16, heads=4,
+                                         image_size=64)
+    mp = _synth_modified_resnet_params(mcfg)
+    f32 = clip_lib.modified_resnet_apply(mp, mcfg, x)
+    bf16 = clip_lib.modified_resnet_apply(mp, mcfg, x,
+                                          compute_dtype=jnp.bfloat16)
+    assert cos(bf16, f32) > 0.999
+
+
+def _synth_modified_resnet_params(mcfg):
+    import torch
+
+    torch.manual_seed(4)
+    sd = {}
+
+    def conv(name, cin, cout, k):
+        sd[f"{name}.weight"] = torch.randn(cout, cin, k, k) * 0.05
+
+    def bn(name, c):
+        sd[f"{name}.weight"] = torch.rand(c) * 0.5 + 0.75
+        sd[f"{name}.bias"] = torch.zeros(c)
+        sd[f"{name}.running_mean"] = torch.randn(c) * 0.1
+        sd[f"{name}.running_var"] = torch.rand(c) * 0.5 + 0.75
+
+    w = mcfg.width
+    conv("visual.conv1", 3, w // 2, 3); bn("visual.bn1", w // 2)
+    conv("visual.conv2", w // 2, w // 2, 3); bn("visual.bn2", w // 2)
+    conv("visual.conv3", w // 2, w, 3); bn("visual.bn3", w)
+    cin = w
+    for stage, n in enumerate(mcfg.stage_sizes):
+        planes = w * 2 ** stage
+        for b in range(n):
+            base = f"visual.layer{stage + 1}.{b}"
+            conv(f"{base}.conv1", cin, planes, 1); bn(f"{base}.bn1", planes)
+            conv(f"{base}.conv2", planes, planes, 3); bn(f"{base}.bn2", planes)
+            conv(f"{base}.conv3", planes, planes * 4, 1)
+            bn(f"{base}.bn3", planes * 4)
+            if b == 0:
+                conv(f"{base}.downsample.1", cin, planes * 4, 1)
+                bn(f"{base}.downsample.2", planes * 4)
+            cin = planes * 4
+    # stem(stride 2) + avgpool + one stride-2 per later stage
+    spacial = mcfg.image_size // (4 * 2 ** (len(mcfg.stage_sizes) - 1))
+    sd["visual.attnpool.positional_embedding"] = (
+        torch.randn(spacial * spacial + 1, cin) * 0.02)
+    for proj, out in (("q_proj", cin), ("k_proj", cin), ("v_proj", cin),
+                      ("c_proj", mcfg.output_dim)):
+        sd[f"visual.attnpool.{proj}.weight"] = torch.randn(out, cin) * 0.02
+        sd[f"visual.attnpool.{proj}.bias"] = torch.zeros(out)
+    return clip_lib.visual_params_from_openai(sd, mcfg)

@@ -12,4 +12,4 @@ encoder dependencies meerqat pulls from torch hub (CLIP, ArcFace, MTCNN).
 """
 # importing registers the config-registry entries (DPREncoder, ECAEncoder,
 # IntermediateLinearFusion, ...)
-from viquae_tpu.models import bert, dpr, mm, qa  # noqa: F401
+from viquae_tpu.models import bert, clip, dpr, mm, qa  # noqa: F401

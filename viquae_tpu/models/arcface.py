@@ -97,35 +97,49 @@ def init(key, cfg: ArcFaceConfig) -> Dict[str, Any]:
     return params
 
 
-def _block_apply(p, x, stride, eps):
+def _block_apply(p, x, stride, eps, compute_dtype=None):
+    cd = compute_dtype
     out = batch_norm(p["bn1"], x, eps)
-    out = conv(p["conv1"], out)
+    out = conv(p["conv1"], out, compute_dtype=cd)
     out = batch_norm(p["bn2"], out, eps)
     out = prelu(p["prelu"], out)
-    out = conv(p["conv2"], out, stride=stride)
+    out = conv(p["conv2"], out, stride=stride, compute_dtype=cd)
     out = batch_norm(p["bn3"], out, eps)
     if "downsample_conv" in p:
         identity = batch_norm(
-            p["downsample_bn"], conv(p["downsample_conv"], x, stride), eps
+            p["downsample_bn"],
+            conv(p["downsample_conv"], x, stride, compute_dtype=cd), eps
         )
     else:
         identity = x
     return out + identity
 
 
-def apply(params, cfg: ArcFaceConfig, images: jnp.ndarray) -> jnp.ndarray:
-    """(B, 112, 112, 3) normalized with mean/std 0.5 -> (B, 512)."""
+def apply(params, cfg: ArcFaceConfig, images: jnp.ndarray,
+          compute_dtype=None) -> jnp.ndarray:
+    """(B, 112, 112, 3) normalized with mean/std 0.5 -> (B, 512).
+
+    compute_dtype=bfloat16 mirrors the reference checkpoint's fp16
+    inference (ms1mv3_arcface_r50_fp16) on the MXU; BN/PReLU stay f32."""
     eps = cfg.bn_eps
     x = prelu(params["prelu"], batch_norm(
-        params["bn1"], conv(params["conv1"], images), eps))
+        params["bn1"], conv(params["conv1"], images,
+                            compute_dtype=compute_dtype), eps))
     for blocks in params["layers"]:
         for b, block in enumerate(blocks):
-            x = _block_apply(block, x, stride=2 if b == 0 else 1, eps=eps)
+            x = _block_apply(block, x, stride=2 if b == 0 else 1, eps=eps,
+                             compute_dtype=compute_dtype)
     x = batch_norm(params["bn2"], x, eps)
     # torch flattens NCHW: (C, H, W) order — transpose before reshape
     b_sz = x.shape[0]
     x = jnp.transpose(x, (0, 3, 1, 2)).reshape(b_sz, -1)
-    x = x @ params["fc"]["kernel"] + params["fc"]["bias"]
+    if compute_dtype is not None:
+        x = jnp.dot(x.astype(compute_dtype),
+                    params["fc"]["kernel"].astype(compute_dtype),
+                    preferred_element_type=jnp.float32)
+        x = x + params["fc"]["bias"]
+    else:
+        x = x @ params["fc"]["kernel"] + params["fc"]["bias"]
     # features BatchNorm1d (no affine scale in insightface? it has affine)
     fbn = params["features_bn"]
     return (x - fbn["mean"]) * jax.lax.rsqrt(fbn["var"] + eps) * fbn["scale"] + fbn["bias"]

@@ -208,18 +208,20 @@ def _avgpool2(x):
     ) / 4.0
 
 
-def _mrn_bottleneck_apply(p, x, stride, eps):
-    out = jax.nn.relu(R.batch_norm(p["bn1"], R.conv(p["conv1"], x), eps))
-    out = jax.nn.relu(R.batch_norm(p["bn2"], R.conv(p["conv2"], out), eps))
+def _mrn_bottleneck_apply(p, x, stride, eps, compute_dtype=None):
+    cd = compute_dtype
+    out = jax.nn.relu(R.batch_norm(p["bn1"], R.conv(p["conv1"], x, compute_dtype=cd), eps))
+    out = jax.nn.relu(R.batch_norm(p["bn2"], R.conv(p["conv2"], out, compute_dtype=cd), eps))
     if stride > 1:
         out = _avgpool2(out)
-    out = R.batch_norm(p["bn3"], R.conv(p["conv3"], out), eps)
+    out = R.batch_norm(p["bn3"], R.conv(p["conv3"], out, compute_dtype=cd), eps)
     if "downsample_conv" in p:
         identity = x
         if stride > 1:
             identity = _avgpool2(identity)
         identity = R.batch_norm(
-            p["downsample_bn"], R.conv(p["downsample_conv"], identity), eps
+            p["downsample_bn"],
+            R.conv(p["downsample_conv"], identity, compute_dtype=cd), eps
         )
     else:
         identity = x
@@ -227,22 +229,29 @@ def _mrn_bottleneck_apply(p, x, stride, eps):
 
 
 def modified_resnet_apply(params, cfg: ModifiedResNetConfig,
-                          images: jnp.ndarray) -> jnp.ndarray:
-    """(B, H, W, 3) CLIP-normalized -> (B, output_dim) via attention pool."""
+                          images: jnp.ndarray,
+                          compute_dtype=None) -> jnp.ndarray:
+    """(B, H, W, 3) CLIP-normalized -> (B, output_dim) via attention pool.
+
+    compute_dtype=bfloat16 runs the conv trunk on the MXU in bf16 with f32
+    accumulation; BN and the attention pool stay f32."""
     eps = cfg.bn_eps
     x = images
     for i in (1, 2, 3):
         stride = 2 if i == 1 else 1
         x = jax.nn.relu(
             R.batch_norm(
-                params[f"bn{i}"], R.conv(params[f"conv{i}"], x, stride), eps
+                params[f"bn{i}"],
+                R.conv(params[f"conv{i}"], x, stride,
+                       compute_dtype=compute_dtype), eps
             )
         )
     x = _avgpool2(x)
     for stage, blocks in enumerate(params["layers"]):
         for b, block in enumerate(blocks):
             stride = 2 if (stage > 0 and b == 0) else 1
-            x = _mrn_bottleneck_apply(block, x, stride, eps)
+            x = _mrn_bottleneck_apply(block, x, stride, eps,
+                                      compute_dtype=compute_dtype)
     # attention pooling (visual.attnpool)
     b_sz, h, w, c = x.shape
     tokens = x.reshape(b_sz, h * w, c)
@@ -418,3 +427,84 @@ def visual_params_from_openai(state_dict, cfg: ModifiedResNetConfig
         },
     }
     return params
+
+
+# --------------------------------------------------------------------------
+# config-registry tower wrappers (trainee / embedding contract)
+# --------------------------------------------------------------------------
+from viquae_tpu.core.config import register as _register  # noqa: E402
+
+
+def _hf_clip_state_dict(path):
+    import torch
+    from transformers import CLIPModel
+
+    model = CLIPModel.from_pretrained(path, torch_dtype=torch.float32)
+    return model.config, model.state_dict()
+
+
+@_register("CLIPTextTower")
+class CLIPTextTower:
+    """Registry entry bundling (cfg, params) for the CLIP text tower —
+    mirrors get_pretrained('CLIPModel') text usage in the reference's jcm
+    recipe (/root/reference/experiments/jcm/config.yaml)."""
+
+    def __init__(self, cfg: Optional[CLIPTextConfig] = None, params=None,
+                 seed: int = 0, **cfg_kwargs):
+        self.cfg = cfg or CLIPTextConfig(**cfg_kwargs)
+        self.params = (params if params is not None
+                       else text_init(jax.random.key(seed), self.cfg))
+
+    @classmethod
+    def from_pretrained(cls, path, **kwargs):
+        hf_cfg, sd = _hf_clip_state_dict(path)
+        t = hf_cfg.text_config
+        cfg = CLIPTextConfig(
+            vocab_size=t.vocab_size, hidden_size=t.hidden_size,
+            num_layers=t.num_hidden_layers, num_heads=t.num_attention_heads,
+            intermediate_size=t.intermediate_size,
+            max_positions=t.max_position_embeddings,
+            projection_dim=hf_cfg.projection_dim,
+            eos_token_id=t.eos_token_id,
+        )
+        return cls(cfg=cfg, params=params_from_hf(sd)["text"], **kwargs)
+
+    def __call__(self, input_ids, attention_mask=None, **kw):
+        return text_apply(self.params, self.cfg, input_ids, attention_mask)
+
+    def apply_fn(self, params, input_ids, attention_mask=None, **kw):
+        return text_apply(params, self.cfg, input_ids, attention_mask)
+
+
+@_register("CLIPVisionTower")
+class CLIPVisionTower:
+    """Registry entry for the CLIP ViT visual tower (cfg, params)."""
+
+    def __init__(self, cfg: Optional[CLIPVisionConfig] = None, params=None,
+                 seed: int = 0, compute_dtype=None, **cfg_kwargs):
+        self.cfg = cfg or CLIPVisionConfig(**cfg_kwargs)
+        self.compute_dtype = compute_dtype
+        self.params = (params if params is not None
+                       else vit_init(jax.random.key(seed), self.cfg))
+
+    @classmethod
+    def from_pretrained(cls, path, **kwargs):
+        hf_cfg, sd = _hf_clip_state_dict(path)
+        v = hf_cfg.vision_config
+        cfg = CLIPVisionConfig(
+            hidden_size=v.hidden_size, num_layers=v.num_hidden_layers,
+            num_heads=v.num_attention_heads,
+            intermediate_size=v.intermediate_size, image_size=v.image_size,
+            patch_size=v.patch_size, projection_dim=hf_cfg.projection_dim,
+        )
+        return cls(cfg=cfg, params=params_from_hf(sd)["vision"], **kwargs)
+
+    def __call__(self, pixels, **kw):
+        return self.apply_fn(self.params, pixels)
+
+    def apply_fn(self, params, pixels, **kw):
+        return vit_apply(
+            params, self.cfg, pixels,
+            **({"compute_dtype": self.compute_dtype}
+               if self.compute_dtype is not None else {}),
+        )

@@ -42,6 +42,7 @@ def apply(
     deterministic: bool = True,
     rng=None,
     compute_dtype=jnp.float32,
+    remat_layers: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Returns {"pooler_output": (B, D) CLS embedding, "last_hidden_state"}."""
     out = bert.apply(
@@ -51,6 +52,7 @@ def apply(
         deterministic=deterministic,
         rng=rng,
         compute_dtype=compute_dtype,
+        remat_layers=remat_layers,
     )
     # DPR embedding = CLS hidden state (no tanh pooler)
     out["pooler_output"] = out["last_hidden_state"][:, 0]
@@ -68,6 +70,7 @@ def apply_packed(
     deterministic: bool = True,
     rng=None,
     compute_dtype=jnp.float32,
+    remat_layers: bool = False,
 ) -> jnp.ndarray:
     """Packed-canvas forward: many questions per row (ops/packing.py).
 
@@ -88,6 +91,7 @@ def apply_packed(
         deterministic=deterministic,
         rng=rng,
         compute_dtype=compute_dtype,
+        remat_layers=remat_layers,
     )
     hidden = out["last_hidden_state"]
     return hidden[cls_rows, cls_cols]

@@ -26,14 +26,21 @@ class ResNetConfig:
     pool: str = "avg"        # "avg" | "max" | "none" (feature map)
 
 
-def conv(params, x, stride: int = 1, padding=None):
-    """2D conv, NHWC x HWIO, no bias (torchvision convs carry BN bias)."""
+def conv(params, x, stride: int = 1, padding=None, compute_dtype=None):
+    """2D conv, NHWC x HWIO, no bias (torchvision convs carry BN bias).
+
+    compute_dtype=jnp.bfloat16 runs the MXU in bf16 with f32 accumulation
+    (preferred_element_type) — the TPU-native fast path for inference."""
     kh = params["kernel"].shape[0]
     if padding is None:
         pad = (kh - 1) // 2
         padding = [(pad, pad), (pad, pad)]
+    kernel = params["kernel"]
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        kernel = kernel.astype(compute_dtype)
     return jax.lax.conv_general_dilated(
-        x, params["kernel"],
+        x, kernel,
         window_strides=(stride, stride),
         padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -101,23 +108,27 @@ def init(key, cfg: ResNetConfig) -> Dict[str, Any]:
     return params
 
 
-def _bottleneck_apply(p, x, stride, eps):
-    out = jax.nn.relu(batch_norm(p["bn1"], conv(p["conv1"], x), eps))
-    out = jax.nn.relu(batch_norm(p["bn2"], conv(p["conv2"], out, stride), eps))
-    out = batch_norm(p["bn3"], conv(p["conv3"], out), eps)
+def _bottleneck_apply(p, x, stride, eps, compute_dtype=None):
+    cd = compute_dtype
+    out = jax.nn.relu(batch_norm(p["bn1"], conv(p["conv1"], x, compute_dtype=cd), eps))
+    out = jax.nn.relu(batch_norm(p["bn2"], conv(p["conv2"], out, stride, compute_dtype=cd), eps))
+    out = batch_norm(p["bn3"], conv(p["conv3"], out, compute_dtype=cd), eps)
     if "downsample_conv" in p:
         identity = batch_norm(
-            p["downsample_bn"], conv(p["downsample_conv"], x, stride), eps
+            p["downsample_bn"], conv(p["downsample_conv"], x, stride, compute_dtype=cd), eps
         )
     else:
         identity = x
     return jax.nn.relu(out + identity)
 
 
-def apply(params, cfg: ResNetConfig, images: jnp.ndarray) -> jnp.ndarray:
+def apply(params, cfg: ResNetConfig, images: jnp.ndarray,
+          compute_dtype=None) -> jnp.ndarray:
     """(B, H, W, 3) normalized -> (B, 2048) pooled embedding (or the
-    (B, h, w, 2048) feature map with pool='none')."""
-    x = conv(params["conv1"], images, stride=2, padding=[(3, 3), (3, 3)])
+    (B, h, w, 2048) feature map with pool='none'). compute_dtype=bfloat16
+    runs convs on the MXU in bf16 with f32 accumulation; BN stays f32."""
+    x = conv(params["conv1"], images, stride=2, padding=[(3, 3), (3, 3)],
+             compute_dtype=compute_dtype)
     x = jax.nn.relu(batch_norm(params["bn1"], x, cfg.bn_eps))
     # torchvision maxpool: kernel 3, stride 2, padding 1
     x = jax.lax.reduce_window(
@@ -127,7 +138,8 @@ def apply(params, cfg: ResNetConfig, images: jnp.ndarray) -> jnp.ndarray:
     for stage, blocks in enumerate(params["layers"]):
         for b, block in enumerate(blocks):
             stride = 2 if (stage > 0 and b == 0) else 1
-            x = _bottleneck_apply(block, x, stride, cfg.bn_eps)
+            x = _bottleneck_apply(block, x, stride, cfg.bn_eps,
+                                  compute_dtype=compute_dtype)
     if cfg.pool == "avg":
         return x.mean(axis=(1, 2))
     if cfg.pool == "max":

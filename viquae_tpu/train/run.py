@@ -78,6 +78,19 @@ def build_trainee(config: dict, tokenizer=None):
         return trainee_lib.ReaderTrainee(
             cfg, params, tokenizer, **config
         )
+    if kind == "crossmodal":
+        text_model = instantiate_tree(config.pop("text_model"))
+        vision_model = instantiate_tree(config.pop("vision_model"))
+        return trainee_lib.CrossModalTrainee(text_model, vision_model,
+                                             **config)
+    if kind == "jcm":
+        # JointMonoAndCrossModal (reference experiments/jcm/config.yaml):
+        # weighted image-image + image-title similarities over CLIP towers
+        text_model = instantiate_tree(config.pop("text_model"))
+        vision_model = instantiate_tree(config.pop("vision_model"))
+        return trainee_lib.JointMonoAndCrossModalTrainee(
+            text_model, vision_model, **config
+        )
     if kind == "reranker":
         from viquae_tpu.models import bert, rr
         import jax
@@ -149,6 +162,16 @@ def run_from_config(config_path, subcommand: str = "fit") -> dict:
     params = trainee.params
     tx = optim.make_optimizer(params, **config.get("optimizer", {}))
     trainer_cfg = TrainerConfig(seed=seed, **config.get("trainer", {}))
+    collate_fn = collator.collate_fn
+    if trainer_cfg.grad_accum > 1 and getattr(collator, "packed", False):
+        # packed canvases cannot be sliced; pack each microbatch into its
+        # own canvas instead (data.microbatch_collate) and scan them
+        import dataclasses as _dc
+
+        from viquae_tpu.train.data import microbatch_collate
+
+        collate_fn = microbatch_collate(collate_fn, trainer_cfg.grad_accum)
+        trainer_cfg = _dc.replace(trainer_cfg, microbatched=True)
     with meshlib.use(ctx):
         trainer = Trainer(
             trainee.loss_fn, params, tx, trainer_cfg, mesh_ctx=ctx,
@@ -156,7 +179,7 @@ def run_from_config(config_path, subcommand: str = "fit") -> dict:
         )
         if subcommand == "fit":
             result = trainer.fit(
-                _batches(dataset, collator.collate_fn, batch_size,
+                _batches(dataset, collate_fn, batch_size,
                          shuffle_seed=seed)
             )
             export = config.get("export")

@@ -46,13 +46,19 @@ class BiEncoderTrainee:
     """DPR-style dual tower with global in-batch negatives."""
 
     def __init__(self, question_model, context_model=None,
-                 shared_encoders: bool = False):
+                 shared_encoders: bool = False,
+                 remat_layers: bool = False):
         """question_model/context_model: objects with .cfg, .params and an
         apply(params, **text_kwargs) -> {"pooler_output"} callable — e.g.
-        models.dpr.DPREncoder, or any multimodal encoder adapter."""
+        models.dpr.DPREncoder, or any multimodal encoder adapter.
+
+        remat_layers=True checkpoints each transformer layer (the
+        reference's `gradient_checkpointing: true` recipes —
+        experiments/ict/eca/config.yaml)."""
         self.question_model = question_model
         self.shared_encoders = shared_encoders or context_model is None
         self.context_model = question_model if self.shared_encoders else context_model
+        self.remat_layers = remat_layers
 
     @property
     def params(self):
@@ -65,6 +71,7 @@ class BiEncoderTrainee:
 
     def _encode(self, params, model, inputs, rng, deterministic):
         packed_apply = getattr(model, "packed_apply_fn", None)
+        remat_kw = {"remat_layers": True} if self.remat_layers else {}
         if "face_inputs" in inputs:
             # multimodal encoder inputs ({"text_inputs", "face_inputs",
             # "image_inputs"}) — e.g. an mm.ECAEncoder bundle
@@ -85,12 +92,12 @@ class BiEncoderTrainee:
                 return packed_apply(
                     params, *canvas,
                     inputs["face_inputs"], inputs.get("image_inputs"),
-                    deterministic=deterministic, rng=rng,
+                    deterministic=deterministic, rng=rng, **remat_kw,
                 )
             return model.apply_fn(
                 params, _text_kwargs(inputs), inputs["face_inputs"],
                 inputs.get("image_inputs"),
-                deterministic=deterministic, rng=rng,
+                deterministic=deterministic, rng=rng, **remat_kw,
             ).pooler_output
         if "canvas_input_ids" in inputs and packed_apply is not None:
             # packed canvas from BiEncoderCollator(packed=True)
@@ -99,11 +106,11 @@ class BiEncoderTrainee:
                 inputs["canvas_input_ids"], inputs["canvas_segment_ids"],
                 inputs["canvas_position_ids"],
                 inputs["canvas_cls_rows"], inputs["canvas_cls_cols"],
-                deterministic=deterministic, rng=rng,
+                deterministic=deterministic, rng=rng, **remat_kw,
             )
         return model.apply_fn(
             params, **_text_kwargs(inputs),
-            deterministic=deterministic, rng=rng,
+            deterministic=deterministic, rng=rng, **remat_kw,
         )["pooler_output"]
 
     def loss_fn(self, params, batch, rng, deterministic: bool = False):
