@@ -105,3 +105,54 @@ def test_native_scorer_large_random():
         s, i = index.search(q, k=10)
         assert native_out[1][qi] == i
         assert native_out[0][qi] == pytest.approx(s, rel=1e-5)
+
+
+def test_maxscore_exact_parity_fuzz():
+    """The MaxScore scorer is RANK-SAFE: identical scores, ids, and tie
+    order to both the TAAT C++ scorer and the numpy path, fuzzed across
+    random Zipf corpora (duplicated docs force score ties)."""
+    from viquae_tpu.native import load_bm25_maxscore, load_bm25_scorer
+
+    maxscore = load_bm25_maxscore()
+    taat = load_bm25_scorer()
+    assert maxscore is not None and taat is not None
+
+    for seed in range(5):
+        rng = np.random.default_rng(seed)
+        n_docs, vocab = 400, 50
+        docs = [
+            " ".join(f"w{(int(z) - 1) % vocab}"
+                     for z in rng.zipf(1.3, rng.integers(10, 60)))
+            for _ in range(n_docs // 2)
+        ]
+        docs = docs + docs  # duplicates -> exact score ties
+        index = bm25.BM25Index.build(docs, k1=0.5, b=0.3)
+        queries = [
+            " ".join(f"w{(int(z) - 1) % vocab}" for z in rng.zipf(1.3, 6))
+            for _ in range(16)
+        ] + ["", "zzz unknown"]
+        k = int(rng.integers(3, 60))
+        s_ms, i_ms = index._search_batch_native(maxscore, queries, k,
+                                                maxscore=True)
+        s_ta, i_ta = index._search_batch_native(taat, queries, k)
+        for q in range(len(queries)):
+            assert i_ms[q] == i_ta[q], (seed, q)
+            np.testing.assert_allclose(s_ms[q], s_ta[q], rtol=1e-6)
+            s_np, i_np = index.search(queries[q], k=k)
+            assert i_ms[q] == i_np, (seed, q)
+            np.testing.assert_allclose(s_ms[q], s_np, rtol=1e-5)
+
+
+def test_maxscore_survives_retune():
+    """term_ub is (k1, b)-dependent; set_hyperparameters must invalidate
+    the cache or pruning would use stale bounds (rank-UNSAFE)."""
+    rng = np.random.default_rng(0)
+    docs = [" ".join(f"w{rng.integers(0, 20)}" for _ in range(30))
+            for _ in range(100)]
+    index = bm25.BM25Index.build(docs, k1=1.2, b=0.75)
+    _ = index.term_ub  # populate the cache
+    index.set_hyperparameters(k1=0.5, b=0.3)
+    s, i = index.search_batch(["w1 w2 w3"], k=10)
+    s_np, i_np = index.search("w1 w2 w3", k=10)
+    assert i[0] == i_np
+    np.testing.assert_allclose(s[0], s_np, rtol=1e-5)

@@ -401,3 +401,131 @@ def test_multi_index_nan_features_masked(setup):
     scores, idx = pipe.run_arrays(queries, {"img": feats})
     assert np.isfinite(scores).all()
     assert (idx >= 0).all() and (idx < kb.shape[0]).all()
+
+
+def _mini_corpus(rng, n_docs=400, n_terms=60):
+    return [
+        " ".join(f"w{j}"
+                 for j in rng.integers(0, n_terms, rng.integers(20, 60)))
+        for _ in range(n_docs)
+    ]
+
+
+def test_hybrid_pipeline_matches_host_fusion(setup):
+    """HybridRetrievalPipeline (dense on device + BM25 via the C++ scorer,
+    fused with gzmuv+defmin on device) must equal the host pipeline:
+    per-leg runs -> default_minimum -> normalize gzmuv -> wsum."""
+    from viquae_tpu.ir.serving import HybridRetrievalPipeline
+    from viquae_tpu.ops import bm25 as bm25_lib
+    from viquae_tpu.rankeval import default_minimum, fuse, normalize_run
+
+    tok, cfg, params, queries, kb = setup
+    rng = np.random.default_rng(5)
+    texts = _mini_corpus(rng, n_docs=kb.shape[0] // 10)
+    kb_small = kb[: len(texts)]
+    bm25 = bm25_lib.BM25Index.build(texts, k1=0.5, b=0.3)
+    queries = queries[:48]
+
+    emb = PackedTextEmbedder(dpr.make_packed_apply(cfg), params, tok,
+                             row_len=32, batch_size=64,
+                             compute_dtype=jnp.float32)
+    index = mips.DenseIndex(kb_small, mode="global", dtype=jnp.float32)
+    # ONE batch so gzmuv's batch-as-run statistics match the host run
+    pipe = HybridRetrievalPipeline(emb, index, bm25, weights=(0.7, 0.3),
+                                   batch_size=64, k=10, k_bm25=10,
+                                   compact_transfer=False)
+    scores, idx = pipe.run_arrays(queries)
+
+    # ---- host reference: same candidates, rankeval fusion ---------------
+    # (exact f32 dense leg: the serving wire format is bf16, which would
+    # shift the host gzmuv statistics)
+    enc = tok(queries, padding="max_length", truncation=True, max_length=32,
+              return_tensors="np")
+    q_emb = np.asarray(dpr.apply(
+        params, cfg, jnp.asarray(enc["input_ids"].astype(np.int32)),
+        jnp.asarray(enc["attention_mask"].astype(np.int32)),
+        deterministic=True)["pooler_output"])
+    full = q_emb @ kb_small.T
+    d_idx = np.argsort(-full, axis=1, kind="stable")[:, :10]
+    d_scores = np.take_along_axis(full, d_idx, axis=1)
+    q_ids = [str(i) for i in range(len(queries))]
+    dense_run = {
+        q: {str(d): float(s) for s, d in zip(d_scores[i], d_idx[i])}
+        for i, q in enumerate(q_ids)
+    }
+    b_scores, b_idx = bm25.search_batch(queries, k=10)
+    bm25_run = {
+        q: {str(d): float(s) for s, d in zip(b_scores[i], b_idx[i])}
+        for i, q in enumerate(q_ids)
+    }
+    from viquae_tpu.rankeval import Run
+
+    runs = default_minimum([Run(dense_run, name="dense"),
+                            Run(bm25_run, name="bm25")])
+    fused = fuse(runs, norm="gzmuv", method="wsum",
+                 params={"weights": [0.7, 0.3]})
+
+    # the wire format is bf16, which can swap near-tied ranks: compare
+    # scores BY DOC ID (must match the host fusion) and require the
+    # top-k to be score-equivalent to the host's top-k
+    for i, q in enumerate(q_ids):
+        got = {int(d): float(s) for d, s in zip(idx[i], scores[i])
+               if d != np.iinfo(np.int32).max}
+        for d, s in got.items():
+            np.testing.assert_allclose(s, fused[q][str(d)],
+                                       rtol=2e-2, atol=2e-2)
+        want = sorted(fused[q].items(), key=lambda kv: (-kv[1], int(kv[0])))
+        kth = want[min(len(got), len(want)) - 1][1]
+        assert all(fused[q][str(d)] >= kth - 0.05 for d in got), i
+
+
+def test_hybrid_pipeline_raw_interpolation(setup):
+    """norm='raw' + fixed stats = the committed legacy config semantics:
+    fused(d) = w_d*(s_d-m_d)/sd_d + w_b*(s_b-m_b)/sd_b, absent legs
+    contribute 0 (experiments/ir/viquae/bm25/config.json)."""
+    from viquae_tpu.ir.serving import HybridRetrievalPipeline
+    from viquae_tpu.ops import bm25 as bm25_lib
+
+    tok, cfg, params, queries, kb = setup
+    rng = np.random.default_rng(6)
+    texts = _mini_corpus(rng, n_docs=300)
+    kb_small = kb[:300]
+    bm25 = bm25_lib.BM25Index.build(texts, k1=0.5, b=0.3)
+    queries = queries[:32]
+    emb = PackedTextEmbedder(dpr.make_packed_apply(cfg), params, tok,
+                             row_len=32, batch_size=32,
+                             compute_dtype=jnp.float32)
+    index = mips.DenseIndex(kb_small, mode="global", dtype=jnp.float32)
+    stats = ((0.5, 2.0), (20.1111, 5.85003))
+    pipe = HybridRetrievalPipeline(emb, index, bm25, weights=(0.7, 0.3),
+                                   batch_size=32, k=8, k_bm25=8,
+                                   norm="raw", stats=stats,
+                                   compact_transfer=False)
+    scores, idx = pipe.run_arrays(queries)
+
+    d_pipe = FusedRetrievalPipeline(emb, index, batch_size=32, k=8,
+                                    compact_transfer=False)
+    d_scores, d_idx = d_pipe.run_arrays(queries)
+    b_scores, b_idx = bm25.search_batch(queries, k=8)
+    for i in range(len(queries)):
+        expect = {}
+        for s, d in zip(d_scores[i], d_idx[i]):
+            expect[int(d)] = expect.get(int(d), 0.0) + 0.7 * (s - 0.5) / 2.0
+        for s, d in zip(b_scores[i], b_idx[i]):
+            expect[int(d)] = (expect.get(int(d), 0.0)
+                              + 0.3 * (s - 20.1111) / 5.85003)
+        got = {int(d): float(s) for d, s in zip(idx[i], scores[i])
+               if d != np.iinfo(np.int32).max}
+        for d, s in got.items():
+            np.testing.assert_allclose(s, expect[d], rtol=2e-2, atol=2e-2)
+        want = sorted(expect.items(), key=lambda kv: (-kv[1], kv[0]))
+        kth = want[min(len(got), len(want)) - 1][1]
+        assert all(expect[d] >= kth - 0.05 for d in got), i
+
+    # constructor guards
+    with pytest.raises(ValueError, match="norm='raw'"):
+        HybridRetrievalPipeline(emb, index, bm25, norm="raw",
+                                batch_size=32, k=8)
+    with pytest.raises(ValueError, match="legacy"):
+        HybridRetrievalPipeline(emb, index, bm25, norm="gzmuv",
+                                stats=stats, batch_size=32, k=8)

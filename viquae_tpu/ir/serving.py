@@ -553,3 +553,132 @@ class MultiIndexRetrievalPipeline(FusedRetrievalPipeline):
                 buffer_size=2,
             )
         ]
+
+
+class HybridRetrievalPipeline(FusedRetrievalPipeline):
+    """Hybrid sparse+dense serving: BM25 (host C++ scorer over the CSR
+    inverted index — the Elasticsearch replacement, ops/bm25.py +
+    native/bm25_scorer.cpp) interpolated with dense MIPS (device), fused
+    into one ranking per batch.
+
+    Matches the reference's hybrid retrieval mode where BM25 is a
+    first-class index next to the dense ones
+    (meerqat/ir/search.py:268-293, tuned b=0.3/k1=0.5): both legs retrieve
+    top-k' candidates over the SAME passage id space and are combined by
+    weighted sum. Two interpolation semantics are supported:
+
+    - norm="gzmuv" (default) — the CURRENT reference Fusion semantics
+      (gzmuv normalization + default-minimum imputation, ir/fuse.py),
+      computed on device by ops.fusion.fuse_topk;
+    - norm="raw" + stats — the committed legacy config semantics
+      (`normalization` {mean, std} + `interpolation_weight`,
+      experiments/ir/viquae/bm25/config.json): each leg's scores are
+      pre-normalized (s - mean)/std with CORPUS-level statistics and
+      summed with the weights; absent docs contribute 0.
+
+    The schedule overlaps the two legs: the dense retrieve is dispatched
+    (async) BEFORE the host runs the C++ BM25 scorer, so sparse scoring
+    hides behind device compute; the fuse program is a second tiny
+    dispatch (splitting programs costs nothing on this link —
+    scripts/exp_exact_gap.py).
+
+    weights: (dense_weight, bm25_weight) — the reference's tuned BM25
+    interpolation weight is 0.3 (bm25 leg), i.e. weights=(0.7, 0.3).
+    """
+
+    def __init__(self, embedder, index, bm25_index, weights=(0.7, 0.3),
+                 batch_size: int = 1280, k: int = 100,
+                 k_bm25: Optional[int] = None, norm: str = "gzmuv",
+                 stats=None, timer: Optional[StageTimer] = None,
+                 compact_transfer: bool = True):
+        super().__init__(embedder, index, batch_size=batch_size, k=k,
+                         timer=timer, compact_transfer=compact_transfer)
+        import jax
+        import jax.numpy as jnp
+
+        from viquae_tpu.ops import fusion as fusion_ops
+
+        if stats is not None and norm != "raw":
+            raise ValueError(
+                "fixed (mean, std) stats are the legacy interpolation "
+                "semantics; use norm='raw' with them")
+        if norm == "raw" and stats is None:
+            raise ValueError(
+                "norm='raw' interpolates unnormalized scores; pass "
+                "stats=((dense_mean, dense_std), (bm25_mean, bm25_std)) "
+                "(the committed configs' `normalization` block), or use "
+                "norm='gzmuv'")
+        self.bm25 = bm25_index
+        self.k_bm25 = min(k_bm25 or self.k, bm25_index.n_docs)
+        self.weights = (float(weights[0]), float(weights[1]))
+        self.norm = norm
+        self.stats = stats
+        packed_apply = embedder._forward
+        k_final = self.k
+        wts = self.weights
+        if stats is not None:
+            (d_mean, d_std), (b_mean, b_std) = stats
+        int_max = np.iinfo(np.int32).max
+
+        @jax.jit
+        def _retrieve_dense(params, ids, seg, pos, cr, cc, matrix):
+            q = packed_apply(
+                params, ids.astype(jnp.int32), seg.astype(jnp.int32),
+                pos.astype(jnp.int32), cr.astype(jnp.int32),
+                cc.astype(jnp.int32),
+            )
+            return _device_search(index, q, matrix, k_final)
+
+        @jax.jit
+        def _fuse(d_scores, d_idx, b_scores, b_idx, n_valid):
+            d_s = d_scores.astype(jnp.float32)
+            b_s = b_scores.astype(jnp.float32)
+            if stats is not None:
+                d_valid = d_idx != int_max
+                b_valid = b_idx != int_max
+                d_s = jnp.where(d_valid, (d_s - d_mean) / d_std, 0.0)
+                b_s = jnp.where(b_valid, (b_s - b_mean) / b_std, 0.0)
+            fused, fused_idx = fusion_ops.fuse_topk(
+                (d_s, b_s), (d_idx.astype(jnp.int32), b_idx), wts, k_final,
+                norm=norm, valid_queries=n_valid,
+            )
+            scores16 = jax.lax.bitcast_convert_type(
+                fused.astype(jnp.bfloat16), jnp.int16
+            )
+            return scores16, fused_idx
+
+        self._retrieve_dense_fn = _retrieve_dense
+        self._fuse_fn = _fuse
+
+    def _bm25_arrays(self, chunk):
+        """Host C++ scoring -> fixed-shape (batch_size, k_bm25) arrays in
+        the framework pad convention (id int32-max, score -inf)."""
+        scores_b, idx_b = self.bm25.search_batch(list(chunk), k=self.k_bm25)
+        s = np.full((self.batch_size, self.k_bm25), -np.inf, np.float32)
+        i = np.full((self.batch_size, self.k_bm25),
+                    np.iinfo(np.int32).max, np.int32)
+        for row, (ss, ii) in enumerate(zip(scores_b, idx_b)):
+            s[row, : len(ss)] = ss
+            i[row, : len(ii)] = ii
+        return s, i
+
+    def _canvas_stream(self, queries):
+        import jax.numpy as jnp
+
+        emb = self.embed_fn
+        for start, chunk in self._batches(queries):
+            with self.timer.stage("tokenize+pack+dense_dispatch"):
+                d_scores, d_idx = self._retrieve_dense_fn(
+                    emb.params, *self._upload(emb.pack(list(chunk))),
+                    self.index.matrix,
+                )
+            # the dense program is now in flight; BM25 scoring (C++ on
+            # host) overlaps device compute
+            with self.timer.stage("bm25_host"):
+                b_s, b_i = self._bm25_arrays(chunk)
+            with self.timer.stage("fuse_dispatch"):
+                scores16, idx = self._fuse_fn(
+                    d_scores, d_idx, jnp.asarray(b_s), jnp.asarray(b_i),
+                    jnp.int32(len(chunk)),
+                )
+            yield start, len(chunk), scores16, idx

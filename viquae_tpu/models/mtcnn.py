@@ -270,24 +270,33 @@ def calibrate(boxes: jnp.ndarray, reg: jnp.ndarray) -> jnp.ndarray:
 
 def crop_resize(image: jnp.ndarray, boxes: jnp.ndarray, out: int
                 ) -> jnp.ndarray:
-    """Bilinear crop of (K, 4) xyxy boxes from (H, W, 3) -> (K, out, out, 3)."""
+    """Bilinear crop of (K, 4) xyxy boxes from (H, W, 3) -> (K, out, out, 3).
 
-    def one(box):
-        x1, y1, x2, y2 = box
-        ys = y1 + (jnp.arange(out) + 0.5) * (y2 - y1) / out - 0.5
-        xs = x1 + (jnp.arange(out) + 0.5) * (x2 - x1) / out - 0.5
-        grid_y = jnp.broadcast_to(ys[:, None], (out, out))
-        grid_x = jnp.broadcast_to(xs[None, :], (out, out))
-        coords = jnp.stack([grid_y.ravel(), grid_x.ravel()])
+    Implemented as two batched matmuls with per-box interpolation-weight
+    matrices (out[k] = Wy[k] @ image @ Wx[k]^T per channel) instead of
+    map_coordinates gathers: sample-point gathers are the slowest op class
+    on TPU and dominated the whole cascade (223/440 ms for the RNet/ONet
+    stages at batch 16 — scripts/exp_mtcnn_profile.py), while the dense
+    einsum rides the MXU. The weight matrix w[i, p] = max(0, 1 - |c_i - p|)
+    reproduces order-1 map_coordinates with mode='constant' cval=0 exactly
+    (out-of-range centers lose weight mass toward 0, including the partial
+    boundary cells)."""
+    h, w = image.shape[:2]
 
-        def chan(c):
-            return jax.scipy.ndimage.map_coordinates(
-                image[..., c], coords, order=1, mode="constant", cval=0.0
-            ).reshape(out, out)
+    def weight_mat(lo, hi, n_px):
+        # sample centers along one axis for every box: (K, out)
+        c = (lo[:, None]
+             + (jnp.arange(out)[None, :] + 0.5) * ((hi - lo) / out)[:, None]
+             - 0.5)
+        px = jnp.arange(n_px, dtype=jnp.float32)
+        return jnp.maximum(0.0, 1.0 - jnp.abs(c[..., None] - px))  # (K,out,P)
 
-        return jnp.stack([chan(c) for c in range(3)], axis=-1)
-
-    return jax.vmap(one)(boxes)
+    wy = weight_mat(boxes[:, 1], boxes[:, 3], h)
+    wx = weight_mat(boxes[:, 0], boxes[:, 2], w)
+    tmp = jnp.einsum("kih,hwc->kiwc", wy, image,
+                     preferred_element_type=jnp.float32)
+    return jnp.einsum("kiwc,kjw->kijc", tmp, wx,
+                      preferred_element_type=jnp.float32)
 
 
 def _normalize(x):

@@ -1,4 +1,5 @@
 from viquae_tpu.native.build import (  # noqa: F401
     load_answer_span_matcher,
+    load_bm25_maxscore,
     load_bm25_scorer,
 )

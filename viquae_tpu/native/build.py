@@ -93,6 +93,37 @@ def load_bm25_scorer():
     return fn
 
 
+def load_bm25_maxscore():
+    """ctypes handle to bm25_maxscore_batch (term-upper-bound pruning,
+    rank-safe exact top-k), or None (fallback to the TAAT scorer)."""
+    lib = _load("bm25_scorer")
+    if lib is None or not hasattr(lib, "bm25_maxscore_batch"):
+        return None
+    import numpy as np
+    from numpy.ctypeslib import ndpointer
+
+    fn = lib.bm25_maxscore_batch
+    fn.restype = None
+    fn.argtypes = [
+        ndpointer(np.int64, flags="C_CONTIGUOUS"),    # offsets
+        ndpointer(np.int32, flags="C_CONTIGUOUS"),    # docs
+        ndpointer(np.float32, flags="C_CONTIGUOUS"),  # tfs
+        ndpointer(np.float32, flags="C_CONTIGUOUS"),  # idf
+        ndpointer(np.float32, flags="C_CONTIGUOUS"),  # norm
+        ndpointer(np.float32, flags="C_CONTIGUOUS"),  # term_ub
+        ctypes.c_int64,                               # n_docs
+        ndpointer(np.int32, flags="C_CONTIGUOUS"),    # query_terms
+        ndpointer(np.float32, flags="C_CONTIGUOUS"),  # query_tfs
+        ndpointer(np.int64, flags="C_CONTIGUOUS"),    # query_offsets
+        ctypes.c_int64,                               # n_queries
+        ctypes.c_int32,                               # k
+        ndpointer(np.float32, flags="C_CONTIGUOUS"),  # out_scores
+        ndpointer(np.int32, flags="C_CONTIGUOUS"),    # out_indices
+        ndpointer(np.int32, flags="C_CONTIGUOUS"),    # out_counts
+    ]
+    return fn
+
+
 def load_packer():
     """ctypes handle to pack_sequences, or None (fallback to numpy)."""
     lib = _load("packer")

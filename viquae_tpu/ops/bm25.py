@@ -58,6 +58,26 @@ class BM25Index:
         self.norm = (
             self.k1 * (1.0 - self.b + self.b * self.doc_len / max(avgdl, 1e-9))
         ).astype(np.float32)
+        self._term_ub_cache = None  # b/k1-dependent; rebuilt lazily
+
+    @property
+    def term_ub(self) -> np.ndarray:
+        """Per-term upper-bound contribution (qtf=1):
+        ub(t) = idf(t) * max_{d in postings(t)} tf/(tf + norm_d) — the
+        MaxScore pruning bounds (native scorer). One vectorized pass over
+        the postings, cached per (k1, b)."""
+        if self._term_ub_cache is None:
+            n_terms = len(self.offsets) - 1
+            if len(self.docs) == 0:
+                self._term_ub_cache = np.zeros(n_terms, np.float32)
+                return self._term_ub_cache
+            contrib = self.tfs / (self.tfs + self.norm[self.docs])
+            starts = np.minimum(self.offsets[:-1], len(contrib) - 1)
+            ub = np.maximum.reduceat(contrib, starts)
+            empty = np.diff(self.offsets) == 0
+            ub[empty] = 0.0  # reduceat yields a neighbor's value there
+            self._term_ub_cache = (self.idf * ub).astype(np.float32)
+        return self._term_ub_cache
 
     def set_hyperparameters(self, k1: float = None, b: float = None):
         """Retune b/k1 without rebuilding postings (replaces the reference's
@@ -133,6 +153,10 @@ class BM25Index:
 
     def search_batch(self, queries: Sequence[str], k: int = 100
                      ) -> Tuple[List[List[float]], List[List[int]]]:
+        native = self._maxscore_scorer()
+        if native is not None:
+            return self._search_batch_native(native, queries, k,
+                                             maxscore=True)
         native = self._native_scorer()
         if native is not None:
             return self._search_batch_native(native, queries, k)
@@ -150,9 +174,19 @@ class BM25Index:
             self._native = load_bm25_scorer()
         return self._native
 
-    def _search_batch_native(self, native, queries: Sequence[str], k: int):
-        """C++ CSR scorer (viquae_tpu/native/bm25_scorer.cpp): identical
-        math + tie order to the numpy path, one pass per query."""
+    def _maxscore_scorer(self):
+        if not hasattr(self, "_native_maxscore"):
+            from viquae_tpu.native import load_bm25_maxscore
+
+            self._native_maxscore = load_bm25_maxscore()
+        return self._native_maxscore
+
+    def _search_batch_native(self, native, queries: Sequence[str], k: int,
+                             maxscore: bool = False):
+        """C++ CSR scorers (viquae_tpu/native/bm25_scorer.cpp): identical
+        math + tie order to the numpy path. The MaxScore variant prunes
+        with per-term upper bounds (rank-safe: exact scores + tie order)
+        instead of scanning every posting of every query term."""
         term_ids: List[int] = []
         term_qtfs: List[float] = []
         offsets = [0]
@@ -170,12 +204,16 @@ class BM25Index:
         out_scores = np.zeros((n_queries, k_eff), np.float32)
         out_indices = np.zeros((n_queries, k_eff), np.int32)
         out_counts = np.zeros(n_queries, np.int32)
-        native(
+        args = [
             np.ascontiguousarray(self.offsets, np.int64),
             np.ascontiguousarray(self.docs, np.int32),
             np.ascontiguousarray(self.tfs, np.float32),
             np.ascontiguousarray(self.idf, np.float32),
             np.ascontiguousarray(self.norm, np.float32),
+        ]
+        if maxscore:
+            args.append(np.ascontiguousarray(self.term_ub, np.float32))
+        args += [
             np.int64(self.n_docs),
             np.ascontiguousarray(term_ids, np.int32)
             if term_ids else np.zeros(0, np.int32),
@@ -185,7 +223,8 @@ class BM25Index:
             np.int64(n_queries),
             np.int32(k_eff),
             out_scores, out_indices, out_counts,
-        )
+        ]
+        native(*args)
         scores_batch = [
             out_scores[q, : out_counts[q]].tolist() for q in range(n_queries)
         ]

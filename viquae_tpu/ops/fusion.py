@@ -63,7 +63,12 @@ def fuse_topk(
 
     norm: "gzmuv" | "zmuv" | "min-max" | None, matching
     `rankeval.fusion.normalize_run` applied AFTER default-minimum
-    imputation (ir.fuse.Fusion(defmin=True) order).
+    imputation (ir.fuse.Fusion(defmin=True) order). "raw" skips BOTH
+    normalization and imputation: a doc absent from an index contributes
+    0 — the legacy ES interpolation semantics of the reference's committed
+    search configs (experiments/ir/viquae/bm25/config.json
+    `interpolation_weight`, whose mean/std pre-normalization callers apply
+    to the scores beforehand).
 
     valid_queries: optional scalar — rows >= it are PADDING (a serving
     batch smaller than the compiled shape); they are excluded from gzmuv's
@@ -75,9 +80,9 @@ def fuse_topk(
     """
     if not (len(scores_list) == len(idx_list) == len(weights)):
         raise ValueError("scores_list, idx_list and weights lengths differ")
-    if norm not in ("gzmuv", "zmuv", "min-max", None):
+    if norm not in ("gzmuv", "zmuv", "min-max", "raw", None):
         raise ValueError(f"unknown device-fusion norm {norm!r}; "
-                         "expected gzmuv|zmuv|min-max|None")
+                         "expected gzmuv|zmuv|min-max|raw|None")
 
     # ---- pass 1: per-query union size U_q across all indexes -------------
     # (the ids are sorted ONCE here; the contribution payload is permuted
@@ -131,6 +136,9 @@ def fuse_topk(
             contrib = w * (s_raw.astype(jnp.float32) - m) / sigma
             baseline = baseline + jnp.where(
                 row_has, w * (m - mean) / sigma, 0.0)
+        elif norm == "raw":
+            contrib = w * s_raw.astype(jnp.float32)
+            baseline = baseline + 0.0 * m
         elif norm == "min-max":
             # duplicated minima change neither per-query min nor max
             hi = jnp.where(
