@@ -50,6 +50,270 @@ def r_at_20(idx, ref_idx, n):
     ]))
 
 
+def _bm25_corpus(n_docs: int, vocab_size: int = 400_000):
+    """Synthetic Zipf passage corpus at KB scale as a BM25Index (CSR built
+    directly in numpy; ~100-token passages like uniform_passages output).
+    The postings are cached on disk — the 1.5M build costs ~2 min of host
+    time once, then loads in seconds."""
+    from viquae_tpu.ops import bm25 as bm25_lib
+
+    cache = os.path.join(
+        os.path.dirname(__file__), ".bench_cache", f"bm25_{n_docs}")
+    if os.path.exists(os.path.join(cache, "postings.npz")):
+        return bm25_lib.BM25Index.load(cache)
+    rng = np.random.default_rng(0)
+    doc_len = rng.poisson(100, n_docs).clip(20, 220).astype(np.int64)
+    total = int(doc_len.sum())
+    tokens = (rng.zipf(1.2, total).astype(np.int64) - 1) % vocab_size
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), doc_len)
+    key = doc_of * vocab_size + tokens
+    key.sort(kind="stable")
+    uniq, tf = np.unique(key, return_counts=True)
+    d = (uniq // vocab_size).astype(np.int32)
+    t = (uniq % vocab_size).astype(np.int64)
+    order = np.argsort(t, kind="stable")
+    counts = np.bincount(t, minlength=vocab_size)
+    offsets = np.zeros(vocab_size + 1, np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    index = bm25_lib.BM25Index(
+        {f"t{i}": i for i in range(vocab_size)}, offsets, d[order],
+        tf[order].astype(np.float32), doc_len.astype(np.float32), n_docs,
+        k1=0.5, b=0.3,
+    )
+    try:
+        index.save(cache)
+    except OSError:
+        pass
+    return index
+
+
+def _image_chain_stage(jax, jnp, key, small, sync):
+    """MTCNN cascade + ArcFace + CLIP ViT-B/32 + ImageNet RN50 items/s
+    (bf16 compute, params as jit ARGS — closures embed 100s of MB of
+    weight constants in the HLO and blow the remote-compile payload cap)."""
+    import time as _time
+
+    from viquae_tpu.models import arcface, clip as clip_lib, mtcnn
+    from viquae_tpu.models import resnet as resnet_lib
+
+    rng = np.random.default_rng(11)
+    out = {}
+
+    def timeit(fn, *a, n_items, reps=3):
+        o = fn(*a); sync(o)
+        t0 = _time.time()
+        for _ in range(reps):
+            o = fn(*a)
+        sync(o)
+        return n_items / ((_time.time() - t0) / reps)
+
+    side, n_img = 256, 8 if small else 16
+    mcfg = mtcnn.MTCNNConfig(canvas=side, min_face_size=20)
+    m_params = mtcnn.init(jax.random.fold_in(key, 20))
+    images = jnp.asarray(
+        rng.uniform(0, 255, (n_img, side, side, 3)).astype(np.float32))
+    hws = jnp.asarray(np.full((n_img, 2), float(side), np.float32))
+    import functools
+    out["mtcnn_images_per_s"] = round(timeit(
+        jax.jit(functools.partial(mtcnn.detect_faces_batch, cfg=mcfg)),
+        m_params, images, hws, n_items=n_img), 1)
+
+    batch = 32 if small else 128
+    acfg = arcface.ArcFaceConfig()
+    a_params = arcface.init(jax.random.fold_in(key, 21), acfg)
+    crops = jnp.asarray(
+        rng.standard_normal((batch, 112, 112, 3)).astype(np.float32))
+    out["arcface_faces_per_s"] = round(timeit(
+        jax.jit(lambda p, x: arcface.apply(
+            p, acfg, x, compute_dtype=jnp.bfloat16)),
+        a_params, crops, n_items=batch), 1)
+
+    vcfg = clip_lib.CLIPVisionConfig()
+    v_params = clip_lib.vit_init(jax.random.fold_in(key, 22), vcfg)
+    pixels = jnp.asarray(
+        rng.standard_normal((batch, 224, 224, 3)).astype(np.float32))
+    out["clip_vit_images_per_s"] = round(timeit(
+        jax.jit(lambda p, x: clip_lib.vit_apply(
+            p, vcfg, x, compute_dtype=jnp.bfloat16)["image_embeds"]),
+        v_params, pixels, n_items=batch), 1)
+
+    rcfg = resnet_lib.ResNetConfig()
+    r_params = resnet_lib.init(jax.random.fold_in(key, 23), rcfg)
+    out["resnet50_images_per_s"] = round(timeit(
+        jax.jit(lambda p, x: resnet_lib.apply(
+            p, rcfg, x, compute_dtype=jnp.bfloat16)),
+        r_params, pixels, n_items=batch), 1)
+
+    # corpus wall-clock estimate: 1M images through the slowest embed tower
+    slowest = min(out["clip_vit_images_per_s"],
+                  out["resnet50_images_per_s"])
+    out["corpus_1m_embed_minutes_est"] = round(1e6 / slowest / 60, 1)
+    out["faces_506k_detect_minutes_est"] = round(
+        506_237 / out["mtcnn_images_per_s"] / 60, 1)
+    return out
+
+
+def _train_stage(jax, jnp, key, small, sync):
+    """One timed packed train step each for the biencoder (questions/s)
+    and the ECA multimodal tower (pairs/s) — mirrors scripts/
+    exp_train_packed.py and exp_train_eca_packed.py protocols."""
+    import time as _time
+
+    import optax
+
+    from viquae_tpu.models import bert, dpr, mm
+    from viquae_tpu.ops import packing
+    from viquae_tpu.train import objectives
+
+    rng = np.random.default_rng(12)
+
+    # ---- packed biencoder step (N=64 questions x M=2 passages) ----------
+    N, M = 64, 2
+    cfg = dpr.DPRConfig(bert=bert.BertConfig(add_pooler=False))
+    params = {
+        "question": dpr.init(jax.random.fold_in(key, 30), cfg),
+        "context": dpr.init(jax.random.fold_in(key, 31), cfg),
+    }
+    tx = optax.sgd(1e-3)
+    opt_state = tx.init(params)
+    q_lens = np.clip(np.round(rng.lognormal(np.log(18.0), 0.35, N)),
+                     8, 64).astype(int)
+    c_lens = np.clip(np.round(rng.normal(125, 8, N * M)), 100, 160
+                     ).astype(int)
+    pq = packing.pack_token_sequences(
+        [rng.integers(1000, 10000, l).astype(np.int32) for l in q_lens],
+        row_len=64, pad_rows_to=8)
+    pc = packing.pack_token_sequences(
+        [rng.integers(1000, 10000, l).astype(np.int32) for l in c_lens],
+        row_len=256, pad_rows_to=8)
+    pq_args = tuple(jnp.asarray(a) for a in (
+        pq.input_ids, pq.segment_ids, pq.position_ids, pq.cls_rows,
+        pq.cls_cols))
+    pc_args = tuple(jnp.asarray(a) for a in (
+        pc.input_ids, pc.segment_ids, pc.position_ids, pc.cls_rows,
+        pc.cls_cols))
+    labels = jnp.asarray((np.arange(N) * M).astype(np.int32))
+
+    @jax.jit
+    def step_biencoder(params, opt_state, pq_args, pc_args, labels):
+        def loss(p):
+            q = dpr.apply_packed(p["question"], cfg, *pq_args,
+                                 deterministic=True,
+                                 compute_dtype=jnp.bfloat16)
+            c = dpr.apply_packed(p["context"], cfg, *pc_args,
+                                 deterministic=True,
+                                 compute_dtype=jnp.bfloat16)
+            return objectives.biencoder_loss(q, c, labels)[0]
+        l, g = jax.value_and_grad(loss)(params)
+        upd, opt_state = tx.update(g, opt_state, params)
+        return optax.apply_updates(params, upd), opt_state, l
+
+    o = step_biencoder(params, opt_state, pq_args, pc_args, labels)
+    sync(o[2])
+    reps = 3
+    t0 = _time.time()
+    for _ in range(reps):
+        o = step_biencoder(params, opt_state, pq_args, pc_args, labels)
+    sync(o[2])
+    biencoder_qps = N / ((_time.time() - t0) / reps)
+    del params, opt_state, o, pq_args, pc_args
+
+    # ---- packed ECA step (MICT batch 512 pairs, per-layer remat) --------
+    B, SEQ = 128 if small else 512, 256
+    mcfg = mm.MMConfig(
+        bert=bert.BertConfig(add_pooler=False),
+        n_faces=4, face_dim=512, bbox_dim=7,
+        image_dims=(("clip-RN50", 1024), ("imagenet-RN50", 2048)),
+    )
+    e_params = {
+        "question": mm.eca_init(jax.random.fold_in(key, 32), mcfg),
+        "context": mm.eca_init(jax.random.fold_in(key, 33), mcfg),
+    }
+    e_opt = tx.init(e_params)
+
+    def mm_side(mu, sigma):
+        lens = np.clip(
+            np.round(rng.lognormal(np.log(mu), sigma, B)), 5, SEQ
+        ).astype(int)
+        ids = np.zeros((B, SEQ), np.int32)
+        mask = np.zeros((B, SEQ), np.int32)
+        for i, l in enumerate(lens):
+            ids[i, :l] = rng.integers(1000, 20_000, l)
+            mask[i, :l] = 1
+        face_mask = np.zeros((B, 1, 4), np.int32)
+        for i in np.nonzero(rng.random(B) < 0.4)[0]:
+            face_mask[i, 0, : rng.integers(1, 5)] = 1
+        inputs = {
+            "text_inputs": {"input_ids": ids, "attention_mask": mask},
+            "face_inputs": {
+                "face": rng.standard_normal((B, 1, 4, 512)
+                                            ).astype(np.float32),
+                "bbox": rng.standard_normal((B, 1, 4, 7)
+                                            ).astype(np.float32),
+                "attention_mask": face_mask,
+            },
+            "image_inputs": {
+                "clip-RN50": {
+                    "input": rng.standard_normal((B, 1, 1024)
+                                                 ).astype(np.float32),
+                    "attention_mask": np.ones((B, 1), np.int32),
+                },
+                "imagenet-RN50": {
+                    "input": rng.standard_normal((B, 1, 2048)
+                                                 ).astype(np.float32),
+                    "attention_mask": np.ones((B, 1), np.int32),
+                },
+            },
+        }
+        from viquae_tpu.train.data import pack_mm_text_inputs
+
+        t_vis = 4 + 2
+        inputs["text_inputs"] = {
+            **inputs["text_inputs"],
+            **pack_mm_text_inputs(inputs, SEQ + t_vis),
+        }
+        return inputs
+
+    batch = {
+        "question_inputs": mm_side(18.0, 0.35),
+        "context_inputs": mm_side(64.0, 0.30),
+        "labels": np.arange(B, dtype=np.int32),
+    }
+    batch = jax.tree_util.tree_map(jnp.asarray, batch)
+
+    def enc(p, inputs):
+        t = inputs["text_inputs"]
+        return mm.eca_apply_packed(
+            p, mcfg, t["canvas_input_ids"], t["canvas_segment_ids"],
+            t["canvas_position_ids"], t["canvas_cls_rows"],
+            t["canvas_cls_cols"], t["canvas_vis_rows"],
+            t["canvas_vis_cols"], inputs["face_inputs"],
+            inputs["image_inputs"], deterministic=True,
+            compute_dtype=jnp.bfloat16, remat_layers=True,
+        )[:B]
+
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step_eca(params, opt_state, batch):
+        def loss(p):
+            q = enc(p["question"], batch["question_inputs"])
+            c = enc(p["context"], batch["context_inputs"])
+            return objectives.biencoder_loss(q, c, batch["labels"])[0]
+        l, g = jax.value_and_grad(loss)(params)
+        upd, opt_state = tx.update(g, opt_state, params)
+        return optax.apply_updates(params, upd), opt_state, l
+
+    e_params, e_opt, l = step_eca(e_params, e_opt, batch)
+    sync(l)
+    t0 = _time.time()
+    for _ in range(reps):
+        e_params, e_opt, l = step_eca(e_params, e_opt, batch)
+    sync(l)
+    eca_pps = B / ((_time.time() - t0) / reps)
+    return biencoder_qps, eca_pps
+
+
 def main():
     small = bool(int(os.environ.get("BENCH_SMALL", "0")))
     import jax
@@ -201,6 +465,50 @@ def main():
     r20_fast = r_at_20(idx_fast, idx_exact, n_queries)
     del out, out_a  # free device result buffers before the fusion stage
 
+    # ---- hybrid sparse+dense (BM25 C++ MaxScore on host, overlapped with
+    # the in-flight dense program, fused on device — the reference's hybrid
+    # retrieval mode, meerqat/ir/search.py:268-293, tuned b=.3/k1=.5) ------
+    from viquae_tpu.ops import fusion as fusion_ops
+
+    bm25_index = _bm25_corpus(n_kb)
+    bm25_rng = np.random.default_rng(3)
+    bm25_queries = [
+        " ".join(f"t{(int(z) - 1) % 400_000}"
+                 for z in bm25_rng.zipf(1.2, 8))
+        for _ in range(n_queries)
+    ]
+
+    @jax.jit
+    def fuse_hybrid(d_s, d_i, b_s, b_i):
+        return fusion_ops.fuse_topk(
+            (d_s, b_s), (d_i.astype(jnp.int32), b_i), (0.7, 0.3), k,
+            norm="gzmuv", valid_queries=jnp.int32(n_queries),
+        )
+
+    def one_hybrid_pass():
+        d_s, d_i = embed_and_search(params16, *p_args, kbt)  # async
+        bs, bi = bm25_index.search_batch(bm25_queries, k=k)  # host overlap
+        b_s = np.full((q_pad, k), -np.inf, np.float32)
+        b_i = np.full((q_pad, k), np.iinfo(np.int32).max, np.int32)
+        for row, (ss, ii) in enumerate(zip(bs, bi)):
+            b_s[row, : len(ss)] = ss
+            b_i[row, : len(ii)] = ii
+        return fuse_hybrid(d_s, d_i, jnp.asarray(b_s), jnp.asarray(b_i))
+
+    # bm25 alone (host, single core)
+    t0 = time.time()
+    bm25_index.search_batch(bm25_queries, k=k)
+    bm25_qps = n_queries / (time.time() - t0)
+    out_h = one_hybrid_pass()
+    sync(out_h)
+    t0 = time.time()
+    h_reps = 2
+    for _ in range(h_reps):
+        out_h = one_hybrid_pass()
+    sync(out_h)
+    hybrid_qps = n_queries / ((time.time() - t0) / h_reps)
+    del out_h
+
     # ---- 3-index late fusion in ONE program (the reference's best-quality
     # config shape: dpr+arcface+clip wsum [0.6,0.2,0.2], gzmuv, defmin —
     # experiments/ir/viquae/dpr+clip-cross-modal/config_test.json): packed
@@ -334,6 +642,17 @@ def main():
         out_rp = reader_step_packed(r_params, *rp_args)
     sync(out_rp)
     reader_packed_sps = n_q / ((time.time() - t0) / reps)
+    del out_r, out_rp, r_ids, r_mask, rp_args
+
+    # ---- image/face chain (the offline corpus stages: the reference
+    # embeds ~1M+ images + detects faces over 506k humans —
+    # meerqat/image/embedding.py:169-183, face_detection.py:87-139) -------
+    image_chain = _image_chain_stage(jax, jnp, key, small, sync)
+
+    # ---- train-step throughput (driver-tracked: a packing or remat
+    # regression in training must move the bench) ------------------------
+    train_biencoder_qps, train_eca_pps = _train_stage(
+        jax, jnp, key, small, sync)
 
     result = {
         "metric": "embed+search queries/sec over 1.5M-entity KB (1 chip, exact)",
@@ -368,6 +687,19 @@ def main():
                 reader_packed_sps / 2.505, 1),
             "reader_packed_canvas": f"{rp.rows}x{r_seq} density "
                                     f"{packing.packing_efficiency(rp):.3f}",
+            "bm25_qps": round(bm25_qps, 1),
+            "bm25_config": f"{n_kb} Zipf passages, 400k vocab, C++ "
+                           "MaxScore, b=0.3 k1=0.5, k=100, 1 host core",
+            "hybrid_qps": round(hybrid_qps, 1),
+            "hybrid_config": "dense pallas-exact (device, overlapped) + "
+                             "bm25 (host) + device gzmuv fusion [.7,.3]",
+            "image_chain": image_chain,
+            "train_biencoder_qps": round(train_biencoder_qps, 1),
+            "train_eca_pps": round(train_eca_pps, 1),
+            "train_config": "packed canvases; biencoder 64qx2p bf16 sgd; "
+                            "ECA MICT batch "
+                            f"{128 if small else 512} pairs, per-layer "
+                            "remat",
         },
     }
     print(json.dumps(result))

@@ -529,3 +529,66 @@ def test_hybrid_pipeline_raw_interpolation(setup):
     with pytest.raises(ValueError, match="legacy"):
         HybridRetrievalPipeline(emb, index, bm25, norm="gzmuv",
                                 stats=stats, batch_size=32, k=8)
+
+
+def test_multi_index_online_face_leg(setup):
+    """face_encoders: the ONLINE pixels->MTCNN->align->ArcFace leg must
+    produce results identical to the staged path (the same features
+    precomputed offline and passed via query_features) — item 2's
+    parity contract, beyond the reference's precomputed-face online path
+    (meerqat/interact/system.py:24-42)."""
+    from PIL import Image
+
+    from viquae_tpu.image.face_recognition import FaceQueryEncoder
+    from viquae_tpu.ir.serving import MultiIndexRetrievalPipeline
+    from viquae_tpu.models import arcface, mtcnn
+
+    tok, cfg, params, queries, kb = setup
+    queries = queries[:24]
+    rng = np.random.default_rng(77)
+    n_docs = kb.shape[0]
+    acfg = arcface.ArcFaceConfig(stage_sizes=(1, 1, 1, 1), width=8,
+                                 embedding_size=16)
+    encoder = FaceQueryEncoder(
+        mtcnn.init(jax.random.key(5)),
+        arcface.init(jax.random.key(6), acfg),
+        mtcnn_cfg=mtcnn.MTCNNConfig(canvas=64, min_face_size=20,
+                                    thresholds=(0.1, 0.1, 0.1)),
+        arcface_cfg=acfg, batch_size=8)
+    images = [
+        None if i % 5 == 0 else Image.fromarray(
+            rng.integers(0, 255, (64, 64, 3), dtype=np.uint8))
+        for i in range(len(queries))
+    ]
+    feats_offline = encoder(images)
+    # random-weight MTCNN at threshold .1 should detect on SOME images and
+    # None rows must stay NaN (the absent contract)
+    assert np.isnan(feats_offline[0]).all()
+    assert np.isfinite(feats_offline).all(axis=1).any(), (
+        "no face detected anywhere: the parity test would be vacuous")
+
+    kb_face = rng.normal(size=(n_docs, 16)).astype(np.float32)
+    emb = PackedTextEmbedder(dpr.make_packed_apply(cfg), params, tok,
+                             row_len=32, batch_size=24,
+                             compute_dtype=jnp.float32)
+
+    def build(face_encoders=None):
+        return MultiIndexRetrievalPipeline(
+            emb,
+            {"dpr": mips.DenseIndex(kb, mode="global", dtype=jnp.float32),
+             "face": mips.DenseIndex(kb_face, mode="global",
+                                     dtype=jnp.float32)},
+            {"dpr": 0.6, "face": 0.4}, text_index="dpr", batch_size=24,
+            k=8, compact_transfer=False, face_encoders=face_encoders,
+        )
+
+    s_staged, i_staged = build().run_arrays(
+        queries, {"face": feats_offline})
+    s_online, i_online = build({"face": encoder}).run_arrays(
+        queries, query_images={"face": images})
+    np.testing.assert_array_equal(i_online, i_staged)
+    np.testing.assert_allclose(s_online, s_staged, rtol=1e-5, atol=1e-6)
+
+    # validation: face_encoders keys must be non-text index names
+    with pytest.raises(ValueError, match="face_encoders"):
+        build({"dpr": encoder})

@@ -124,3 +124,58 @@ def dataset_compute_face_embedding(dataset_path, embedder: FaceEmbedder,
     )
     save_in_place(dataset, dataset_path)
     return dataset
+
+
+class FaceQueryEncoder:
+    """ONLINE face leg for serving: raw query image -> MTCNN detect ->
+    most-probable face -> align -> ArcFace 512-d feature.
+
+    Completes the one-device-program story the reference never finished:
+    its online path precomputes face features offline
+    (meerqat/interact/system.py:24-42 embeds only text+image online).
+    Output rows are NaN for queries without an image or a detected face —
+    the serving pipelines' 'absent from this run' contract
+    (ir/serving.MultiIndexRetrievalPipeline NaN masking)."""
+
+    def __init__(self, mtcnn_params, arcface_params,
+                 mtcnn_cfg=None, arcface_cfg: Optional[
+                     arcface.ArcFaceConfig] = None,
+                 batch_size: int = 16):
+        from viquae_tpu.image.face_detection import FaceDetector
+
+        self.detector = FaceDetector(
+            mtcnn_params, cfg=mtcnn_cfg, batch_size=batch_size)
+        self.embedder = FaceEmbedder(
+            arcface_params, cfg=arcface_cfg, max_n_faces=1,
+            batch_size=batch_size)
+        self.dim = self.embedder.cfg.embedding_size
+
+    def __call__(self, pil_images) -> np.ndarray:
+        probs, boxes, landmarks = self.detector.detect_batch(pil_images)
+        out = np.full((len(pil_images), self.dim), np.nan, np.float32)
+        crops, owners = [], []
+        for i, img in enumerate(pil_images):
+            if img is None or landmarks[i] is None:
+                continue
+            best = int(np.argmax(probs[i]))  # reference: most probable
+            arr = jnp.asarray(
+                np.asarray(img.convert("RGB"), dtype=np.float32))
+            lm = jnp.asarray(np.asarray(landmarks[i][best], np.float32))
+            crops.append(np.asarray(self.embedder._align(arr, lm)))
+            owners.append(i)
+        if not crops:
+            return out
+        arr = np.stack(crops)
+        bs = self.embedder.batch_size
+        embs = []
+        for start in range(0, len(arr), bs):
+            chunk = arr[start: start + bs]
+            pad = bs - len(chunk)
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad,) + chunk.shape[1:], np.float32)])
+            embs.append(np.asarray(
+                self.embedder._embed(self.embedder.params,
+                                     jnp.asarray(chunk)))[: bs - pad])
+        out[np.asarray(owners)] = np.concatenate(embs)
+        return out

@@ -343,10 +343,18 @@ class MultiIndexRetrievalPipeline(FusedRetrievalPipeline):
                  norm: str = "gzmuv",
                  timer: Optional[StageTimer] = None,
                  compact_transfer: bool = True,
-                 image_encoders=None):
+                 image_encoders=None, face_encoders=None):
         if text_index not in indexes:
             raise ValueError(f"text_index {text_index!r} not in indexes "
                              f"{list(indexes)}")
+        face_encoders = dict(face_encoders or {})
+        bad_face = ((set(face_encoders) - set(indexes))
+                    | (set(face_encoders) & set(image_encoders or {}))
+                    | ({text_index} & set(face_encoders)))
+        if bad_face:
+            raise ValueError(
+                f"face_encoders must name non-text indexes distinct from "
+                f"image_encoders; offending: {sorted(bad_face)}")
         bad = [n for n, ix in indexes.items()
                if ix.mode not in ("global", "approx", "fused")]
         if bad:
@@ -381,6 +389,10 @@ class MultiIndexRetrievalPipeline(FusedRetrievalPipeline):
         self.norm = norm
         self.weights = tuple(float(weights[n]) for n in self.names)
         self.image_encoders = image_encoders
+        # ONLINE face leg (pixels -> MTCNN -> align -> ArcFace): computed
+        # per batch on host+device, fed through the same feats path as
+        # precomputed features (NaN rows = absent from the face run)
+        self.face_encoders = face_encoders
         packed_apply = embedder._forward
         k_clamped = self.k
         names, text_name = self.names, text_index
@@ -453,8 +465,14 @@ class MultiIndexRetrievalPipeline(FusedRetrievalPipeline):
                 # same height — fuse_topk's valid_queries keeps the pad
                 # rows out of the gzmuv statistics
                 feats = {}
-                for n, f in query_features.items():
-                    sl = np.asarray(f[start: start + len(chunk)])
+                face_slices = {
+                    n: enc(query_images[n][start: start + len(chunk)])
+                    for n, enc in self.face_encoders.items()
+                }
+                for n, f in {**query_features, **face_slices}.items():
+                    f = np.asarray(f)
+                    sl = (f if n in face_slices
+                          else f[start: start + len(chunk)])
                     if len(sl) < self.batch_size:
                         sl = np.concatenate([
                             sl,
@@ -477,12 +495,13 @@ class MultiIndexRetrievalPipeline(FusedRetrievalPipeline):
             yield start, len(chunk), scores16, idx
 
     def _validate_inputs(self, queries, query_features, query_images):
-        if set(query_images) != set(self.image_encoders):
+        online = set(self.image_encoders) | set(self.face_encoders)
+        if set(query_images) != online:
             raise ValueError(
                 f"query_images keys {sorted(query_images)} must match "
-                f"image_encoders {sorted(self.image_encoders)}")
+                f"image_encoders + face_encoders {sorted(online)}")
         missing = (set(self.names) - {self._text_name()}
-                   - set(query_features) - set(self.image_encoders))
+                   - set(query_features) - online)
         if missing:
             raise ValueError(f"missing query_features for indexes "
                              f"{sorted(missing)}")
