@@ -208,7 +208,36 @@ def cmd_serve(args):
         queries = [line.rstrip("\n") for line in f if line.strip()]
     ids = [str(i) for i in range(len(queries))]
 
-    if "indexes" in config:
+    if "bm25" in config:
+        # hybrid sparse+dense serving (the reference's BM25-as-index mode,
+        # meerqat/ir/search.py:268-293): {"index": dense_cfg, "bm25":
+        # {"path": saved_index | "kb": dataset, "column": ..., "b", "k1"},
+        # "weights": [dense, bm25], "norm": "gzmuv" | "raw" (+ "stats")}
+        from viquae_tpu.ir.serving import HybridRetrievalPipeline
+        from viquae_tpu.ops import bm25 as bm25_lib
+
+        bcfg = dict(config.pop("bm25"))
+        hyper = {k: bcfg[k] for k in ("k1", "b") if k in bcfg}
+        if "path" in bcfg:
+            bm = bm25_lib.BM25Index.load(bcfg["path"], **hyper)
+        else:
+            from datasets import load_from_disk
+
+            ds = load_from_disk(str(bcfg["kb"]))
+            bm = bm25_lib.BM25Index.build(
+                ds[bcfg.get("column", "passage")], **hyper)
+        index = build_index(config.pop("index"))
+        stats = config.pop("stats", None)
+        pipeline = HybridRetrievalPipeline(
+            embedder, index, bm,
+            weights=tuple(config.pop("weights", (0.7, 0.3))),
+            batch_size=args.batch, k=args.k,
+            norm=config.pop("norm", "gzmuv"),
+            stats=(tuple(tuple(s) for s in stats)
+                   if stats is not None else None),
+        )
+        run = pipeline.run(ids, queries)
+    elif "indexes" in config:
         # late-fusion serving (the reference's dpr+arcface+clip+imagenet
         # configs online): {"indexes": {name: index_cfg}, "weights":
         # {name: w}, "text_index": name, "norm": "gzmuv",
