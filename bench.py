@@ -51,9 +51,8 @@ def r_at_20(idx, ref_idx, n):
 
 
 def _bm25_corpus(n_docs: int, vocab_size: int = 400_000):
-    """Synthetic Zipf passage corpus at KB scale as a BM25Index (CSR built
-    directly in numpy; ~100-token passages like uniform_passages output).
-    The postings are cached on disk — the 1.5M build costs ~2 min of host
+    """Synthetic Zipf passage corpus at KB scale (ops.bm25.synth_zipf_index)
+    with an on-disk postings cache — the 1.5M build costs ~2 min of host
     time once, then loads in seconds."""
     from viquae_tpu.ops import bm25 as bm25_lib
 
@@ -61,25 +60,7 @@ def _bm25_corpus(n_docs: int, vocab_size: int = 400_000):
         os.path.dirname(__file__), ".bench_cache", f"bm25_{n_docs}")
     if os.path.exists(os.path.join(cache, "postings.npz")):
         return bm25_lib.BM25Index.load(cache)
-    rng = np.random.default_rng(0)
-    doc_len = rng.poisson(100, n_docs).clip(20, 220).astype(np.int64)
-    total = int(doc_len.sum())
-    tokens = (rng.zipf(1.2, total).astype(np.int64) - 1) % vocab_size
-    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), doc_len)
-    key = doc_of * vocab_size + tokens
-    key.sort(kind="stable")
-    uniq, tf = np.unique(key, return_counts=True)
-    d = (uniq // vocab_size).astype(np.int32)
-    t = (uniq % vocab_size).astype(np.int64)
-    order = np.argsort(t, kind="stable")
-    counts = np.bincount(t, minlength=vocab_size)
-    offsets = np.zeros(vocab_size + 1, np.int64)
-    np.cumsum(counts, out=offsets[1:])
-    index = bm25_lib.BM25Index(
-        {f"t{i}": i for i in range(vocab_size)}, offsets, d[order],
-        tf[order].astype(np.float32), doc_len.astype(np.float32), n_docs,
-        k1=0.5, b=0.3,
-    )
+    index = bm25_lib.synth_zipf_index(n_docs, vocab_size=vocab_size)
     try:
         index.save(cache)
     except OSError:

@@ -28,30 +28,12 @@ from viquae_tpu.ops import bm25 as bm25_lib  # noqa: E402
 
 def synth_corpus_csr(rng, n_docs: int, vocab_size: int, mean_len: int = 100,
                      zipf_a: float = 1.2):
-    """Directly build term-major CSR postings for a Zipf corpus."""
-    doc_len = rng.poisson(mean_len, n_docs).clip(20, 220).astype(np.int64)
-    total = int(doc_len.sum())
-    # Zipf token stream, truncated into the vocab
-    tokens = (rng.zipf(zipf_a, total).astype(np.int64) - 1) % vocab_size
-    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), doc_len)
-    # collapse duplicates -> (doc, term, tf)
-    key = doc_of * vocab_size + tokens
-    key.sort(kind="stable")
-    uniq, tf = np.unique(key, return_counts=True)
-    d = (uniq // vocab_size).astype(np.int32)
-    t = (uniq % vocab_size).astype(np.int64)
-    # term-major CSR
-    order = np.argsort(t, kind="stable")
-    docs = d[order]
-    tfs = tf[order].astype(np.float32)
-    counts = np.bincount(t, minlength=vocab_size)
-    offsets = np.zeros(vocab_size + 1, np.int64)
-    np.cumsum(counts, out=offsets[1:])
-    vocab = {f"t{i}": i for i in range(vocab_size)}
-    return bm25_lib.BM25Index(
-        vocab, offsets, docs, tfs, doc_len.astype(np.float32), n_docs,
-        k1=0.5, b=0.3,
-    ), tokens
+    """Zipf CSR corpus via the shared builder (ops.bm25.synth_zipf_index);
+    also returns a token stream for the string-path build timing."""
+    index = bm25_lib.synth_zipf_index(
+        n_docs, vocab_size=vocab_size, mean_len=mean_len, zipf_a=zipf_a)
+    tokens = (rng.zipf(zipf_a, 120_000).astype(np.int64) - 1) % vocab_size
+    return index, tokens
 
 
 def main():

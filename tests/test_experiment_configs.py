@@ -229,3 +229,83 @@ def test_freeze_regexes_match_param_paths(devices):
     assert all(not any(f"/layers/{i}/" in p for i in (6, 7, 8, 9, 10, 11))
                for p in trainable)
     assert any("/layers/0/" in p for p in trainable)
+
+
+def test_ir_configs_instantiate_through_searcher(tmp_path, devices):
+    """The corpus search configs must drive the REAL Searcher seam (the
+    code-review found "_mirror" comment keys and legacy normalization
+    blocks crashing every CLI entry point — this pins the fix): load the
+    shipped ir/bm25.json and ir/dpr_search.json, rewire only the kb paths
+    to a tiny on-disk dataset, and run dataset_search end to end."""
+    import numpy as np
+    from datasets import Dataset
+
+    from viquae_tpu.core.config import load_config
+    from viquae_tpu.ir.search import dataset_search
+
+    rng = np.random.default_rng(0)
+    texts = [" ".join(f"w{j}" for j in rng.integers(0, 40, 30))
+             for _ in range(50)]
+    emb = rng.normal(size=(50, 8)).astype(np.float32)
+    Dataset.from_dict({
+        "passage": texts, "DPR_few_shot": emb.tolist(),
+    }).save_to_disk(str(tmp_path / "kb"))
+    queries = {
+        "id": ["q0", "q1"],
+        "input": [texts[3][:40], texts[7][:40]],
+        "output": [{"original_answer": "w1", "answer": ["w1"]},
+                   {"original_answer": "w2", "answer": ["w2"]}],
+        "DPR_few_shot": emb[[3, 7]].tolist(),
+    }
+    Dataset.from_dict(queries).save_to_disk(str(tmp_path / "q"))
+
+    for name in ("bm25.json", "dpr_search.json"):
+        cfg = load_config(CORPUS / "ir" / name)
+        assert not any(k.startswith("_") for k in cfg), cfg.keys()
+        kb_cfg = next(iter(cfg["kb_kwargs"].values()))
+        from datasets import load_from_disk
+
+        report, runs, qrels = dataset_search(
+            load_from_disk(str(tmp_path / "q")), k=5,
+            kb_kwargs={str(tmp_path / "kb"): kb_cfg},
+            reference_kb_path=str(tmp_path / "kb"),
+        )
+        assert len(runs) == 1
+        run = next(iter(runs.values()))
+        assert len(run) == 2
+        # the legacy normalization block is APPLIED (scores are z-scored):
+        # raw BM25 scores are positive; (s - 20.1)/5.85 * 0.3 at toy scale
+        # is strongly negative. Raw DPR dots are O(1); (s - 71.3)/2.17 is
+        # strongly negative too.
+        top_scores = [max(v.values()) for v in run.values() if v]
+        assert top_scores and all(s < 0 for s in top_scores), top_scores
+
+
+def test_legacy_normalization_matches_formula(devices):
+    """Index(normalization=..., interpolation_weight=...) returns
+    w * (s - mean) / std of the raw backend scores."""
+    import numpy as np
+
+    from viquae_tpu.ir.search import KnowledgeBase
+
+    rng = np.random.default_rng(1)
+    texts = [" ".join(f"w{j}" for j in rng.integers(0, 20, 20))
+             for _ in range(30)]
+    kb_plain = KnowledgeBase(
+        kb_path={"passage": texts},
+        index_kwargs={"bm25": {"column": "passage", "kind": "BM25",
+                               "b": 0.3, "k1": 0.5}})
+    kb_norm = KnowledgeBase(
+        kb_path={"passage": texts},
+        index_kwargs={"bm25": {
+            "column": "passage", "kind": "BM25", "b": 0.3, "k1": 0.5,
+            "normalization": {"method": "normalize",
+                              "mean": 2.0, "std": 4.0},
+            "interpolation_weight": 0.3,
+        }})
+    q = ["w1 w2 w3"]
+    s_raw, i_raw = kb_plain.search_batch("bm25", q, k=5)
+    s_n, i_n = kb_norm.search_batch("bm25", q, k=5)
+    assert i_raw == i_n
+    np.testing.assert_allclose(
+        s_n[0], [(s - 2.0) / 4.0 * 0.3 for s in s_raw[0]], rtol=1e-6)

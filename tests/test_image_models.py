@@ -505,43 +505,5 @@ def test_image_towers_bf16_parity():
 
 
 def _synth_modified_resnet_params(mcfg):
-    import torch
-
-    torch.manual_seed(4)
-    sd = {}
-
-    def conv(name, cin, cout, k):
-        sd[f"{name}.weight"] = torch.randn(cout, cin, k, k) * 0.05
-
-    def bn(name, c):
-        sd[f"{name}.weight"] = torch.rand(c) * 0.5 + 0.75
-        sd[f"{name}.bias"] = torch.zeros(c)
-        sd[f"{name}.running_mean"] = torch.randn(c) * 0.1
-        sd[f"{name}.running_var"] = torch.rand(c) * 0.5 + 0.75
-
-    w = mcfg.width
-    conv("visual.conv1", 3, w // 2, 3); bn("visual.bn1", w // 2)
-    conv("visual.conv2", w // 2, w // 2, 3); bn("visual.bn2", w // 2)
-    conv("visual.conv3", w // 2, w, 3); bn("visual.bn3", w)
-    cin = w
-    for stage, n in enumerate(mcfg.stage_sizes):
-        planes = w * 2 ** stage
-        for b in range(n):
-            base = f"visual.layer{stage + 1}.{b}"
-            conv(f"{base}.conv1", cin, planes, 1); bn(f"{base}.bn1", planes)
-            conv(f"{base}.conv2", planes, planes, 3); bn(f"{base}.bn2", planes)
-            conv(f"{base}.conv3", planes, planes * 4, 1)
-            bn(f"{base}.bn3", planes * 4)
-            if b == 0:
-                conv(f"{base}.downsample.1", cin, planes * 4, 1)
-                bn(f"{base}.downsample.2", planes * 4)
-            cin = planes * 4
-    # stem(stride 2) + avgpool + one stride-2 per later stage
-    spacial = mcfg.image_size // (4 * 2 ** (len(mcfg.stage_sizes) - 1))
-    sd["visual.attnpool.positional_embedding"] = (
-        torch.randn(spacial * spacial + 1, cin) * 0.02)
-    for proj, out in (("q_proj", cin), ("k_proj", cin), ("v_proj", cin),
-                      ("c_proj", mcfg.output_dim)):
-        sd[f"visual.attnpool.{proj}.weight"] = torch.randn(out, cin) * 0.02
-        sd[f"visual.attnpool.{proj}.bias"] = torch.zeros(out)
-    return clip_lib.visual_params_from_openai(sd, mcfg)
+    return clip_lib.visual_params_from_openai(
+        clip_lib.random_openai_rn50_state_dict(mcfg), mcfg)

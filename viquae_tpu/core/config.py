@@ -75,12 +75,26 @@ def instantiate_tree(obj: Any) -> Any:
 
 
 def load_config(path) -> dict:
-    """Load a JSON or YAML kwargs-tree."""
+    """Load a JSON or YAML kwargs-tree.
+
+    Dict keys starting with "_" are comments (e.g. the experiment corpus's
+    "_mirror" provenance pointers) and are stripped at every nesting level
+    — configs are literal kwargs trees, so a comment key would otherwise
+    reach a constructor as an unexpected argument."""
     path = Path(path)
     text = path.read_text()
-    if path.suffix in (".yaml", ".yml"):
-        return yaml.safe_load(text)
-    return json.loads(text)
+    config = (yaml.safe_load(text) if path.suffix in (".yaml", ".yml")
+              else json.loads(text))
+
+    def strip(node):
+        if isinstance(node, dict):
+            return {k: strip(v) for k, v in node.items()
+                    if not (isinstance(k, str) and k.startswith("_"))}
+        if isinstance(node, list):
+            return [strip(v) for v in node]
+        return node
+
+    return strip(config)
 
 
 def load_pretrained_in_config(path) -> dict:

@@ -40,14 +40,45 @@ class IndexKind(enum.Enum):
 
 
 class Index:
-    """Metadata + backend handle for one index over a KB column."""
+    """Metadata + backend handle for one index over a KB column.
+
+    `normalization` ({"method": "normalize", "mean", "std"}) and
+    `interpolation_weight` are the reference's committed legacy config
+    semantics (experiments/ir/viquae/bm25/config.json): scores come back
+    as w * (s - mean) / std, so summing runs across indexes reproduces
+    the old ES interpolation. Both default to off (raw scores)."""
 
     def __init__(self, key: str, kind: IndexKind = IndexKind.DENSE,
-                 do_L2norm: bool = False, backend=None):
+                 do_L2norm: bool = False, backend=None,
+                 normalization=None, interpolation_weight=None):
         self.key = key
         self.kind = kind
         self.do_L2norm = do_L2norm
         self.backend = backend
+        if normalization is not None:
+            method = normalization.get("method", "normalize")
+            if method != "normalize":
+                raise ValueError(
+                    f"unsupported score normalization method {method!r}")
+            self.normalization = (float(normalization["mean"]),
+                                  float(normalization["std"]))
+        else:
+            self.normalization = None
+        self.interpolation_weight = (
+            float(interpolation_weight)
+            if interpolation_weight is not None else None)
+
+    def transform_scores(self, scores):
+        """Apply the legacy normalize+weight to one query's score list."""
+        if self.normalization is None and self.interpolation_weight is None:
+            return scores
+        arr = np.asarray(scores, dtype=np.float32)
+        if self.normalization is not None:
+            mean, std = self.normalization
+            arr = (arr - mean) / std
+        if self.interpolation_weight is not None:
+            arr = arr * self.interpolation_weight
+        return arr.tolist()
 
 
 class KnowledgeBase:
@@ -92,6 +123,9 @@ class KnowledgeBase:
             kind = IndexKind[kind]
         index_name = index_name or column
         key = key if key is not None else index_name
+        # legacy score-interpolation config keys (applied at search time)
+        normalization = index_kwargs.pop("normalization", None)
+        interpolation_weight = index_kwargs.pop("interpolation_weight", None)
         if kind == IndexKind.DENSE:
             backend = None
             if column is not None:
@@ -119,7 +153,9 @@ class KnowledgeBase:
             else:
                 do_l2norm_q = False
             self.indexes[index_name] = Index(
-                key=key, kind=kind, do_L2norm=do_l2norm_q, backend=backend
+                key=key, kind=kind, do_L2norm=do_l2norm_q, backend=backend,
+                normalization=normalization,
+                interpolation_weight=interpolation_weight,
             )
         elif kind == IndexKind.BM25:
             backend = None
@@ -137,7 +173,9 @@ class KnowledgeBase:
                     if save_path:
                         backend.save(save_path)
             self.indexes[index_name] = Index(
-                key=key, kind=kind, do_L2norm=False, backend=backend
+                key=key, kind=kind, do_L2norm=False, backend=backend,
+                normalization=normalization,
+                interpolation_weight=interpolation_weight,
             )
         else:
             raise ValueError(f"Unknown index kind {kind}")
@@ -149,8 +187,14 @@ class KnowledgeBase:
         if index.kind == IndexKind.DENSE:
             queries = np.asarray(queries, dtype=np.float32)
             scores, indices = index.backend.search_batch(queries, k=k)
-            return scores.tolist(), indices.tolist()
-        return index.backend.search_batch(list(queries), k=k)
+            scores_batch, indices_batch = scores.tolist(), indices.tolist()
+        else:
+            scores_batch, indices_batch = index.backend.search_batch(
+                list(queries), k=k)
+        if (index.normalization is not None
+                or index.interpolation_weight is not None):
+            scores_batch = [index.transform_scores(s) for s in scores_batch]
+        return scores_batch, indices_batch
 
     def search_batch_if_not_None(self, index_name, queries, k: int = 100):
         """None-query masking (parity ir/search.py:148-171)."""

@@ -293,10 +293,15 @@ def crop_resize(image: jnp.ndarray, boxes: jnp.ndarray, out: int
 
     wy = weight_mat(boxes[:, 1], boxes[:, 3], h)
     wx = weight_mat(boxes[:, 0], boxes[:, 2], w)
+    # precision=HIGHEST: TPU f32 matmuls otherwise truncate inputs to one
+    # bf16 pass (CLAUDE.md) — 0-255 pixels would drift ~0.5/px and flip
+    # borderline RNet/ONet threshold decisions vs the CPU test platform
     tmp = jnp.einsum("kih,hwc->kiwc", wy, image,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
     return jnp.einsum("kiwc,kjw->kijc", tmp, wx,
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def _normalize(x):

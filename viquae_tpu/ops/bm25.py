@@ -260,3 +260,33 @@ class BM25Index:
         if hyper:
             idx.set_hyperparameters(**hyper)
         return idx
+
+
+def synth_zipf_index(n_docs: int, vocab_size: int = 400_000,
+                     mean_len: int = 100, zipf_a: float = 1.2,
+                     k1: float = 0.5, b: float = 0.3,
+                     seed: int = 0) -> "BM25Index":
+    """Synthesize a Zipf passage corpus DIRECTLY into term-major CSR
+    postings (benchmark scaffolding: bench.py + scripts/bm25_bench.py use
+    the same builder; `uniform_passages`-shaped ~100-token docs). Stable
+    sorts keep per-term doc ids ASCENDING — the MaxScore scorer's binary
+    probes require it."""
+    rng = np.random.default_rng(seed)
+    doc_len = rng.poisson(mean_len, n_docs).clip(20, 220).astype(np.int64)
+    total = int(doc_len.sum())
+    tokens = (rng.zipf(zipf_a, total).astype(np.int64) - 1) % vocab_size
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), doc_len)
+    key = doc_of * vocab_size + tokens
+    key.sort(kind="stable")
+    uniq, tf = np.unique(key, return_counts=True)
+    d = (uniq // vocab_size).astype(np.int32)
+    t = (uniq % vocab_size).astype(np.int64)
+    order = np.argsort(t, kind="stable")
+    counts = np.bincount(t, minlength=vocab_size)
+    offsets = np.zeros(vocab_size + 1, np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    return BM25Index(
+        {f"t{i}": i for i in range(vocab_size)}, offsets, d[order],
+        tf[order].astype(np.float32), doc_len.astype(np.float32), n_docs,
+        k1=k1, b=b,
+    )
