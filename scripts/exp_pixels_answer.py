@@ -103,7 +103,7 @@ def main():
         arcface.init(jax.random.fold_in(key, 4), arcface.ArcFaceConfig()),
         mtcnn_cfg=mtcnn.MTCNNConfig(canvas=256, min_face_size=20,
                                     thresholds=(0.5, 0.5, 0.5)),
-        batch_size=16)
+        batch_size=64)
 
     # ---- indexes (one doc-id space) -------------------------------------
     def kbmat(seed, n, d):

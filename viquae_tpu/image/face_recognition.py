@@ -149,33 +149,52 @@ class FaceQueryEncoder:
             arcface_params, cfg=arcface_cfg, max_n_faces=1,
             batch_size=batch_size)
         self.dim = self.embedder.cfg.embedding_size
+        size = self.embedder.cfg.image_size
+        # batched align: ONE dispatch per serving batch. Per-image _align
+        # calls cost ~80 ms EACH over a tunneled link (a 256-query batch
+        # spent 21.5 s/batch on them — scripts/exp_pixels_answer.py round-3
+        # decomposition); images share the detector's canvas shape so the
+        # whole batch vmaps.
+        self._align_batch = jax.jit(jax.vmap(
+            lambda im, lm: align_face(im, lm, size)))
 
     def __call__(self, pil_images) -> np.ndarray:
         probs, boxes, landmarks = self.detector.detect_batch(pil_images)
         out = np.full((len(pil_images), self.dim), np.nan, np.float32)
-        crops, owners = [], []
+        side = self.detector.cfg.canvas
+        canvases, lms, owners = [], [], []
         for i, img in enumerate(pil_images):
             if img is None or landmarks[i] is None:
                 continue
             best = int(np.argmax(probs[i]))  # reference: most probable
-            arr = jnp.asarray(
-                np.asarray(img.convert("RGB"), dtype=np.float32))
-            lm = jnp.asarray(np.asarray(landmarks[i][best], np.float32))
-            crops.append(np.asarray(self.embedder._align(arr, lm)))
+            rgb = img.convert("RGB")
+            w, h = rgb.size
+            # same geometry as the detector: scale onto the fixed canvas
+            # (landmarks come back in ORIGINAL coords; rescale to match)
+            scale = min(1.0, side / max(w, h))
+            if scale < 1.0:
+                rgb = rgb.resize((int(w * scale), int(h * scale)))
+            arr = np.asarray(rgb, dtype=np.float32)
+            canvas = np.zeros((side, side, 3), np.float32)
+            canvas[: arr.shape[0], : arr.shape[1]] = arr
+            canvases.append(canvas)
+            lms.append(np.asarray(landmarks[i][best], np.float32) * scale)
             owners.append(i)
-        if not crops:
+        if not canvases:
             return out
-        arr = np.stack(crops)
         bs = self.embedder.batch_size
         embs = []
-        for start in range(0, len(arr), bs):
-            chunk = arr[start: start + bs]
-            pad = bs - len(chunk)
+        for start in range(0, len(canvases), bs):
+            imgs = canvases[start: start + bs]
+            marks = lms[start: start + bs]
+            pad = bs - len(imgs)
             if pad:
-                chunk = np.concatenate(
-                    [chunk, np.zeros((pad,) + chunk.shape[1:], np.float32)])
+                imgs = imgs + [np.zeros((side, side, 3), np.float32)] * pad
+                marks = marks + [np.full((5, 2), 10.0, np.float32)] * pad
+            crops = self._align_batch(
+                jnp.asarray(np.stack(imgs)), jnp.asarray(np.stack(marks)))
             embs.append(np.asarray(
-                self.embedder._embed(self.embedder.params,
-                                     jnp.asarray(chunk)))[: bs - pad])
+                self.embedder._embed(self.embedder.params, crops)
+            )[: bs - pad])
         out[np.asarray(owners)] = np.concatenate(embs)
         return out
