@@ -689,10 +689,23 @@ def main():
 
 
 if __name__ == "__main__":
+    import signal
+
+    def _alarm(signum, frame):
+        raise TimeoutError("bench watchdog: no completion within budget")
+
+    # the tunnel occasionally HANGS a dispatch outright (15+ min, zero
+    # output — CLAUDE.md round-2 notes); convert that into the same
+    # retry path as transient INTERNAL errors instead of losing the run
+    signal.signal(signal.SIGALRM, _alarm)
     try:
+        signal.alarm(2400)
         main()
+        signal.alarm(0)
     except Exception as e:  # noqa: BLE001
-        # the tunneled TPU occasionally throws a transient INTERNAL error on
-        # a fresh process; one retry reliably clears it
+        # transient INTERNAL on a fresh process / watchdog timeout:
+        # one retry reliably clears it
         print(f"bench attempt 1 failed ({e!r}); retrying once", file=sys.stderr)
+        signal.alarm(2400)
         main()
+        signal.alarm(0)

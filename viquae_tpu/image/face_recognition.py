@@ -140,61 +140,84 @@ class FaceQueryEncoder:
     def __init__(self, mtcnn_params, arcface_params,
                  mtcnn_cfg=None, arcface_cfg: Optional[
                      arcface.ArcFaceConfig] = None,
-                 batch_size: int = 16):
-        from viquae_tpu.image.face_detection import FaceDetector
+                 batch_size: int = 64):
+        from viquae_tpu.models import mtcnn as mtcnn_lib
 
-        self.detector = FaceDetector(
-            mtcnn_params, cfg=mtcnn_cfg, batch_size=batch_size)
+        self.mtcnn_params = mtcnn_params
+        self.mtcnn_cfg = mtcnn_cfg or mtcnn_lib.MTCNNConfig()
         self.embedder = FaceEmbedder(
             arcface_params, cfg=arcface_cfg, max_n_faces=1,
             batch_size=batch_size)
+        self.batch_size = batch_size
         self.dim = self.embedder.cfg.embedding_size
-        size = self.embedder.cfg.image_size
-        # batched align: ONE dispatch per serving batch. Per-image _align
-        # calls cost ~80 ms EACH over a tunneled link (a 256-query batch
-        # spent 21.5 s/batch on them — scripts/exp_pixels_answer.py round-3
-        # decomposition); images share the detector's canvas shape so the
-        # whole batch vmaps.
-        self._align_batch = jax.jit(jax.vmap(
-            lambda im, lm: align_face(im, lm, size)))
+        m_cfg = self.mtcnn_cfg
+        a_cfg = self.embedder.cfg
+        size = a_cfg.image_size
+
+        # The whole face leg is ONE device program per sub-batch over ONE
+        # uint8 canvas upload: detect -> pick the most-probable valid face
+        # -> align (canvas coords) -> ArcFace. Round-3 decompositions
+        # (scripts/exp_pixels_answer.py): per-face align dispatches cost
+        # ~80 ms EACH over the tunneled link, and float32 canvases put
+        # ~400 MB/batch on a ~13 MB/s wire — uint8 + one dispatch is 4x
+        # fewer bytes and ~100x fewer round trips.
+        @jax.jit
+        def face_program(m_params, a_params, canvases_u8, hws):
+            imgs = canvases_u8.astype(jnp.float32)
+            det = mtcnn_lib.detect_faces_batch(m_params, imgs, hws, m_cfg)
+            probs = jnp.where(det["valid"], det["probs"], -jnp.inf)
+            best = jnp.argmax(probs, axis=1)
+            has = jnp.take_along_axis(det["valid"], best[:, None], 1)[:, 0]
+            lms = jnp.take_along_axis(
+                det["landmarks"], best[:, None, None, None], 1)[:, 0]
+            crops = jax.vmap(
+                lambda im, lm: align_face(im, lm, size))(imgs, lms)
+            x = image_ops.normalize(
+                crops / 255.0, image_ops.FACE_MEAN, image_ops.FACE_STD)
+            return arcface.apply(a_params, a_cfg, x), has
+
+        self._face_program = face_program
 
     def __call__(self, pil_images) -> np.ndarray:
-        probs, boxes, landmarks = self.detector.detect_batch(pil_images)
+        side = self.mtcnn_cfg.canvas
         out = np.full((len(pil_images), self.dim), np.nan, np.float32)
-        side = self.detector.cfg.canvas
-        canvases, lms, owners = [], [], []
+        canvases, hws, owners = [], [], []
         for i, img in enumerate(pil_images):
-            if img is None or landmarks[i] is None:
+            if img is None:
                 continue
-            best = int(np.argmax(probs[i]))  # reference: most probable
             rgb = img.convert("RGB")
             w, h = rgb.size
-            # same geometry as the detector: scale onto the fixed canvas
-            # (landmarks come back in ORIGINAL coords; rescale to match)
+            if min(w, h) < self.mtcnn_cfg.min_face_size:
+                continue  # parity: too-small images keep None
             scale = min(1.0, side / max(w, h))
             if scale < 1.0:
                 rgb = rgb.resize((int(w * scale), int(h * scale)))
-            arr = np.asarray(rgb, dtype=np.float32)
-            canvas = np.zeros((side, side, 3), np.float32)
+            arr = np.asarray(rgb, dtype=np.uint8)
+            canvas = np.zeros((side, side, 3), np.uint8)
             canvas[: arr.shape[0], : arr.shape[1]] = arr
             canvases.append(canvas)
-            lms.append(np.asarray(landmarks[i][best], np.float32) * scale)
+            hws.append((arr.shape[0], arr.shape[1]))
             owners.append(i)
         if not canvases:
             return out
-        bs = self.embedder.batch_size
-        embs = []
+        bs = self.batch_size
+        embs, present = [], []
         for start in range(0, len(canvases), bs):
             imgs = canvases[start: start + bs]
-            marks = lms[start: start + bs]
-            pad = bs - len(imgs)
+            hw = hws[start: start + bs]
+            n_real = len(imgs)
+            pad = bs - n_real
             if pad:
-                imgs = imgs + [np.zeros((side, side, 3), np.float32)] * pad
-                marks = marks + [np.full((5, 2), 10.0, np.float32)] * pad
-            crops = self._align_batch(
-                jnp.asarray(np.stack(imgs)), jnp.asarray(np.stack(marks)))
-            embs.append(np.asarray(
-                self.embedder._embed(self.embedder.params, crops)
-            )[: bs - pad])
-        out[np.asarray(owners)] = np.concatenate(embs)
+                imgs = imgs + [np.zeros((side, side, 3), np.uint8)] * pad
+                hw = hw + [(side, side)] * pad
+            emb, has = self._face_program(
+                self.mtcnn_params, self.embedder.params,
+                jnp.asarray(np.stack(imgs)),
+                jnp.asarray(np.asarray(hw, np.float32)))
+            embs.append(np.asarray(emb)[:n_real])
+            present.append(np.asarray(has)[:n_real])
+        embs = np.concatenate(embs)
+        present = np.concatenate(present)
+        owners = np.asarray(owners)
+        out[owners[present]] = embs[present]
         return out
