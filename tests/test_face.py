@@ -664,3 +664,50 @@ def test_cascade_matches_reference_implementation():
                                ref_boxes[order_ref], atol=0.05)
     np.testing.assert_allclose(np.sort(got_probs), np.sort(ref_probs),
                                atol=1e-4)
+
+
+def test_nms_early_exit_and_max_keep_exact():
+    """The while_loop NMS must keep exactly the same set as an exhaustive
+    greedy loop, and max_keep=N must equal taking the N best survivors
+    (greedy keeps in descending score order)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    for trial in range(5):
+        kk = 64
+        boxes = rng.uniform(0, 100, (kk, 4)).astype(np.float32)
+        boxes[:, 2:] = boxes[:, :2] + rng.uniform(5, 30, (kk, 2))
+        scores = rng.uniform(0, 1, kk).astype(np.float32)
+        valid = rng.random(kk) < 0.7
+
+        def exhaustive(boxes, scores, valid, thr):
+            ious = np.asarray(mtcnn.iou_matrix(jnp.asarray(boxes)))
+            s = np.where(valid, scores, -np.inf)
+            keep = np.zeros(kk, bool)
+            alive = valid.copy()
+            for _ in range(kk):
+                best = int(np.argmax(s))
+                if s[best] == -np.inf:
+                    break
+                keep[best] = True
+                alive &= ~(ious[best] > thr)
+                alive[best] = False
+                s = np.where(alive, np.where(valid, scores, -np.inf), -np.inf)
+            return keep & valid
+
+        ref = exhaustive(boxes, scores, valid, 0.5)
+        got = np.asarray(mtcnn.nms_fixed(
+            jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid),
+            0.5))
+        np.testing.assert_array_equal(got, ref), trial
+
+        # max_keep=N == the N highest-scoring survivors of the full run
+        n = int(rng.integers(1, 8))
+        capped = np.asarray(mtcnn.nms_fixed(
+            jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid),
+            0.5, max_keep=n))
+        surv = np.nonzero(ref)[0]
+        top_n = surv[np.argsort(-scores[surv], kind="stable")][:n]
+        expect = np.zeros(kk, bool)
+        expect[top_n] = True
+        np.testing.assert_array_equal(capped, expect), (trial, n)

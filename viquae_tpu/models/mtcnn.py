@@ -224,26 +224,39 @@ def iou_matrix(boxes: jnp.ndarray, mode: str = "union") -> jnp.ndarray:
 
 
 def nms_fixed(boxes: jnp.ndarray, scores: jnp.ndarray, valid: jnp.ndarray,
-              iou_threshold: float, mode: str = "union") -> jnp.ndarray:
-    """Greedy NMS with static shapes: returns a keep mask (K,)."""
+              iou_threshold: float, mode: str = "union",
+              max_keep: Optional[int] = None) -> jnp.ndarray:
+    """Greedy NMS with static shapes: returns a keep mask (K,).
+
+    Early-exits when no live candidate remains — each iteration keeps
+    exactly one box, so on real images (few faces survive the score
+    threshold) the loop runs ~#keeps times instead of a fixed K (the
+    sequential K-iteration loops were most of the cascade's stage-1 time).
+    `max_keep` bounds the keeps EXACTLY when the caller only consumes the
+    top-N survivors afterward: greedy NMS keeps boxes in descending score
+    order, so the first N keeps ARE the top-N survivors."""
     k = boxes.shape[0]
+    cap = k if max_keep is None else min(int(max_keep), k)
     ious = iou_matrix(boxes, mode)
     masked_scores = jnp.where(valid, scores, NEG_INF)
 
-    def body(_, state):
-        keep, alive, s = state
+    def cond(state):
+        _, _, s, n = state
+        return (n < cap) & jnp.any(s > NEG_INF)
+
+    def body(state):
+        keep, alive, s, n = state
         best = jnp.argmax(s)
-        best_alive = s[best] > NEG_INF
-        keep = keep.at[best].set(best_alive | keep[best])
-        suppress = (ious[best] > iou_threshold) & best_alive
+        keep = keep.at[best].set(True)
+        suppress = ious[best] > iou_threshold
         alive = alive & ~suppress
         alive = alive.at[best].set(False)
         s = jnp.where(alive, jnp.where(valid, scores, NEG_INF), NEG_INF)
-        return keep, alive, s
+        return keep, alive, s, n + 1
 
-    keep, _, _ = jax.lax.fori_loop(
-        0, k, body,
-        (jnp.zeros(k, bool), valid, masked_scores),
+    keep, _, _, _ = jax.lax.while_loop(
+        cond, body,
+        (jnp.zeros(k, bool), valid, masked_scores, jnp.int32(0)),
     )
     return keep & valid
 
@@ -387,7 +400,7 @@ def detect_faces(
     regs = jnp.concatenate(all_reg)
     valid = jnp.concatenate(all_valid)
     # cross-scale NMS 0.7, keep top k_stage1
-    keep = nms_fixed(boxes, scores, valid, 0.7)
+    keep = nms_fixed(boxes, scores, valid, 0.7, max_keep=cfg.k_stage1)
     sel_scores, sel = jax.lax.top_k(jnp.where(keep, scores, NEG_INF), cfg.k_stage1)
     boxes, regs = boxes[sel], regs[sel]
     valid = sel_scores > NEG_INF
@@ -397,7 +410,7 @@ def detect_faces(
     crops = crop_resize(image, boxes, 24)
     probs, reg = rnet_apply(params["rnet"], _normalize(crops))
     valid &= probs >= cfg.thresholds[1]
-    keep = nms_fixed(boxes, probs, valid, 0.7)
+    keep = nms_fixed(boxes, probs, valid, 0.7, max_keep=cfg.k_stage2)
     sel_scores, sel = jax.lax.top_k(jnp.where(keep, probs, NEG_INF), cfg.k_stage2)
     boxes, reg = boxes[sel], reg[sel]
     valid = sel_scores > NEG_INF
@@ -415,7 +428,8 @@ def detect_faces(
     lm_y = boxes[:, 1:2] + lm[:, 5:10] * h
     landmarks = jnp.stack([lm_x, lm_y], axis=-1)  # (K, 5, 2)
     boxes = calibrate(boxes, reg3)
-    keep = nms_fixed(boxes, probs3, valid, 0.7, mode="min")
+    keep = nms_fixed(boxes, probs3, valid, 0.7, mode="min",
+                     max_keep=cfg.max_faces)
     sel_scores, sel = jax.lax.top_k(
         jnp.where(keep, probs3, NEG_INF), cfg.max_faces
     )
