@@ -593,3 +593,65 @@ def test_cli_serve_hybrid(tmp_path, capsys):
     run = json.loads((tmp_path / "run.json").read_text())
     assert len(run) == 9
     assert all(len(v) == 5 for v in run.values())
+
+
+def test_cli_answer_hybrid(tmp_path, capsys, devices):
+    """`answer` with a "bm25" block: hybrid sparse+dense retrieval in
+    front of the packed reader, from one config."""
+    import json
+
+    from datasets import Dataset
+    from transformers import BertTokenizerFast
+
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + [
+        f"w{i}" for i in range(30)
+    ]
+    tok_dir = tmp_path / "tok"
+    tok_dir.mkdir()
+    (tok_dir / "vocab.txt").write_text("\n".join(vocab))
+    BertTokenizerFast(
+        vocab_file=str(tok_dir / "vocab.txt"), do_lower_case=True
+    ).save_pretrained(tok_dir)
+
+    rng = np.random.default_rng(0)
+    texts = [" ".join(f"w{j}" for j in rng.integers(0, 30, 8))
+             for _ in range(40)]
+    Dataset.from_dict({
+        "passage": texts,
+        "embedding": rng.standard_normal((40, 16)).astype(np.float32).tolist(),
+    }).save_to_disk(str(tmp_path / "kb"))
+
+    bcfg = dict(vocab_size=40, hidden_size=16, num_hidden_layers=1,
+                num_attention_heads=2, intermediate_size=32,
+                max_position_embeddings=64, add_pooler=False)
+    config = {
+        "model": {"class_name": "DPREncoder", "bert_config": bcfg},
+        "tokenizer": str(tok_dir),
+        "row_len": 16,
+        "index": {"dataset": str(tmp_path / "kb"), "column": "embedding",
+                  "mode": "global"},
+        "bm25": {"kb": str(tmp_path / "kb"), "column": "passage",
+                 "b": 0.3, "k1": 0.5},
+        "weights": [0.7, 0.3],
+        "reader": {"class_name": "MultiPassageBERTReader",
+                   "bert_config": {k: v for k, v in bcfg.items()
+                                   if k != "add_pooler"}},
+        "passages": str(tmp_path / "kb"),
+        "reader_seq": 48,
+        "questions_per_step": 4,
+        "packed_reader": True,
+    }
+    (tmp_path / "answer.json").write_text(json.dumps(config))
+    queries = [f"w{i} w{i + 1} w{i + 2}" for i in range(9)]
+    (tmp_path / "queries.txt").write_text("\n".join(queries))
+
+    cli_main([
+        "answer", str(tmp_path / "queries.txt"),
+        str(tmp_path / "answer.json"), str(tmp_path / "answers.json"),
+        "--m-passages", "3", "--batch", "4",
+    ])
+    out = json.loads(capsys.readouterr().out)
+    assert out["queries"] == 9
+    results = json.loads((tmp_path / "answers.json").read_text())
+    assert len(results) == 9
+    assert all(r["answer"] is not None for r in results)

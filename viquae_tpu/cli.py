@@ -294,7 +294,32 @@ def cmd_answer(args):
         row_len=config.pop("row_len", 64), batch_size=args.batch,
     )
     run_kwargs = {}
-    if "indexes" in config:
+    if "bm25" in config:
+        # hybrid sparse+dense retrieval feeding the reader (same "bm25"
+        # schema as `serve`)
+        from viquae_tpu.ir.serving import HybridRetrievalPipeline
+        from viquae_tpu.ops import bm25 as bm25_lib
+
+        bcfg = dict(config.pop("bm25"))
+        hyper = {k: bcfg[k] for k in ("k1", "b") if k in bcfg}
+        if "path" in bcfg:
+            bm = bm25_lib.BM25Index.load(bcfg["path"], **hyper)
+        else:
+            ds = load_from_disk(str(bcfg["kb"]))
+            bm = bm25_lib.BM25Index.build(
+                ds[bcfg.get("column", "passage")], **hyper)
+        index = _build_dense_index(config.pop("index"),
+                                   default_mode="fused")
+        stats = config.pop("stats", None)
+        retrieval = HybridRetrievalPipeline(
+            embedder, index, bm,
+            weights=tuple(config.pop("weights", (0.7, 0.3))),
+            batch_size=args.batch, k=args.m_passages,
+            norm=config.pop("norm", "gzmuv"),
+            stats=(tuple(tuple(s) for s in stats)
+                   if stats is not None else None),
+        )
+    elif "indexes" in config:
         # late-fusion retrieval feeding the reader (the reference's best
         # config end to end): same schema as the `serve` fusion config
         from viquae_tpu.ir.serving import MultiIndexRetrievalPipeline
