@@ -43,6 +43,8 @@ def test_corpus_covers_reference_tree():
         "ir/bm25.json", "ir/hp_bm25.json", "ir/dpr_search.json",
         "ir/dpr_questions.json", "ir/dpr_passages.json", "ir/clip.json",
         "ir/eca_embedding.json", "ir/ilf_embedding.json",
+        "ir/eca_embedding_kb.json", "ir/ilf_embedding_kb.json",
+        "ir/clip_article.json",
         "ir/fusion/dpr+clip.json", "ir/fusion/dpr+clip-cross-modal.json",
         "ir/fusion/dpr+arcface+clip+imagenet.json",
         "ir/fusion/bm25+arcface+clip+imagenet.json",
