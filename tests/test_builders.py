@@ -373,6 +373,10 @@ def test_bem_scoring_offline(bert_tokenizer):
 # meerqat/data/kilt2vqa.py:157-227)
 NER_FIXTURE = [
     ("Who wrote the opera Carmen?", "the opera Carmen"),
+    # the reference's own pobj-leaf example (meerqat/data/kilt2vqa.py:205)
+    # — quotes must balance in the extracted span
+    ("Who wrote the poem \u2018The Lady of the Lake\u2019?",
+     "the poem \u2018The Lady of the Lake\u2019"),
     ("In which country is the Great Barrier Reef?", "the Great Barrier Reef"),
     ("Who painted the Mona Lisa?", "the Mona Lisa"),
     ("What is the capital of Portugal?", "Portugal"),
@@ -389,7 +393,8 @@ NER_FIXTURE = [
     ("Who composed the ballet Swan Lake?", "the ballet Swan Lake"),
 ]
 GAZ_TITLES = [
-    "Carmen", "Great Barrier Reef", "Mona Lisa", "Portugal", "Casablanca",
+    "Carmen", "The Lady of the Lake",
+    "Great Barrier Reef", "Mona Lisa", "Portugal", "Casablanca",
     "Microsoft", "Elvis Presley", "Paris", "Jaws", "Louis Armstrong",
     "Super Bowl", "War and Peace", "Mount Everest", "England", "Swan Lake",
     "The Beatles", "Albert Einstein",  # distractors

@@ -114,7 +114,10 @@ class GazetteerNER:
     spaCy `ner_fn` on a data-prep host for full parity.
     """
 
-    _WORD = re.compile(r"[\w'’]+")
+    # apostrophes join a word only BETWEEN word chars (possessives,
+    # contractions, O'Brien) — a trailing ' or ’ is a closing quote and
+    # must not leak into the span ("...the poem ‘The Lady of the Lake’?")
+    _WORD = re.compile(r"\w+(?:['’]\w+)*")
     _DETERMINERS = {"the", "this", "that", "his", "her", "its", "their"}
     # a preposition boundary ends the determiner phrase: in "the capital of
     # Portugal" the entity's syntactic children do NOT include "the capital"
@@ -179,6 +182,16 @@ class GazetteerNER:
                 if (j >= 0 and first - j <= 3
                         and tokens[j][0].lower() in self._DETERMINERS):
                     start = tokens[j][1]
+            # balance quotes: if the span swallowed an OPENING quote
+            # ("the poem ‘The Lady of the Lake’") extend over the closing
+            # one so the placeholder doesn't leave a dangling quote —
+            # the reference's dep-parse children include both quote tokens
+            # (meerqat/data/kilt2vqa.py:205)
+            for open_q, close_q in (("'", "'"), ("‘", "’"), ('"', '"')):
+                if (end < len(text) and text[end] == close_q
+                        and open_q in text[start:end]):
+                    end += 1
+                    break
             spans.append((text[start:end], start, end,
                           self.entries[tuple(lower[first: last + 1])]))
             i = last + 1
