@@ -689,23 +689,27 @@ def main():
 
 
 if __name__ == "__main__":
-    import signal
-
-    def _alarm(signum, frame):
-        raise TimeoutError("bench watchdog: no completion within budget")
+    import threading
 
     # the tunnel occasionally HANGS a dispatch outright (15+ min, zero
-    # output — CLAUDE.md round-2 notes); convert that into the same
-    # retry path as transient INTERNAL errors instead of losing the run
-    signal.signal(signal.SIGALRM, _alarm)
+    # output, 0% CPU — CLAUDE.md round-2 notes). That hang blocks inside
+    # the native PJRT client, where a SIGALRM python handler would never
+    # run; a daemon watchdog THREAD force-exits instead so the driver sees
+    # a fast failure rather than a lost run.
+    def _watchdog():
+        print("bench watchdog: no completion within budget; exiting",
+              file=sys.stderr)
+        sys.stderr.flush()
+        os._exit(3)
+
+    timer = threading.Timer(2700, _watchdog)
+    timer.daemon = True
+    timer.start()
     try:
-        signal.alarm(2400)
         main()
-        signal.alarm(0)
     except Exception as e:  # noqa: BLE001
-        # transient INTERNAL on a fresh process / watchdog timeout:
-        # one retry reliably clears it
+        # the tunneled TPU occasionally throws a transient INTERNAL error
+        # on a fresh process; one retry reliably clears it
         print(f"bench attempt 1 failed ({e!r}); retrying once", file=sys.stderr)
-        signal.alarm(2400)
         main()
-        signal.alarm(0)
+    timer.cancel()

@@ -699,7 +699,7 @@ def test_nms_early_exit_and_max_keep_exact():
         got = np.asarray(mtcnn.nms_fixed(
             jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid),
             0.5))
-        np.testing.assert_array_equal(got, ref), trial
+        np.testing.assert_array_equal(got, ref, err_msg=str(trial))
 
         # max_keep=N == the N highest-scoring survivors of the full run
         n = int(rng.integers(1, 8))
@@ -710,4 +710,58 @@ def test_nms_early_exit_and_max_keep_exact():
         top_n = surv[np.argsort(-scores[surv], kind="stable")][:n]
         expect = np.zeros(kk, bool)
         expect[top_n] = True
-        np.testing.assert_array_equal(capped, expect), (trial, n)
+        np.testing.assert_array_equal(capped, expect,
+                              err_msg=str((trial, n)))
+
+
+def test_face_query_encoder_matches_dataset_stages():
+    """The ONLINE face leg must produce the same embeddings as the
+    dataset stages (FaceDetector -> most-probable face -> FaceEmbedder
+    align at ORIGINAL resolution) — including images LARGER than the
+    detection canvas, where the fused canvas-resolution crop would
+    silently change the embedding (round-3 review finding)."""
+    from PIL import Image
+
+    from viquae_tpu.image.face_detection import FaceDetector
+    from viquae_tpu.image.face_recognition import (FaceEmbedder,
+                                                   FaceQueryEncoder)
+    from viquae_tpu.models import arcface
+
+    rng = np.random.default_rng(4)
+    acfg = arcface.ArcFaceConfig(stage_sizes=(1, 1, 1, 1), width=8,
+                                 embedding_size=16)
+    m_params = mtcnn.init(jax.random.key(3))
+    a_params = arcface.init(jax.random.key(4), acfg)
+    mcfg = mtcnn.MTCNNConfig(canvas=64, min_face_size=20,
+                             thresholds=(0.05, 0.05, 0.05))
+    images = [
+        Image.fromarray(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)),
+        # LARGER than the canvas: must take the full-resolution path
+        Image.fromarray(rng.integers(0, 255, (128, 96, 3), dtype=np.uint8)),
+        None,
+        Image.fromarray(rng.integers(0, 255, (48, 64, 3), dtype=np.uint8)),
+    ]
+    encoder = FaceQueryEncoder(m_params, a_params, mtcnn_cfg=mcfg,
+                               arcface_cfg=acfg, batch_size=4)
+    online = encoder(images)
+
+    # ---- dataset-stage reference -------------------------------------
+    detector = FaceDetector(m_params, cfg=mcfg, batch_size=4)
+    embedder = FaceEmbedder(a_params, cfg=acfg, max_n_faces=1)
+    probs, boxes, landmarks = detector.detect_batch(images)
+    for i, img in enumerate(images):
+        if img is None or landmarks[i] is None:
+            assert np.isnan(online[i]).all(), i
+            continue
+        best = int(np.argmax(probs[i]))
+        arr = jnp.asarray(np.asarray(img.convert("RGB"), np.float32))
+        crop = embedder._align(
+            arr, jnp.asarray(np.asarray(landmarks[i][best], np.float32)))
+        pad = np.zeros((4, acfg.image_size, acfg.image_size, 3), np.float32)
+        pad[0] = np.asarray(crop)
+        ref = np.asarray(embedder._embed(a_params, jnp.asarray(pad)))[0]
+        assert np.isfinite(online[i]).all(), i
+        np.testing.assert_allclose(online[i], ref, rtol=2e-3, atol=2e-3)
+    # the oversized image really was detected (otherwise the full-res
+    # branch went untested)
+    assert landmarks[1] is not None and np.isfinite(online[1]).all()

@@ -178,6 +178,38 @@ def _build_dense_index(index_cfg, default_mode="global"):
     )
 
 
+
+def _build_hybrid_pipeline(config, embedder, batch_size, k,
+                           default_mode="fused"):
+    """Shared `serve`/`answer` hybrid construction: a "bm25" block names a
+    saved index dir or a dataset column; dense index + weights + norm as in
+    the serve schema (consumes the relevant keys from `config`)."""
+    from datasets import load_from_disk
+
+    from viquae_tpu.ir.serving import HybridRetrievalPipeline
+    from viquae_tpu.ops import bm25 as bm25_lib
+
+    bcfg = dict(config.pop("bm25"))
+    hyper = {key: bcfg[key] for key in ("k1", "b") if key in bcfg}
+    if "path" in bcfg:
+        bm = bm25_lib.BM25Index.load(bcfg["path"], **hyper)
+    else:
+        ds = load_from_disk(str(bcfg["kb"]))
+        bm = bm25_lib.BM25Index.build(
+            ds[bcfg.get("column", "passage")], **hyper)
+    index = _build_dense_index(config.pop("index"),
+                               default_mode=default_mode)
+    stats = config.pop("stats", None)
+    return HybridRetrievalPipeline(
+        embedder, index, bm,
+        weights=tuple(config.pop("weights", (0.7, 0.3))),
+        batch_size=batch_size, k=k,
+        norm=config.pop("norm", "gzmuv"),
+        stats=(tuple(tuple(pair) for pair in stats)
+               if stats is not None else None),
+    )
+
+
 def cmd_serve(args):
     """Streaming retrieval over a query file (one query per line) with the
     fused packed pipeline; writes a ranx-format run JSON."""
@@ -213,29 +245,8 @@ def cmd_serve(args):
         # meerqat/ir/search.py:268-293): {"index": dense_cfg, "bm25":
         # {"path": saved_index | "kb": dataset, "column": ..., "b", "k1"},
         # "weights": [dense, bm25], "norm": "gzmuv" | "raw" (+ "stats")}
-        from viquae_tpu.ir.serving import HybridRetrievalPipeline
-        from viquae_tpu.ops import bm25 as bm25_lib
-
-        bcfg = dict(config.pop("bm25"))
-        hyper = {k: bcfg[k] for k in ("k1", "b") if k in bcfg}
-        if "path" in bcfg:
-            bm = bm25_lib.BM25Index.load(bcfg["path"], **hyper)
-        else:
-            from datasets import load_from_disk
-
-            ds = load_from_disk(str(bcfg["kb"]))
-            bm = bm25_lib.BM25Index.build(
-                ds[bcfg.get("column", "passage")], **hyper)
-        index = build_index(config.pop("index"))
-        stats = config.pop("stats", None)
-        pipeline = HybridRetrievalPipeline(
-            embedder, index, bm,
-            weights=tuple(config.pop("weights", (0.7, 0.3))),
-            batch_size=args.batch, k=args.k,
-            norm=config.pop("norm", "gzmuv"),
-            stats=(tuple(tuple(s) for s in stats)
-                   if stats is not None else None),
-        )
+        pipeline = _build_hybrid_pipeline(config, embedder, args.batch,
+                                          args.k, default_mode="global")
         run = pipeline.run(ids, queries)
     elif "indexes" in config:
         # late-fusion serving (the reference's dpr+arcface+clip+imagenet
@@ -297,28 +308,8 @@ def cmd_answer(args):
     if "bm25" in config:
         # hybrid sparse+dense retrieval feeding the reader (same "bm25"
         # schema as `serve`)
-        from viquae_tpu.ir.serving import HybridRetrievalPipeline
-        from viquae_tpu.ops import bm25 as bm25_lib
-
-        bcfg = dict(config.pop("bm25"))
-        hyper = {k: bcfg[k] for k in ("k1", "b") if k in bcfg}
-        if "path" in bcfg:
-            bm = bm25_lib.BM25Index.load(bcfg["path"], **hyper)
-        else:
-            ds = load_from_disk(str(bcfg["kb"]))
-            bm = bm25_lib.BM25Index.build(
-                ds[bcfg.get("column", "passage")], **hyper)
-        index = _build_dense_index(config.pop("index"),
-                                   default_mode="fused")
-        stats = config.pop("stats", None)
-        retrieval = HybridRetrievalPipeline(
-            embedder, index, bm,
-            weights=tuple(config.pop("weights", (0.7, 0.3))),
-            batch_size=args.batch, k=args.m_passages,
-            norm=config.pop("norm", "gzmuv"),
-            stats=(tuple(tuple(s) for s in stats)
-                   if stats is not None else None),
-        )
+        retrieval = _build_hybrid_pipeline(config, embedder, args.batch,
+                                           args.m_passages)
     elif "indexes" in config:
         # late-fusion retrieval feeding the reader (the reference's best
         # config end to end): same schema as the `serve` fusion config

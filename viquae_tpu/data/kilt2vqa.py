@@ -186,10 +186,14 @@ class GazetteerNER:
             # ("the poem ‘The Lady of the Lake’") extend over the closing
             # one so the placeholder doesn't leave a dangling quote —
             # the reference's dep-parse children include both quote tokens
-            # (meerqat/data/kilt2vqa.py:205)
+            # (meerqat/data/kilt2vqa.py:205). An opening quote sits at a
+            # word boundary (start/space before, word char after) — a
+            # possessive apostrophe inside "Sophie's" must not count
             for open_q, close_q in (("'", "'"), ("‘", "’"), ('"', '"')):
-                if (end < len(text) and text[end] == close_q
-                        and open_q in text[start:end]):
+                if end < len(text) and text[end] == close_q and re.search(
+                    r"(?:^|\s)" + re.escape(open_q) + r"\w",
+                    text[start:end],
+                ):
                     end += 1
                     break
             spans.append((text[start:end], start, end,

@@ -45,7 +45,8 @@ class FaceDetector:
             # scale down onto the canvas if needed (preserve aspect)
             scale = min(1.0, cfg.canvas / max(w, h))
             if scale < 1.0:
-                img = img.resize((int(w * scale), int(h * scale)))
+                img = img.resize((max(1, int(w * scale)),
+                                  max(1, int(h * scale))))
             arr = np.asarray(img, dtype=np.float32)
             canvas = np.zeros((cfg.canvas, cfg.canvas, 3), np.float32)
             canvas[: arr.shape[0], : arr.shape[1]] = arr

@@ -174,14 +174,14 @@ class FaceQueryEncoder:
                 lambda im, lm: align_face(im, lm, size))(imgs, lms)
             x = image_ops.normalize(
                 crops / 255.0, image_ops.FACE_MEAN, image_ops.FACE_STD)
-            return arcface.apply(a_params, a_cfg, x), has
+            return arcface.apply(a_params, a_cfg, x), has, lms
 
         self._face_program = face_program
 
     def __call__(self, pil_images) -> np.ndarray:
         side = self.mtcnn_cfg.canvas
         out = np.full((len(pil_images), self.dim), np.nan, np.float32)
-        canvases, hws, owners = [], [], []
+        canvases, hws, owners, scales, originals = [], [], [], [], []
         for i, img in enumerate(pil_images):
             if img is None:
                 continue
@@ -190,18 +190,22 @@ class FaceQueryEncoder:
             if min(w, h) < self.mtcnn_cfg.min_face_size:
                 continue  # parity: too-small images keep None
             scale = min(1.0, side / max(w, h))
+            original = rgb
             if scale < 1.0:
-                rgb = rgb.resize((int(w * scale), int(h * scale)))
+                rgb = rgb.resize((max(1, int(w * scale)),
+                                  max(1, int(h * scale))))
             arr = np.asarray(rgb, dtype=np.uint8)
             canvas = np.zeros((side, side, 3), np.uint8)
             canvas[: arr.shape[0], : arr.shape[1]] = arr
             canvases.append(canvas)
             hws.append((arr.shape[0], arr.shape[1]))
             owners.append(i)
+            scales.append(scale)
+            originals.append(original if scale < 1.0 else None)
         if not canvases:
             return out
         bs = self.batch_size
-        embs, present = [], []
+        embs, present, lms_all = [], [], []
         for start in range(0, len(canvases), bs):
             imgs = canvases[start: start + bs]
             hw = hws[start: start + bs]
@@ -210,14 +214,45 @@ class FaceQueryEncoder:
             if pad:
                 imgs = imgs + [np.zeros((side, side, 3), np.uint8)] * pad
                 hw = hw + [(side, side)] * pad
-            emb, has = self._face_program(
+            emb, has, lms = self._face_program(
                 self.mtcnn_params, self.embedder.params,
                 jnp.asarray(np.stack(imgs)),
                 jnp.asarray(np.asarray(hw, np.float32)))
             embs.append(np.asarray(emb)[:n_real])
             present.append(np.asarray(has)[:n_real])
+            lms_all.append(np.asarray(lms)[:n_real])
         embs = np.concatenate(embs)
         present = np.concatenate(present)
+        lms_all = np.concatenate(lms_all)
+        # Images LARGER than the canvas were detected downscaled; align +
+        # embed those at FULL resolution like the dataset stages do
+        # (FaceDetector rescales landmarks to original coords,
+        # FaceEmbedder warps the original image) — the fused canvas crop
+        # would sample the face at reduced resolution and change the
+        # embedding. Typically few per batch (corpus thumbnails fit the
+        # canvas), so the per-image aligns are the rare path.
+        redo = [j for j in range(len(owners))
+                if present[j] and scales[j] < 1.0]
+        if redo:
+            crops = []
+            for j in redo:
+                arr = jnp.asarray(
+                    np.asarray(originals[j], dtype=np.float32))
+                lm = jnp.asarray(lms_all[j] / scales[j])
+                crops.append(np.asarray(self.embedder._align(arr, lm)))
+            arr = np.stack(crops)
+            fixed = []
+            for start in range(0, len(arr), bs):
+                chunk = arr[start: start + bs]
+                pad = bs - len(chunk)
+                if pad:
+                    chunk = np.concatenate(
+                        [chunk,
+                         np.zeros((pad,) + chunk.shape[1:], np.float32)])
+                fixed.append(np.asarray(self.embedder._embed(
+                    self.embedder.params, jnp.asarray(chunk))
+                )[: bs - pad])
+            embs[np.asarray(redo)] = np.concatenate(fixed)
         owners = np.asarray(owners)
         out[owners[present]] = embs[present]
         return out
