@@ -371,3 +371,16 @@ def test_packing_invariants_fuzz(seed):
             got = flat[g_idx[i]] * g_mask[i]
             np.testing.assert_array_equal(got[: len(s)], s)
             assert (g_mask[i][len(s):] == 0).all()
+
+
+def test_pack_rejects_empty_sequences():
+    """A zero-length sequence would silently corrupt the CLS pointers and
+    pack_parallel bookkeeping; the packer rejects it loudly."""
+    import pytest
+
+    from viquae_tpu.ops import packing
+
+    with pytest.raises(ValueError, match="empty sequence at position 1"):
+        packing.pack_token_sequences(
+            [np.array([1, 2], np.int32), np.array([], np.int32)],
+            row_len=8)

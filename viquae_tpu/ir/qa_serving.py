@@ -139,92 +139,76 @@ class AnswerPipeline:
         self._qa = qa
 
     # ------------------------------------------------------------------
-    def _reader_batches_pretokenized(self, queries, indices):
-        """Host producer over PRE-TOKENIZED passages: one batched tokenizer
-        call for all questions, then pure-numpy pair assembly
-        ([CLS] q [SEP] p [SEP], token types 0/1 — BertTokenizerFast pair
-        format, parity-tested)."""
+    def _encode_questions(self, queries):
+        """Encode ONCE, truncated to reader_seq // 2 (the question budget;
+        pair assembly happens from the encoded ids directly — a
+        decode->re-encode round trip is not guaranteed token-identical)."""
+        return self.tokenizer(
+            list(map(str, queries)), add_special_tokens=False,
+            truncation=True, max_length=self.reader_seq // 2,
+        )["input_ids"]
+
+    def _fill_pair_canvas(self, chunk, q_ids_all, doc_tokens):
+        """Assemble one fixed-shape reader batch: [CLS] q [SEP] p [SEP]
+        rows with token types 0/1 (BertTokenizerFast pair format,
+        parity-tested). `doc_tokens[j]` lists the retrieved passages'
+        token sequences for chunk[j] (<= M entries; missing docs leave
+        all-zero rows). ONE fill loop serves both the pretokenized and
+        the tokenize-at-serve-time producers so their span inputs cannot
+        drift apart."""
         tok = self.tokenizer
         cls_id, sep_id = tok.cls_token_id, tok.sep_token_id
-        q_tok = tok(list(map(str, queries)), add_special_tokens=False,
-                    truncation=True, max_length=self.reader_seq // 2)
-        q_ids_all = q_tok["input_ids"]
         seq = self.reader_seq
-        for start in range(0, len(queries), self.n_q):
-            chunk = range(start, min(start + self.n_q, len(queries)))
-            n_real = len(chunk)
-            nm = self.n_q * self.M
-            ids = np.zeros((nm, seq), np.int32)
-            mask = np.zeros((nm, seq), np.int32)
-            tt = np.zeros((nm, seq), np.int32)
-            row = 0
-            for qi in chunk:
-                q_ids = q_ids_all[qi]
-                head = [cls_id] + list(q_ids) + [sep_id]
-                budget = seq - len(head) - 1
-                for d in indices[qi][: self.M]:
-                    p_ids = (
-                        self.kb[int(d)][self.passage_tokens_key]
-                        if 0 <= int(d) < len(self.kb) else []
-                    )
-                    p_ids = list(p_ids)[: max(budget, 0)]
-                    full = head + p_ids + [sep_id]
-                    L = len(full)
-                    ids[row, :L] = full
-                    mask[row, :L] = 1
-                    tt[row, len(head): L] = 1
-                    row += 1
-                row += self.M - min(self.M, len(indices[qi][: self.M]))
-            yield start, n_real, ids, mask, tt
+        nm = self.n_q * self.M
+        ids = np.zeros((nm, seq), np.int32)
+        mask = np.zeros((nm, seq), np.int32)
+        tt = np.zeros((nm, seq), np.int32)
+        row = 0
+        for j, qi in enumerate(chunk):
+            head = [cls_id] + list(q_ids_all[qi]) + [sep_id]
+            budget = seq - len(head) - 1
+            for p_ids in doc_tokens[j]:
+                full = head + list(p_ids)[: max(budget, 0)] + [sep_id]
+                L = len(full)
+                ids[row, :L] = full
+                mask[row, :L] = 1
+                tt[row, len(head): L] = 1
+                row += 1
+            row += self.M - len(doc_tokens[j])
+        return ids, mask, tt
 
     def _reader_batches(self, queries, indices):
-        """Host producer: fetch top-M passages + tokenize pair batches."""
-        if self.passage_tokens_key is not None:
-            yield from self._reader_batches_pretokenized(queries, indices)
-            return
+        """Host producer: fetch top-M passages (pre-tokenized KB column,
+        or tokenize at serve time) + assemble fixed-shape pair batches."""
         tok = self.tokenizer
-        cls_id, sep_id = tok.cls_token_id, tok.sep_token_id
-        # Encode questions ONCE (truncated to reader_seq//2 — the
-        # pretokenized path's question budget) and build the pairs from
-        # the encoded ids directly: a decode->re-encode round trip is not
-        # guaranteed token-identical (unk/byte-level artifacts), so span
-        # inputs could drift from the pretokenized path it must match.
-        q_enc = tok(list(map(str, queries)), add_special_tokens=False,
-                    truncation=True, max_length=self.reader_seq // 2)
-        q_ids_all = q_enc["input_ids"]
-        seq = self.reader_seq
+        q_ids_all = self._encode_questions(queries)
+        pretok = self.passage_tokens_key is not None
         for start in range(0, len(queries), self.n_q):
             chunk = range(start, min(start + self.n_q, len(queries)))
             n_real = len(chunk)
-            # tokenize this chunk's passages in one batched call
-            texts = []
-            for qi in chunk:
-                for d in indices[qi][: self.M]:
-                    texts.append(
-                        str(self.kb[int(d)][self.passage_key])
-                        if 0 <= int(d) < len(self.kb) else "")
-            p_enc = tok(texts, add_special_tokens=False,
-                        truncation=True, max_length=seq)["input_ids"] \
-                if texts else []
-            nm = self.n_q * self.M
-            ids = np.zeros((nm, seq), np.int32)
-            mask = np.zeros((nm, seq), np.int32)
-            tt = np.zeros((nm, seq), np.int32)
-            row, p_i = 0, 0
-            for qi in chunk:
-                head = [cls_id] + list(q_ids_all[qi]) + [sep_id]
-                budget = seq - len(head) - 1
-                n_docs = min(self.M, len(indices[qi][: self.M]))
-                for _ in range(n_docs):
-                    p_ids = list(p_enc[p_i])[: max(budget, 0)]
-                    p_i += 1
-                    full = head + p_ids + [sep_id]
-                    L = len(full)
-                    ids[row, :L] = full
-                    mask[row, :L] = 1
-                    tt[row, len(head): L] = 1
-                    row += 1
-                row += self.M - n_docs
+            if pretok:
+                doc_tokens = [
+                    [self.kb[int(d)][self.passage_tokens_key]
+                     if 0 <= int(d) < len(self.kb) else []
+                     for d in indices[qi][: self.M]]
+                    for qi in chunk
+                ]
+            else:
+                texts = [
+                    str(self.kb[int(d)][self.passage_key])
+                    if 0 <= int(d) < len(self.kb) else ""
+                    for qi in chunk for d in indices[qi][: self.M]
+                ]
+                flat = tok(texts, add_special_tokens=False, truncation=True,
+                           max_length=self.reader_seq)["input_ids"] \
+                    if texts else []
+                doc_tokens, p_i = [], 0
+                for qi in chunk:
+                    n_docs = len(indices[qi][: self.M])
+                    doc_tokens.append(flat[p_i: p_i + n_docs])
+                    p_i += n_docs
+            ids, mask, tt = self._fill_pair_canvas(chunk, q_ids_all,
+                                                   doc_tokens)
             yield start, n_real, ids, mask, tt
 
     def run(self, queries: List[str], **retrieval_kwargs) -> List[Dict]:
@@ -261,12 +245,7 @@ class AnswerPipeline:
                             p = packing.pack_token_sequences(
                                 seqs, row_len=self.reader_seq,
                                 pad_rows_to=16)
-                        tts = (
-                            [tt[r, : lens[r]] for r in range(len(ids))]
-                            if tt is not None else
-                            [np.zeros(int(lens[r]), np.int32)
-                             for r in range(len(ids))]
-                        )
+                        tts = [tt[r, : lens[r]] for r in range(len(ids))]
                         tt_canvas = packing.pack_parallel(p, tts)
                         g_idx, g_mask = packing.gather_indices(
                             p, self.reader_seq)
@@ -282,9 +261,7 @@ class AnswerPipeline:
                     else:
                         spans = self._read(
                             self.reader_params, jnp.asarray(ids),
-                            jnp.asarray(mask),
-                            jnp.asarray(tt) if tt is not None else None,
-                            p_scores,
+                            jnp.asarray(mask), jnp.asarray(tt), p_scores,
                         )
                     for arr in spans:
                         if hasattr(arr, "copy_to_host_async"):

@@ -161,6 +161,11 @@ def topk_fused(
     """
     q_count = queries.shape[0]
     n = kb_t.shape[1]
+    # valid_rows=None means EVERY column is a real KB row. If kb_t came
+    # from to_kernel_layout on a non-tile-aligned KB, the padded zero
+    # columns would be eligible hits (score 0.0 beats negative scores) —
+    # pass valid_rows=N whenever the layout may be padded. All production
+    # entry points (DenseIndex mode="fused", topk_sharded, serving) do.
     nv = jnp.asarray(n if valid_rows is None else valid_rows)
     scores, segmax3 = fused_score_segmax_qmajor(queries, kb_t, nv, tile=tile)
     n_seg = n // _SEG
@@ -180,6 +185,10 @@ def topk_fused(
     neg, top_idx = jax.lax.sort((-top_scores, top_idx), dimension=-1,
                                 num_keys=2)
     scores_out, idx_out = -neg[:, :kk], top_idx[:, :kk]
+    # lanes masked to -inf (beyond valid_rows) carry real-but-INVALID ids:
+    # blank them to the int32-max pad convention consumers key on
+    idx_out = jnp.where(jnp.isneginf(scores_out),
+                        jnp.iinfo(jnp.int32).max, idx_out)
     if kk < k:
         # pad to the requested k like topk_single (NEG_INF / int32 max), so
         # topk_sharded's all-gather merge sees uniform (Q, k) shards even
@@ -288,16 +297,30 @@ def topk_pallas(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full MIPS top-k via the fused kernel + one global selection.
 
-    Same contract as ops.mips.topk_single(mode="fast"); kb rows beyond
-    `valid_rows` are masked out.
+    Same contract as ops.mips.topk_single(mode="fast"): kb rows beyond
+    `valid_rows` are masked out, results pad to k with NEG_INF/int32-max
+    when k exceeds the valid pool, and any query count is accepted
+    (queries pad internally to the kernel's q_block granularity).
     """
-    q_count, dim = queries.shape
-    n = kb.shape[0]
-    pad = (-n) % tile
+    q_real, dim = queries.shape
+    n_real = kb.shape[0]
+    pad = (-n_real) % tile
     if pad:
         kb = jnp.concatenate([kb, jnp.zeros((pad, dim), kb.dtype)])
-        n += pad
-    nv = jnp.int32(kb.shape[0] if valid_rows is None else valid_rows)
+    n = n_real + pad
+    # the default masks the INTERNAL padding added above: it must count
+    # the ORIGINAL rows, not the padded shape (zero pad rows score 0.0
+    # and would out-rank real negative scores)
+    nv = jnp.int32(n_real if valid_rows is None else valid_rows)
+
+    # the kb-major kernel requires q_count % q_block == 0: pad queries
+    # with zero rows (their outputs are sliced off below)
+    q_block = min(640, q_real)
+    q_pad = (-q_real) % q_block
+    if q_pad:
+        queries = jnp.concatenate(
+            [queries, jnp.zeros((q_pad, dim), queries.dtype)])
+    q_count = q_real + q_pad
 
     scores_t, segmax_t = fused_score_segmax(queries, kb, tile=tile)
     segmax = segmax_t.T
@@ -321,9 +344,23 @@ def topk_pallas(
     ).reshape(q_count, -1)
     cand = jnp.take_along_axis(scores_t, gather_cols.T, axis=0).T
     cand = jnp.where(gather_cols < nv, cand, mips.NEG_INF)
-    top_scores, pos = jax.lax.top_k(cand, k)
+    kk = min(k, cand.shape[1])  # candidate pool caps at n when k > n
+    top_scores, pos = jax.lax.top_k(cand, kk)
     top_idx = jnp.take_along_axis(gather_cols, pos, axis=1)
     neg, top_idx = jax.lax.sort(
         (-top_scores, top_idx), dimension=-1, num_keys=2
     )
-    return -neg[:, :k], top_idx[:, :k]
+    scores_out, idx_out = -neg[:, :kk], top_idx[:, :kk]
+    idx_out = jnp.where(scores_out <= mips.NEG_INF,
+                        jnp.iinfo(jnp.int32).max, idx_out)
+    if kk < k:
+        scores_out = jnp.concatenate([
+            scores_out,
+            jnp.full((q_count, k - kk), mips.NEG_INF, scores_out.dtype),
+        ], axis=1)
+        idx_out = jnp.concatenate([
+            idx_out,
+            jnp.full((q_count, k - kk), jnp.iinfo(jnp.int32).max,
+                     jnp.int32),
+        ], axis=1)
+    return scores_out[:q_real], idx_out[:q_real]

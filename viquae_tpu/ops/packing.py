@@ -66,6 +66,16 @@ def pack_token_sequences(
     everything.
     """
     lengths = np.array([min(len(s), row_len) for s in seqs], dtype=np.int64)
+    if (lengths == 0).any():
+        # a zero-length sequence writes no segment id but still claims a
+        # CLS pointer, which would alias another segment (or fall one past
+        # the row end) and silently corrupt pack_parallel/gather_indices —
+        # tokenizers always emit at least [CLS]; reject loudly instead
+        bad = int(np.nonzero(lengths == 0)[0][0])
+        raise ValueError(
+            f"pack_token_sequences got an empty sequence at position "
+            f"{bad}; every sequence needs at least one token"
+        )
     n = len(seqs)
     if n > 0:
         native = _native_pack(seqs, lengths, row_len, n_rows, n_cls,
