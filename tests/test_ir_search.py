@@ -342,3 +342,68 @@ def test_mm_embedder_packed_matches_padded(devices):
         out_packed = packed(dict(batch))["mm_embedding"]
         np.testing.assert_allclose(out_packed, out_pad, rtol=2e-5,
                                    atol=2e-5)
+
+
+def _write_qrels(tmp_path, qrels):
+    import json as _json
+
+    path = tmp_path / "qrels.json"
+    path.write_text(_json.dumps(qrels))
+    return path
+
+
+def test_searcher_qrels_only_mode_without_output_column(tmp_path):
+    """reference_kb=None + precomputed qrels must work on datasets WITHOUT
+    an `output` column (gt is only consumed by relevance judging)."""
+    from viquae_tpu.ir.search import Searcher
+
+    rng = np.random.default_rng(0)
+    emb = rng.normal(size=(20, 8)).astype(np.float32)
+    searcher = Searcher(
+        kb_kwargs={
+            "kb": dict(
+                kb_path={"emb": emb.tolist()},
+                index_kwargs={"dense": dict(column="emb", key="emb",
+                                            chunk_size=64)},
+            )
+        },
+        k=5,
+        reference_kb_path=None,
+        qrels=str(_write_qrels(tmp_path, {"0": {"1": 1}})),
+    )
+    batch = {"id": ["0", "1"], "emb": emb[:2].tolist()}
+    searcher(batch)
+    assert len(searcher.runs["dense"]) == 2
+
+
+def test_searcher_stringifies_integer_ids(tmp_path):
+    """Integer dataset ids must merge with file-loaded (string-keyed)
+    qrels instead of creating parallel int-keyed entries that later
+    clobber the file judgments."""
+    from viquae_tpu.ir.search import Searcher
+
+    rng = np.random.default_rng(1)
+    emb = rng.normal(size=(10, 4)).astype(np.float32)
+    passages = [f"fact{i}" for i in range(10)]
+    searcher = Searcher(
+        kb_kwargs={
+            "kb": dict(
+                kb_path={"emb": emb.tolist(), "passage": passages},
+                index_kwargs={"dense": dict(column="emb", key="emb",
+                                            chunk_size=64)},
+            )
+        },
+        k=3,
+        reference_kb_path=[{"passage": t} for t in passages],
+        qrels=str(_write_qrels(tmp_path, {"0": {"9": 1}})),
+    )
+    batch = {
+        "id": [0, 1],  # INTEGER ids
+        "emb": emb[:2].tolist(),
+        "output": [{"original_answer": "fact0", "answer": ["fact0"]},
+                   {"original_answer": "fact1", "answer": ["fact1"]}],
+    }
+    searcher(batch)
+    assert set(searcher.runs["dense"]) <= {"0", "1"}
+    # the file judgment for q "0" survived (not clobbered by an int key)
+    assert searcher.qrels["0"].get("9") == 1

@@ -386,3 +386,30 @@ def test_to_kernel_layout(devices):
     # already aligned: no padding
     kbt2 = np.asarray(mips_pallas.to_kernel_layout(jnp.asarray(kb[:512])))
     assert kbt2.shape == (32, 512)
+
+
+def test_sharded_approx_honors_recall_target(data, devices):
+    """mode='approx' on a kb-sharded mesh must honor the index's tuned
+    recall target (round-3 review: it used the library default and
+    silently degraded sharded recall)."""
+    queries, kb = data
+    ctx = meshlib.make_kb_mesh()
+    with meshlib.use(ctx):
+        index = mips.DenseIndex(kb, mesh_ctx=ctx, mode="approx",
+                                approx_recall_target=0.99)
+        s, idx = index.search_batch(queries, k=20)
+    _, ref_idx = mips.exact_topk_numpy(queries, kb, 20)
+    recall = np.mean([
+        len(set(idx[i]) & set(ref_idx[i])) / 20 for i in range(len(idx))
+    ])
+    assert recall > 0.9, recall
+
+
+def test_select_topk_global_mode_alias():
+    """'global' is accepted as an alias of the fast selection (it named
+    the engine, not a selection scheme — previously accept-then-reject)."""
+    rng = np.random.default_rng(0)
+    scores = jnp.asarray(rng.standard_normal((4, 1024)).astype(np.float32))
+    s1, i1 = mips._select_topk(scores, 5, "global")
+    s2, i2 = mips._select_topk(scores, 5, "fast")
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))

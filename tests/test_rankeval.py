@@ -140,3 +140,16 @@ def test_ndcg_matches_sklearn_graded():
     ours = evaluate(Qrels(qrels_data), Run(run_data), f"ndcg@{n_docs}")
     ref = ndcg_score(np.array(y_true), np.array(y_score), k=n_docs)
     assert ours == pytest.approx(ref, rel=1e-6)
+
+
+def test_fuse_rejects_mismatched_weights():
+    """zip() would silently drop runs when the weights length is wrong
+    (e.g. reusing best_params from a different run set)."""
+    import pytest
+
+    from viquae_tpu.rankeval import Run, fuse
+
+    runs = [Run({"q": {"1": 1.0}}, name=str(i)) for i in range(3)]
+    with pytest.raises(ValueError, match="2 weights for 3 runs"):
+        fuse(runs, norm=None, method="wsum",
+             params={"weights": [0.5, 0.5]})

@@ -132,12 +132,15 @@ class KnowledgeBase:
                 from viquae_tpu.ops import mips
 
                 string_factory = index_kwargs.pop("string_factory", "Flat")
-                do_l2norm = "L2norm" in string_factory or index_kwargs.pop(
-                    "do_L2norm", False
-                )
+                explicit_l2 = index_kwargs.pop("do_L2norm", False)
+                do_l2norm = "L2norm" in string_factory or explicit_l2
                 load_path = index_kwargs.pop("load_path", None)
                 save_path = index_kwargs.pop("save_path", None)
-                if load_path and Path(str(load_path) + ".npz").exists():
+                if load_path and (
+                    Path(str(load_path)).suffix == ".npz"
+                    and Path(str(load_path)).exists()
+                    or Path(str(load_path) + ".npz").exists()
+                ):
                     backend = mips.DenseIndex.load(
                         load_path, mesh_ctx=self.mesh_ctx, **index_kwargs
                     )
@@ -300,23 +303,27 @@ class Searcher:
                 "question_type", ["String"] * len(batch["id"])
             )
         ]
+        # qrels-only mode (reference_kb=None with precomputed judgments)
+        # has no "output" column to read; gt is only consumed by _judge
+        outputs = (batch["output"] if self.reference_kb is not None
+                   else [None] * len(batch["id"]))
         for kb in self.kbs.values():
             for index_name, index in kb.indexes.items():
                 queries = batch[index.key]
-                if any(q is None for q in queries) or any(
-                    _is_nan_vector(q) for q in queries
-                ):
-                    scores_batch, indices_batch = kb.search_batch_if_not_None(
-                        index_name, queries, k=self.k
-                    )
-                else:
-                    scores_batch, indices_batch = kb.search_batch(
-                        index_name, queries, k=self.k
-                    )
+                # search_batch_if_not_None handles the all-present case
+                # identically (and skips the double numpy conversion a
+                # separate prescan would cost)
+                scores_batch, indices_batch = kb.search_batch_if_not_None(
+                    index_name, queries, k=self.k
+                )
                 for q_id, scores, indices, gt, question_type in zip(
                     batch["id"], scores_batch, indices_batch,
-                    batch["output"], question_types,
+                    outputs, question_types,
                 ):
+                    # file-loaded qrels/runs carry JSON STRING keys; an
+                    # int-keyed dataset id would bypass the qnonrels cache
+                    # and later clobber the file judgments on stringify
+                    q_id = str(q_id)
                     run_q = self.runs[index_name].setdefault(q_id, {})
                     for score, i in zip(scores, indices):
                         penalty = 0.0

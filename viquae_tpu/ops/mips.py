@@ -84,15 +84,18 @@ def _select_topk(scores: jnp.ndarray, k: int, mode: str):
     mode="approx": `lax.approx_max_k` (TPU PartialReduce), recall ~0.95.
     """
     q_count, width = scores.shape
-    if mode not in ("exact", "fast", "global", "approx"):
+    # "global" is the topk_global ENGINE name, not a selection mode: its
+    # selection IS the fast two-level scheme (accepting it here then
+    # raising below was an accept-then-reject trap)
+    if mode == "global":
+        mode = "fast"
+    if mode not in ("exact", "fast", "approx"):
         raise ValueError(f"unknown top-k mode {mode!r}; "
                          "expected exact|fast|global|approx")
     if mode == "exact" or width < 2 * _SEG:
         return jax.lax.top_k(scores, k)
     if mode == "approx":
         return jax.lax.approx_max_k(scores, k, aggregate_to_topk=True)
-    if mode != "fast":
-        raise ValueError(f"Unknown top-k mode {mode!r}")
     pad = (-width) % _SEG
     if pad:
         # pad to lane width with NEG_INF rather than falling back to the
@@ -298,6 +301,7 @@ def topk_sharded(
     valid_rows: Optional[int] = None,
     compute_dtype=jnp.float32,
     mode: str = "fast",
+    recall_target: float = 0.99,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Multi-chip MIPS: per-shard streaming top-k + all-gather merge over ICI.
 
@@ -329,6 +333,15 @@ def topk_sharded(
             s, i = topk_global(
                 q, kb_local, k, valid_rows=local_valid,
                 compute_dtype=compute_dtype,
+            )
+        elif mode == "approx":
+            # per-shard approx selection must honor the index's tuned
+            # recall target (the bare topk_single route used the library
+            # default 0.95 and silently degraded sharded recall)
+            s, i = topk_global(
+                q, kb_local, k, valid_rows=local_valid,
+                compute_dtype=compute_dtype, mode="approx",
+                recall_target=recall_target,
             )
         else:
             s, i = topk_single(
@@ -459,6 +472,7 @@ class DenseIndex:
                 q, self.matrix, k, mesh_ctx=self.mesh_ctx,
                 chunk_size=self.chunk_size, valid_rows=self.n,
                 compute_dtype=self.dtype, mode=self.mode,
+                recall_target=self.approx_recall_target,
             )
         elif self.mode in ("global", "approx") or (
             self.mode == "fast"

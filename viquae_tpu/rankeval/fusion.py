@@ -140,6 +140,13 @@ def fuse(
         weights = params.get("weights")
         if method != "wsum" or weights is None:
             weights = [1.0] * len(runs)
+        elif len(weights) != len(runs):
+            # zip would silently drop runs (or weights) — e.g. reusing a
+            # best_params fit over a different run set
+            raise ValueError(
+                f"fuse(method='wsum') got {len(weights)} weights for "
+                f"{len(runs)} runs"
+            )
         combined: Dict[str, Dict[str, float]] = {}
         counts: Dict[str, Dict[str, int]] = {}
         for w, run in zip(weights, normed):
