@@ -338,3 +338,65 @@ def test_reranker_collator_packed_matches_unpacked(tokenizer):
     )
     np.testing.assert_allclose(np.asarray(got.logits),
                                np.asarray(ref.logits), rtol=1e-4, atol=1e-5)
+
+
+def test_image_formatter_concatenates_question_and_passage_features():
+    """Reference parity (train/data.py:252-283): question+passage pairs
+    CONCATENATE both sides' visual features along the n_images dim — an
+    earlier version substituted passage features and silently dropped the
+    question image."""
+    from viquae_tpu.train.data import (ImageFormatter,
+                                       PreComputedImageFeatures)
+
+    feats = PreComputedImageFeatures(n_faces=2, face_dim=4, bbox_dim=7,
+                                     image_dims={"clip": 3})
+    fmt = ImageFormatter(feats)
+    q_items = [{"face_embedding": [[1.0] * 4], "clip": [9.0, 9.0, 9.0]}] * 2
+    p_items = [{"clip": [5.0, 5.0, 5.0]}, {}]
+    text = {"input_ids": np.zeros((2, 4), np.int32),
+            "attention_mask": np.ones((2, 4), np.int32)}
+    out = fmt.format_batch(text, q_items, p_items)
+    # n_images dim = 2 (question, passage)
+    assert out["face_inputs"]["face"].shape == (2, 2, 2, 4)
+    assert out["image_inputs"]["clip"]["input"].shape == (2, 2, 3)
+    # the QUESTION image survived (first n_images slot)
+    np.testing.assert_array_equal(
+        out["image_inputs"]["clip"]["input"][:, 0], [[9, 9, 9]] * 2)
+    np.testing.assert_array_equal(
+        out["image_inputs"]["clip"]["attention_mask"], [[1, 1], [1, 0]])
+
+
+def test_reader_collator_precomputed_keeps_positions_top_level(tokenizer):
+    """With precomputed image features, start/end positions, answer
+    strings and the canvases live TOP-LEVEL next to text_inputs (the
+    reference's format-then-update order) — the trainee reads them
+    unnested."""
+    from viquae_tpu.train.data import (PreComputedImageFeatures,
+                                       ReaderCollator)
+
+    tok = tokenizer
+    kb_list = make_kb()
+    questions = make_items()
+    for q in questions:
+        q["face_embedding"] = [[0.5] * 8]
+    collator = ReaderCollator(
+        tok, kb=kb_list, M=2, max_length=24, max_n_answers=2, seed=0,
+        train=True,
+        image_features=PreComputedImageFeatures(
+            n_faces=1, face_dim=8, bbox_dim=7, image_dims={}),
+    )
+    batch = collator.collate_fn(questions[:4])
+    assert "start_positions" in batch and "answer_mask" in batch
+    assert "text_inputs" in batch and "face_inputs" in batch
+    assert "start_positions" not in batch["text_inputs"]
+    # question features occupy slot 0 and passage features slot 1
+    assert batch["face_inputs"]["face"].shape[1] == 2
+
+    # packed + precomputed has no packed multimodal reader path: loud error
+    import pytest
+
+    with pytest.raises(ValueError, match="packed multimodal reader"):
+        ReaderCollator(
+            tok, kb=kb_list, M=2, max_length=24, packed=True,
+            image_features=PreComputedImageFeatures(
+                n_faces=1, face_dim=8, bbox_dim=7, image_dims={}))

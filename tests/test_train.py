@@ -55,7 +55,11 @@ def test_multi_passage_rc_loss_matches_torch_reference():
     ]
     end_losses = [loss_fct(elp, ep[:, a]) * am[:, a] for a in range(A)]
     loss_tensor = torch.stack(start_losses, 1) + torch.stack(end_losses, 1)
-    loss_tensor = loss_tensor.view(n, -1)
+    # the reference keeps (N*M, A) in the non-max_pooling branch: _calc_mml
+    # marginalizes over answer occurrences WITHIN each passage row and
+    # means over all N*M rows (meerqat/train/optim.py:32-40,86). An
+    # earlier version of this oracle replicated the port's (N, M*A)
+    # reshape and masked a real divergence.
     marginal = torch.sum(
         torch.exp(-loss_tensor - 1e10 * (loss_tensor == 0).float()), 1
     )
@@ -69,6 +73,21 @@ def test_multi_passage_rc_loss_matches_torch_reference():
         m_passages=m,
     )
     assert float(loss) == pytest.approx(expected, rel=1e-5)
+
+    # max_pooling (legacy ViQuAE-paper) branch: pool per question first
+    pooled = loss_tensor.view(n, m, -1).max(dim=1)[0]
+    marginal_mp = torch.sum(
+        torch.exp(-pooled - 1e10 * (pooled == 0).float()), 1
+    )
+    expected_mp = -torch.mean(
+        torch.log(marginal_mp + (marginal_mp == 0).float())
+    ).item()
+    loss_mp, _, _ = optim.multi_passage_rc_loss(
+        jnp.asarray(start_logits), jnp.asarray(end_logits),
+        jnp.asarray(start_pos), jnp.asarray(end_pos), jnp.asarray(mask),
+        m_passages=m, max_pooling=True,
+    )
+    assert float(loss_mp) == pytest.approx(expected_mp, rel=1e-5)
 
 
 def test_biencoder_loss_and_ignore_index():

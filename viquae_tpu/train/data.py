@@ -97,14 +97,28 @@ class ImageFormatter:
                      passage_items: Optional[Sequence[dict]] = None) -> dict:
         if self.features is None:
             return dict(text_inputs)
+        face = self.features.get_face_inputs(items)
+        image = self.features.get_image_inputs(items)
         if passage_items is not None:
-            # cross-encoder: question+passage pairs; visual side = question
-            items = passage_items if len(passage_items) == len(
-                text_inputs["input_ids"]) else items
+            # question+passage pairs: the reference CONCATENATES question
+            # and passage features along the n_images dim (train/data.py:
+            # 252-283 torch.cat dim=1) — a round-3 review caught this
+            # substituting passage features for the question's
+            assert len(passage_items) == len(items), (
+                "passage_items must align 1:1 with (repeated) items")
+            p_face = self.features.get_face_inputs(passage_items)
+            p_image = self.features.get_image_inputs(passage_items)
+            face = {k: np.concatenate([face[k], p_face[k]], axis=1)
+                    for k in face}
+            image = {
+                name: {k: np.concatenate([image[name][k], v], axis=1)
+                       for k, v in d.items()}
+                for name, d in p_image.items()
+            }
         return {
             "text_inputs": dict(text_inputs),
-            "face_inputs": self.features.get_face_inputs(items),
-            "image_inputs": self.features.get_image_inputs(items),
+            "face_inputs": face,
+            "image_inputs": image,
         }
 
 
@@ -259,6 +273,32 @@ class QADataModule:
     def _passage_texts(self, passages: List[dict]) -> List[str]:
         return [p[self.kb_input_key] if isinstance(p, dict) else p
                 for p in passages]
+
+    def _pack_inputs(self, inputs: dict) -> dict:
+        """Shared packing seam for collators with packed=True (biencoder +
+        ICT): text-only inputs pack directly; multimodal inputs pack with
+        T_vis reserved visual-token slots per sample (ECA) or text alone
+        (ILF). The exclusivity flag and the row-budget rule live HERE
+        only — two copies drifted before a round-3 review merged them."""
+        mm_needs_vis = getattr(self, "mm_packed_needs_vis", True)
+        exclusive = getattr(self, "face_and_image_are_exclusive", False)
+        if "face_inputs" in inputs:  # multimodal (ECA/ILF) inputs
+            # T_vis reserved slots per sample; row budget must cover
+            # max_length text + the visual tokens (ECA only)
+            t_vis = mm_visual_mask(
+                inputs["face_inputs"], inputs.get("image_inputs")
+            ).shape[1] if mm_needs_vis else 0
+            return {
+                **inputs,
+                "text_inputs": {
+                    **inputs["text_inputs"],
+                    **pack_mm_text_inputs(
+                        inputs, self.max_length + t_vis,
+                        exclusive, needs_vis=mm_needs_vis,
+                    ),
+                },
+            }
+        return {**inputs, **pack_text_inputs(inputs, self.max_length)}
 
 
 def pack_text_inputs(inputs: Dict[str, np.ndarray], row_len: int) -> dict:
@@ -476,24 +516,7 @@ class BiEncoderCollator(QADataModule):
         }
 
     def _pack(self, inputs: dict) -> dict:
-        if "face_inputs" in inputs:  # multimodal (ECA/ILF) inputs
-            # T_vis reserved slots per sample; row budget must cover
-            # max_length text + the visual tokens (ECA only)
-            t_vis = mm_visual_mask(
-                inputs["face_inputs"], inputs.get("image_inputs")
-            ).shape[1] if self.mm_packed_needs_vis else 0
-            return {
-                **inputs,
-                "text_inputs": {
-                    **inputs["text_inputs"],
-                    **pack_mm_text_inputs(
-                        inputs, self.max_length + t_vis,
-                        self.face_and_image_are_exclusive,
-                        needs_vis=self.mm_packed_needs_vis,
-                    ),
-                },
-            }
-        return {**inputs, **pack_text_inputs(inputs, self.max_length)}
+        return self._pack_inputs(inputs)
 
 
 class JointBiEncoderAndClipCollator(BiEncoderCollator):
@@ -519,9 +542,7 @@ class JointBiEncoderAndClipCollator(BiEncoderCollator):
             max_length=self.cm_max_length, return_tensors="np",
         )
         ctx = batch["context_inputs"]
-        target = ctx if "input_ids" in ctx else ctx["text_inputs"]
-        target_holder = ctx
-        target_holder["titles"] = {
+        ctx["titles"] = {
             "input_ids": enc["input_ids"].astype(np.int32),
             "attention_mask": enc["attention_mask"].astype(np.int32),
         }
@@ -553,6 +574,11 @@ class ReaderCollator(QADataModule):
         # trainee can run qa.reader_apply_packed: (question, passage) pairs
         # are ~125 real tokens vs max_length=256 padded, ~2x reader FLOPs
         self.packed = packed
+        if packed and self.image_formatter.precomputed:
+            raise ValueError(
+                "ReaderCollator(packed=True) is text-only — there is no "
+                "packed multimodal reader path (reader_apply_packed takes "
+                "no visual inputs); drop packed or image_features")
         if self.oracle and self.n_relevant_passages != self.M:
             warnings.warn(f"Oracle mode: setting n_relevant_passages={self.M}")
             self.n_relevant_passages = self.M
@@ -704,13 +730,16 @@ class ReaderCollator(QADataModule):
             self.tokenizer, questions_text, pairs=passages_text,
             max_length=self.max_length,
         )
-        batch.update(
-            self.get_answer_position(batch["input_ids"], answers, answer_mask)
-        )
+        answer_position = self.get_answer_position(
+            batch["input_ids"], answers, answer_mask)
         if self.image_formatter.precomputed:
+            # reference order (train/data.py:1070-1072): format FIRST, then
+            # positions/strings/scores live TOP-LEVEL next to text_inputs —
+            # trainees read batch["start_positions"] unnested
             batch = {
                 **self.image_formatter.format_batch(batch, questions, passages)
             }
+        batch.update(answer_position)
         batch["answer_strings"] = answer_strings
         if passage_scores:
             batch["passage_scores"] = np.concatenate(passage_scores)
@@ -931,6 +960,13 @@ class ICTCollator(QADataModule):
             targets,
         )
         n_hard = self.M - 1
+        if n_hard > 0 and not self.image_formatter.precomputed:
+            # reference parity (train/data.py:1197-1199): rolling-image
+            # hard negatives NEED precomputed features; silently training
+            # with in-batch negatives only would misrepresent M
+            raise NotImplementedError(
+                "ICT hard negatives (M > 1) require precomputed image "
+                "features")
         if n_hard > 0 and self.image_formatter.precomputed:
             # duplicate relevant text M times; roll visual features across
             # the batch for hard negatives (same text, wrong image)
@@ -955,18 +991,10 @@ class ICTCollator(QADataModule):
                 )
         labels = np.arange(len(items), dtype=np.int32)
         if self.packed:
-            for inputs in (question_inputs, context_inputs):
-                t_vis = mm_visual_mask(
-                    inputs["face_inputs"], inputs.get("image_inputs")
-                ).shape[1] if self.mm_packed_needs_vis else 0
-                inputs["text_inputs"] = {
-                    **inputs["text_inputs"],
-                    **pack_mm_text_inputs(
-                        inputs, self.max_length + t_vis,
-                        self.face_and_image_are_exclusive,
-                        needs_vis=self.mm_packed_needs_vis,
-                    ),
-                }
+            # same packing seam as BiEncoderCollator._pack (one shared
+            # helper: the row-budget and exclusivity rules must not drift)
+            question_inputs = self._pack_inputs(question_inputs)
+            context_inputs = self._pack_inputs(context_inputs)
         return {
             "question_inputs": question_inputs,
             "context_inputs": context_inputs,

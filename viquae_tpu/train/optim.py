@@ -53,7 +53,7 @@ def _path_name(path) -> str:
     return ".".join(parts)
 
 
-def no_decay_mask(params):
+def decay_mask(params):
     """True where weight decay applies (not biases / LayerNorm), matching
     HF/torch AdamW conventions used by the reference."""
     return jax.tree_util.tree_map_with_path(
@@ -90,7 +90,7 @@ def make_optimizer(
     chain.append(
         optax.adamw(
             schedule, b1=betas[0], b2=betas[1], eps=eps,
-            weight_decay=weight_decay, mask=no_decay_mask(params),
+            weight_decay=weight_decay, mask=decay_mask(params),
         )
     )
     tx = optax.chain(*chain)
@@ -153,8 +153,13 @@ def multi_passage_rc_loss(
 
     if max_pooling:  # legacy ViQuAE-paper behavior
         loss_tensor = loss_tensor.reshape(n, m, -1).max(axis=1)
-    else:
-        loss_tensor = loss_tensor.reshape(n, -1)
+    # else: keep (N*M, A) — the reference's _calc_mml marginalizes over
+    # answer OCCURRENCES WITHIN each passage row and means over all N*M
+    # rows (meerqat/train/optim.py:32-40,86; it only reshapes to (N, ...)
+    # in the max_pooling branch). Pooling the marginal across a question's
+    # M passages gave a smaller loss whenever multiple passages carried
+    # the answer — a silent divergence a round-3 review caught (the old
+    # torch-oracle test replicated the port's reshape, not the reference).
 
     # _calc_mml parity: zero-loss entries are excluded from the marginal via
     # the -1e10 trick; all-zero rows contribute log(1) = 0
