@@ -441,3 +441,59 @@ def test_ilf_packed_matches_padded(devices):
     )[:b]
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_ilf_remat_through_trainee(devices):
+    """BiEncoderTrainee(remat_layers=True) passes remat_layers to the
+    UNPACKED mm path too — ilf_apply previously had no such kwarg and
+    crashed (round-3 review)."""
+    from viquae_tpu.core import mesh as meshlib
+    from viquae_tpu.train import objectives, trainee as trainee_lib
+
+    cfg_kw = dict(
+        bert=dict(vocab_size=60, hidden_size=16, num_hidden_layers=1,
+                  num_attention_heads=2, intermediate_size=32,
+                  max_position_embeddings=16, add_pooler=False),
+        n_faces=1, face_dim=6, bbox_dim=7, image_dims={"clip": 8,
+                                                       "imagenet": 9},
+    )
+    from viquae_tpu.models.mm import IntermediateLinearFusion
+
+    be = trainee_lib.BiEncoderTrainee(
+        IntermediateLinearFusion(**cfg_kw),
+        IntermediateLinearFusion(**cfg_kw),
+        remat_layers=True,
+    )
+    rng = np.random.default_rng(0)
+    n = 4
+
+    def side():
+        return {
+            "text_inputs": {
+                "input_ids": jnp.asarray(
+                    rng.integers(0, 60, (n, 8)), jnp.int32),
+                "attention_mask": jnp.ones((n, 8), jnp.int32),
+            },
+            "face_inputs": {
+                "face": jnp.asarray(
+                    rng.standard_normal((n, 1, 1, 6)), jnp.float32),
+                "bbox": jnp.asarray(
+                    rng.standard_normal((n, 1, 1, 7)), jnp.float32),
+                "attention_mask": jnp.ones((n, 1, 1), jnp.int32),
+            },
+            "image_inputs": {
+                "clip": {"input": jnp.asarray(
+                    rng.standard_normal((n, 1, 8)), jnp.float32),
+                    "attention_mask": jnp.ones((n, 1), jnp.int32)},
+                "imagenet": {"input": jnp.asarray(
+                    rng.standard_normal((n, 1, 9)), jnp.float32),
+                    "attention_mask": jnp.ones((n, 1), jnp.int32)},
+            },
+        }
+
+    batch = {"question_inputs": side(), "context_inputs": side(),
+             "labels": jnp.arange(n, dtype=jnp.int32)}
+    # TRAINING mode (dropout active): exercises the per-site rng folding
+    loss, _ = be.loss_fn(be.params, batch, jax.random.key(0),
+                         deterministic=False)
+    assert np.isfinite(float(loss))

@@ -8,13 +8,11 @@ article->passage mappings (:127-203); runs are compared with rankeval
 """
 from __future__ import annotations
 
-import json
 import re
-import warnings
 from pathlib import Path
 from typing import Dict, List, Optional, Sequence, Tuple
 
-from viquae_tpu.data.loading import answer_preprocess, json_integer_keys
+from viquae_tpu.data.loading import answer_preprocess
 from viquae_tpu.rankeval import Qrels, Run, compare as rankeval_compare
 
 
@@ -181,12 +179,14 @@ def cat_breakdown(runs, qrels, cats: Dict[str, List[str]],
         q_ids = list(qrels.keys())
         scores = per_query_scores(qrels, run, metric, q_ids=q_ids)
         by_q = dict(zip(q_ids, scores))
-        out[run.name or "run"] = {
-            cat: (
-                sum(by_q.get(q, 0.0) for q in members) / max(len(members), 1)
-            )
-            for cat, members in cats.items()
-        }
+        result = {}
+        for cat, members in cats.items():
+            # mean over JUDGED members only: counting category ids absent
+            # from the qrels as 0.0 would silently deflate the category
+            # metric by found/total instead of reporting the judged mean
+            judged = [by_q[q] for q in members if q in by_q]
+            result[cat] = sum(judged) / len(judged) if judged else 0.0
+        out[run.name or "run"] = result
     return out
 
 

@@ -183,12 +183,15 @@ def encode(
         if attention_mask is None:
             attention_mask = jnp.ones((b, l), jnp.int32)
         bias = L.attention_bias_from_mask(attention_mask)
+    # three INDEPENDENT dropout sites per layer (attention probs, attention
+    # output, FFW output), matching HF's independent nn.Dropout modules —
+    # reusing one key across sites gives deterministically correlated masks
     rngs = (
-        jax.random.split(rng, 2 * cfg.num_hidden_layers)
+        jax.random.split(rng, 3 * cfg.num_hidden_layers)
         if rng is not None
-        else [None] * (2 * cfg.num_hidden_layers)
+        else [None] * (3 * cfg.num_hidden_layers)
     )
-    def layer_fn(layer, x, bias, rng_a, rng_b):
+    def layer_fn(layer, x, bias, rng_a, rng_h, rng_b):
         attn = L.mha(
             layer["attention"], x, bias=bias,
             n_heads=cfg.num_attention_heads,
@@ -197,7 +200,7 @@ def encode(
             rng=rng_a,
             compute_dtype=compute_dtype,
         )
-        attn = L.dropout(attn, cfg.hidden_dropout_prob, deterministic, rng_a)
+        attn = L.dropout(attn, cfg.hidden_dropout_prob, deterministic, rng_h)
         x = L.layer_norm(layer["attention_ln"], x + attn, cfg.layer_norm_eps)
         ff = L.mlp(layer["mlp"], x, cfg.hidden_act, compute_dtype)
         ff = L.dropout(ff, cfg.hidden_dropout_prob, deterministic, rng_b)
@@ -209,7 +212,8 @@ def encode(
     x = hidden
     all_hidden = [x]
     for i, layer in enumerate(params["layers"]):
-        x = layer_fn(layer, x, bias, rngs[2 * i], rngs[2 * i + 1])
+        x = layer_fn(layer, x, bias, rngs[3 * i], rngs[3 * i + 1],
+                     rngs[3 * i + 2])
         if activation_sharding is not None:
             x = jax.lax.with_sharding_constraint(x, activation_sharding)
         if output_hidden_states:

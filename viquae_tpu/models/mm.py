@@ -119,6 +119,12 @@ def eca_init(key, cfg: MMConfig) -> Dict[str, Any]:
 def _visual_tokens(params, cfg: MMConfig, face_inputs, image_inputs,
                    deterministic, rng):
     """Project faces+images to (B, T_vis, D) tokens + (B, T_vis) mask."""
+
+    # one key per projection branch: a shared key on same-shape branches
+    # (e.g. two image kinds) would yield bitwise-identical dropout masks
+    def branch_rng(i):
+        return jax.random.fold_in(rng, i) if rng is not None else None
+
     faces = face_inputs["face"]  # (B, n_images, n_faces, face_dim)
     b, n_images, n_faces, _ = faces.shape
     tokens, masks = [], []
@@ -131,7 +137,8 @@ def _visual_tokens(params, cfg: MMConfig, face_inputs, image_inputs,
             type_emb = params["image_type_embeddings"][type_ids]
         face_out = face_embedding_apply(
             params["face_embedding"], cfg, faces, face_inputs["bbox"],
-            type_embedding=type_emb, deterministic=deterministic, rng=rng,
+            type_embedding=type_emb, deterministic=deterministic,
+            rng=branch_rng(0),
         ).reshape(b, n_images * n_faces, -1)
         if cfg.gating:
             face_out = tanh_gate(params["face_gate"], face_out)
@@ -141,7 +148,7 @@ def _visual_tokens(params, cfg: MMConfig, face_inputs, image_inputs,
         masks.append(face_mask)
 
     image_mask_parts = []
-    for name, image in (image_inputs or {}).items():
+    for img_i, (name, image) in enumerate((image_inputs or {}).items()):
         type_emb = None
         if cfg.n_images > 1:
             type_ids = jnp.broadcast_to(jnp.arange(n_images)[None], (b, n_images))
@@ -149,7 +156,8 @@ def _visual_tokens(params, cfg: MMConfig, face_inputs, image_inputs,
         out = image_embedding_apply(
             params["image_embeddings"][name], cfg,
             image["input"].reshape(b, n_images, -1),
-            type_embedding=type_emb, deterministic=deterministic, rng=rng,
+            type_embedding=type_emb, deterministic=deterministic,
+            rng=branch_rng(1 + img_i),
         )
         if cfg.gating:
             out = tanh_gate(params["image_gates"][name], out)
@@ -295,6 +303,49 @@ def ilf_init(key, cfg: MMConfig) -> Dict[str, Any]:
     return params
 
 
+def _ilf_fuse_visual(params, cfg: MMConfig, output, face_inputs,
+                     image_inputs, deterministic, rng):
+    """Shared ILF fusion tail (unpacked + packed paths — two copies
+    drifted before a round-3 review merged them): masked face-projection
+    sum + image-projection sums + LN + dropout. Exclusivity zeroes the
+    image INPUT — reference parity, including the reference's dense-bias
+    leak-through for face-bearing samples (meerqat/models/mm.py:850-859
+    does image['input'][where_are_faces] = 0 then still applies the dense
+    layer). Every dropout site gets its own folded key."""
+
+    def site_rng(i):
+        return jax.random.fold_in(rng, i) if rng is not None else None
+
+    faces = face_inputs["face"]
+    b, n_images, n_faces, _ = faces.shape
+    if n_faces > 0:
+        face_out = face_embedding_apply(
+            params["face_embedding"], cfg,
+            faces.reshape(b, n_images * n_faces, -1),
+            face_inputs["bbox"].reshape(b, n_images * n_faces, -1),
+            deterministic=deterministic, rng=site_rng(0),
+        )
+        # mask then sum over faces (divergence from the reference, which
+        # sums the LN-of-zero embeddings of PADDED faces too)
+        mask = face_inputs["attention_mask"].reshape(b, n_images * n_faces, 1)
+        output = output + (face_out * mask).sum(axis=1)
+
+    face_mask_flat = face_inputs["attention_mask"].reshape(b, -1)
+    has_face = face_mask_flat.sum(axis=1, keepdims=True) > 0
+    for img_i, (name, image) in enumerate((image_inputs or {}).items()):
+        inp = image["input"].reshape(b, -1)
+        if cfg.face_and_image_are_exclusive:
+            inp = jnp.where(has_face, 0.0, inp)
+        output = output + image_embedding_apply(
+            params["image_embeddings"][name], cfg, inp,
+            deterministic=deterministic, rng=site_rng(1 + img_i),
+        )
+    output = L.layer_norm(params["ln"], output, cfg.bert.layer_norm_eps)
+    return L.dropout(
+        output, cfg.bert.hidden_dropout_prob, deterministic, site_rng(99)
+    )
+
+
 def ilf_apply(
     params,
     cfg: MMConfig,
@@ -304,44 +355,19 @@ def ilf_apply(
     deterministic: bool = True,
     rng=None,
     compute_dtype=jnp.float32,
+    remat_layers: bool = False,
 ) -> EncoderOutput:
-    rngs = jax.random.split(rng, 3) if rng is not None else (None,) * 3
+    rngs = jax.random.split(rng, 2) if rng is not None else (None,) * 2
     text = bert.apply(
         params["dpr_encoder"], cfg.bert,
         text_inputs["input_ids"], text_inputs["attention_mask"],
         token_type_ids=text_inputs.get("token_type_ids"),
         deterministic=deterministic, rng=rngs[0],
-        compute_dtype=compute_dtype,
+        compute_dtype=compute_dtype, remat_layers=remat_layers,
     )["last_hidden_state"][:, 0]
     output = L.dense(params["dpr_proj"], text)
-
-    faces = face_inputs["face"]
-    b, n_images, n_faces, _ = faces.shape
-    if n_faces > 0:
-        face_out = face_embedding_apply(
-            params["face_embedding"], cfg,
-            faces.reshape(b, n_images * n_faces, -1),
-            face_inputs["bbox"].reshape(b, n_images * n_faces, -1),
-            deterministic=deterministic, rng=rngs[1],
-        )
-        # mask then sum over faces (the reference zero-pads absent faces)
-        mask = face_inputs["attention_mask"].reshape(b, n_images * n_faces, 1)
-        output = output + (face_out * mask).sum(axis=1)
-
-    face_mask_flat = face_inputs["attention_mask"].reshape(b, -1)
-    has_face = face_mask_flat.sum(axis=1, keepdims=True) > 0
-    for name, image in (image_inputs or {}).items():
-        inp = image["input"].reshape(b, -1)
-        if cfg.face_and_image_are_exclusive:
-            inp = jnp.where(has_face, 0.0, inp)
-        output = output + image_embedding_apply(
-            params["image_embeddings"][name], cfg, inp,
-            deterministic=deterministic, rng=rngs[2],
-        )
-    output = L.layer_norm(params["ln"], output, cfg.bert.layer_norm_eps)
-    output = L.dropout(
-        output, cfg.bert.hidden_dropout_prob, deterministic, rngs[2]
-    )
+    output = _ilf_fuse_visual(params, cfg, output, face_inputs,
+                              image_inputs, deterministic, rngs[1])
     return EncoderOutput(pooler_output=output)
 
 
@@ -365,7 +391,7 @@ def ilf_apply_packed(
     of projections (no tokens), so no reserved slots are needed — plain
     `pack_text_inputs` canvases work. Returns (n_cls, D); rows past the
     packer's n_seqs are garbage."""
-    rngs = jax.random.split(rng, 3) if rng is not None else (None,) * 3
+    rngs = jax.random.split(rng, 2) if rng is not None else (None,) * 2
     hidden = bert.apply(
         params["dpr_encoder"], cfg.bert, input_ids,
         position_ids=position_ids, segment_ids=segment_ids,
@@ -374,35 +400,10 @@ def ilf_apply_packed(
     )["last_hidden_state"]
     text = hidden[cls_rows, cls_cols]
 
-    faces = face_inputs["face"]
-    b, n_images, n_faces, _ = faces.shape
-    text = text[: b]
-    output = L.dense(params["dpr_proj"], text)
-    if n_faces > 0:
-        face_out = face_embedding_apply(
-            params["face_embedding"], cfg,
-            faces.reshape(b, n_images * n_faces, -1),
-            face_inputs["bbox"].reshape(b, n_images * n_faces, -1),
-            deterministic=deterministic, rng=rngs[1],
-        )
-        mask = face_inputs["attention_mask"].reshape(b, n_images * n_faces, 1)
-        output = output + (face_out * mask).sum(axis=1)
-
-    face_mask_flat = face_inputs["attention_mask"].reshape(b, -1)
-    has_face = face_mask_flat.sum(axis=1, keepdims=True) > 0
-    for name, image in (image_inputs or {}).items():
-        inp = image["input"].reshape(b, -1)
-        if cfg.face_and_image_are_exclusive:
-            inp = jnp.where(has_face, 0.0, inp)
-        output = output + image_embedding_apply(
-            params["image_embeddings"][name], cfg, inp,
-            deterministic=deterministic, rng=rngs[2],
-        )
-    output = L.layer_norm(params["ln"], output, cfg.bert.layer_norm_eps)
-    output = L.dropout(
-        output, cfg.bert.hidden_dropout_prob, deterministic, rngs[2]
-    )
-    return output
+    b = face_inputs["face"].shape[0]
+    output = L.dense(params["dpr_proj"], text[: b])
+    return _ilf_fuse_visual(params, cfg, output, face_inputs,
+                            image_inputs, deterministic, rngs[1])
 
 
 # --------------------------------------------------------------------------
@@ -453,6 +454,13 @@ def flamant_apply(
         deterministic=deterministic, rng=rngs[1],
     )
     bcfg = cfg.bert
+
+    # per-layer, per-site dropout keys (the reference's Flamant layers are
+    # BertLayer-based and dropout attention probs + both hidden outputs;
+    # this path previously trained with NO transformer dropout at all)
+    def site_rng(i):
+        return jax.random.fold_in(rngs[1], 1 + i) if rng is not None else None
+
     text_bias = L.attention_bias_from_mask(text_inputs["attention_mask"])
     vis_bias = L.attention_bias_from_mask(vis_mask)
     for i, layer in enumerate(params["bert"]["layers"]):
@@ -463,13 +471,20 @@ def flamant_apply(
             attn = L.mha(
                 xl["xattn"], x, vis_tokens, bias=vis_bias,
                 n_heads=cfg.image_num_attention_heads,
+                deterministic=deterministic,
+                dropout_rate=bcfg.attention_probs_dropout_prob,
+                rng=site_rng(6 * i),
                 compute_dtype=compute_dtype,
             )
+            attn = L.dropout(attn, bcfg.hidden_dropout_prob, deterministic,
+                             site_rng(6 * i + 1))
             attn = L.layer_norm(xl["xattn_ln"], attn + x, bcfg.layer_norm_eps)
             if xl["attn_gate"] is not None:
                 attn = tanh_gate(xl["attn_gate"], attn)
             x = attn + x
             ffw = L.mlp(xl["ffw"], x, "gelu", compute_dtype)
+            ffw = L.dropout(ffw, bcfg.hidden_dropout_prob, deterministic,
+                            site_rng(6 * i + 2))
             if xl["ffw_gate"] is not None:
                 ffw = tanh_gate(xl["ffw_gate"], ffw)
             x = L.layer_norm(xl["ln"], ffw + x, bcfg.layer_norm_eps)
@@ -477,10 +492,17 @@ def flamant_apply(
         attn = L.mha(
             layer["attention"], x, bias=text_bias,
             n_heads=bcfg.num_attention_heads,
+            deterministic=deterministic,
+            dropout_rate=bcfg.attention_probs_dropout_prob,
+            rng=site_rng(6 * i + 3),
             compute_dtype=compute_dtype,
         )
+        attn = L.dropout(attn, bcfg.hidden_dropout_prob, deterministic,
+                         site_rng(6 * i + 4))
         x = L.layer_norm(layer["attention_ln"], x + attn, bcfg.layer_norm_eps)
         ff = L.mlp(layer["mlp"], x, bcfg.hidden_act, compute_dtype)
+        ff = L.dropout(ff, bcfg.hidden_dropout_prob, deterministic,
+                       site_rng(6 * i + 5))
         x = L.layer_norm(layer["output_ln"], x + ff, bcfg.layer_norm_eps)
     return ECAEncoderOutput(pooler_output=x[:, 0], last_hidden_state=x)
 
