@@ -75,7 +75,12 @@ def main():
                 ) % args.vocab
     queries = [" ".join(f"t{t}" for t in row) for row in q_tokens]
 
-    # native C++ scorer
+    # native C++ scorer; the MaxScore term bounds are a one-off index
+    # cost — build them before timing queries (bench.py does the same)
+    t0 = time.time()
+    _ = index.term_ub
+    out["bound_meta_build_s"] = round(time.time() - t0, 2)
+    print(f"term_ub build: {out['bound_meta_build_s']}s", file=sys.stderr)
     t0 = time.time()
     scores, idx = index.search_batch(queries, k=args.k)
     dt = time.time() - t0
