@@ -765,3 +765,51 @@ def test_face_query_encoder_matches_dataset_stages():
     # the oversized image really was detected (otherwise the full-res
     # branch went untested)
     assert landmarks[1] is not None and np.isfinite(online[1]).all()
+
+
+def test_face_embedder_handles_non_rgb_and_buckets_exactly():
+    """Round-3 review findings: (a) PIL images handed directly to the
+    dataset map (mode 'L'/'RGBA'/'P') must be RGB-converted like the str
+    path does via load_image; (b) the bucket-padded align program must be
+    numerically EXACT vs aligning at the native resolution (affine_warp
+    zero-pads out-of-range taps, so zero image padding is a no-op)."""
+    from PIL import Image
+
+    from viquae_tpu.image.face_recognition import FaceEmbedder
+    from viquae_tpu.models import arcface
+
+    rng = np.random.default_rng(11)
+    acfg = arcface.ArcFaceConfig(stage_sizes=(1, 1, 1, 1), width=8,
+                                 embedding_size=16)
+    a_params = arcface.init(jax.random.key(7), acfg)
+    embedder = FaceEmbedder(a_params, cfg=acfg, max_n_faces=1, batch_size=4)
+
+    lm = np.asarray([[20.0, 30.0], [44.0, 30.0], [32.0, 44.0],
+                     [24.0, 56.0], [42.0, 56.0]], np.float32)
+    base = rng.integers(0, 255, (70, 90, 3), dtype=np.uint8)
+    gray = Image.fromarray(base).convert("L")
+    rgba = Image.fromarray(base).convert("RGBA")
+    batch = {
+        "image": [gray, rgba, None],
+        "face_landmarks": [[lm], [lm], None],
+    }
+    out = embedder(dict(batch))["face_embedding"]
+    assert out[2] is None
+    assert np.isfinite(np.asarray(out[0])).all()
+    assert np.isfinite(np.asarray(out[1])).all()
+    # RGBA over an opaque image must equal plain RGB
+    rgb_out = embedder({
+        "image": [Image.fromarray(base)], "face_landmarks": [[lm]],
+    })["face_embedding"]
+    np.testing.assert_allclose(np.asarray(out[1]), np.asarray(rgb_out[0]),
+                               rtol=1e-5, atol=1e-5)
+
+    # bucketed crop == native-resolution crop, bit-for-bit (incl. a face
+    # whose warp samples past the true image edge into the padding)
+    edge_lm = lm + np.asarray([[46.0, 10.0]], np.float32)  # near right edge
+    for arr, lmk in [(base.astype(np.float32), lm),
+                     (base.astype(np.float32), edge_lm)]:
+        bucketed = embedder._aligned_crop(arr, lmk)
+        native = np.asarray(embedder._align(jnp.asarray(arr),
+                                            jnp.asarray(lmk)))
+        np.testing.assert_array_equal(bucketed, native)

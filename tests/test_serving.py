@@ -592,3 +592,40 @@ def test_multi_index_online_face_leg(setup):
     # validation: face_encoders keys must be non-text index names
     with pytest.raises(ValueError, match="face_encoders"):
         build({"dpr": encoder})
+
+
+def test_multi_index_compact_transfer_fp32_feature_parity(setup):
+    """Round-3 review: compact_transfer=True used to bf16-truncate
+    precomputed modal features even against fp32 exact-parity indexes —
+    a silently lossy cast near score ties. Features must now follow the
+    index dtype, so the compact and non-compact paths return IDENTICAL
+    rankings over fp32 indexes (the integer compactions are lossless)."""
+    import jax.numpy as jnp
+
+    from viquae_tpu.ir.serving import MultiIndexRetrievalPipeline
+    from viquae_tpu.ops import mips
+
+    tok, cfg, params, queries, kb = setup
+    queries = queries[:48]
+    rng = np.random.default_rng(3)
+    n_docs = kb.shape[0]
+    kb_clip = rng.normal(size=(n_docs, 24)).astype(np.float32)
+    feats = {"clip": rng.normal(size=(len(queries), 24)).astype(np.float32)}
+    results = {}
+    for compact in (False, True):
+        emb = PackedTextEmbedder(dpr.make_packed_apply(cfg), params, tok,
+                                 row_len=32, batch_size=48,
+                                 compute_dtype=jnp.float32)
+        indexes = {
+            "dpr": mips.DenseIndex(kb, mode="global", dtype=jnp.float32),
+            "clip": mips.DenseIndex(kb_clip, mode="global",
+                                    dtype=jnp.float32),
+        }
+        pipe = MultiIndexRetrievalPipeline(
+            emb, indexes, {"dpr": 0.6, "clip": 0.4}, text_index="dpr",
+            batch_size=48, k=10, norm="zmuv", compact_transfer=compact,
+        )
+        results[compact] = pipe.run_arrays(queries, feats)
+    np.testing.assert_array_equal(results[False][1], results[True][1])
+    np.testing.assert_allclose(results[False][0], results[True][0],
+                               rtol=1e-2, atol=1e-2)

@@ -491,3 +491,75 @@ def test_microbatch_collate_validation():
         microbatch_collate(lambda g: {}, 3)([1, 2, 3, 4])
     with pytest.raises(ValueError, match=">= 1"):
         microbatch_collate(lambda g: {}, 0)
+
+
+def test_trainer_config_validation(devices):
+    """Round-3 review: a monitor_mode typo silently froze best-keeping, and
+    microbatched=True with accum==1 fed the loss an unsquashed leading dim —
+    both must be loud __init__ errors."""
+    import optax
+
+    def loss_fn(p, b, r):
+        return jnp.mean(p["w"] ** 2), {}
+
+    params = {"w": np.ones((2,), np.float32)}
+    ctx = meshlib.make_mesh(data=8)
+    with meshlib.use(ctx):
+        with pytest.raises(ValueError, match="monitor_mode"):
+            Trainer(loss_fn, params, optax.sgd(0.1),
+                    TrainerConfig(monitor_mode="Max"), mesh_ctx=ctx)
+        with pytest.raises(ValueError, match="microbatched"):
+            Trainer(loss_fn, params, optax.sgd(0.1),
+                    TrainerConfig(microbatched=True, grad_accum=1),
+                    mesh_ctx=ctx)
+
+
+def test_trainer_donation_does_not_clobber_caller_params(devices):
+    """train_step donates the state; the params pytree the CALLER passed in
+    (possibly already-committed jax.Arrays) must stay alive and unchanged."""
+    import optax
+
+    def loss_fn(p, b, r):
+        return jnp.mean((p["w"] - b["x"]) ** 2), {}
+
+    ctx = meshlib.make_mesh(data=8)
+    with meshlib.use(ctx):
+        caller_params = {"w": jnp.ones((8, 4), jnp.float32)}
+        t = Trainer(loss_fn, caller_params, optax.sgd(0.5),
+                    TrainerConfig(max_steps=2, log_every=0), mesh_ctx=ctx)
+        t.fit([{"x": np.zeros((8, 4), np.float32)}] * 2)
+        # the caller's array is still readable and untouched
+        np.testing.assert_array_equal(np.asarray(caller_params["w"]), 1.0)
+        # and training actually updated the trainer's own copy
+        assert not np.allclose(np.asarray(t.state["params"]["w"]), 1.0)
+
+
+def test_shard_batch_keeps_rectangular_lists(devices):
+    """_shard_batch must keep plain nested numeric lists (valid array data)
+    and drop only string/ragged host-side leaves."""
+    import optax
+
+    seen = {}
+
+    def loss_fn(p, b, r):
+        # trace-time: record keys/shapes and pass the surviving leaves out
+        # through aux so values can be checked post-step
+        seen.update({k: v.shape for k, v in b.items()})
+        return jnp.mean(p["w"] ** 2), dict(b)
+
+    ctx = meshlib.make_mesh(data=8)
+    with meshlib.use(ctx):
+        t = Trainer(loss_fn, {"w": np.ones((2,), np.float32)},
+                    optax.sgd(0.1),
+                    TrainerConfig(max_steps=1, log_every=0), mesh_ctx=ctx)
+        batch = {
+            "labels": [[1, 2], [3, 4]],          # rectangular: must survive
+            "answers": ["a", "b"],               # strings: host-only
+            "ragged": [[1], [2, 3]],             # ragged: host-only
+            "ids": np.ones((8, 4), np.int32),
+        }
+        _, _, aux = t._train_step(
+            t.state, t._shard_batch(batch), jax.random.key(0))
+    assert seen == {"labels": (2, 2), "ids": (8, 4)}
+    np.testing.assert_array_equal(np.asarray(aux["labels"]),
+                                  [[1, 2], [3, 4]])

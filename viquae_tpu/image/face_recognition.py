@@ -68,6 +68,37 @@ class FaceEmbedder:
 
         self._align = align_one
 
+    @staticmethod
+    def _to_rgb_array(image) -> np.ndarray:
+        """PIL image or array of any mode -> (H, W, 3) float32. load_image
+        converts str-path inputs to RGB, but a dataset column can hold PIL
+        images directly (mode 'L', 'P', 'RGBA', ...) — without this, a
+        grayscale image becomes (H, W) and affine_warp treats columns as
+        channels, an RGBA one breaks the (3,)-stat normalize broadcast."""
+        if hasattr(image, "convert"):
+            image = image.convert("RGB")
+        arr = np.asarray(image, dtype=np.float32)
+        if arr.ndim == 2:
+            arr = np.stack([arr] * 3, axis=-1)
+        elif arr.shape[-1] == 4:
+            arr = arr[..., :3]
+        return arr
+
+    def _aligned_crop(self, arr: np.ndarray, lm: np.ndarray) -> np.ndarray:
+        """Align ONE face from a full-resolution image, zero-padding the
+        image up to a power-of-two shape bucket first. affine_warp samples
+        with mode='constant' cval=0, so zero padding is numerically EXACT
+        (bilinear taps past the true edge read 0 either way) — while the
+        jitted align program compiles per BUCKET instead of per distinct
+        (H, W), bounding compile count over a many-resolution corpus
+        (first-call compiles are minutes over the tunnel, CLAUDE.md)."""
+        h, w = arr.shape[:2]
+        hb = 1 << max(7, (h - 1).bit_length())
+        wb = 1 << max(7, (w - 1).bit_length())
+        if (hb, wb) != (h, w):
+            arr = np.pad(arr, ((0, hb - h), (0, wb - w), (0, 0)))
+        return np.asarray(self._align(jnp.asarray(arr), jnp.asarray(lm)))
+
     def __call__(self, batch: dict) -> dict:
         output = [None] * len(batch[self.image_key])
         crops, owners = [], []
@@ -82,12 +113,10 @@ class FaceEmbedder:
             )
             if image is None:
                 continue
-            arr = jnp.asarray(np.asarray(image, dtype=np.float32))
+            arr = self._to_rgb_array(image)
             lms = np.asarray(landmarks, np.float32)[: self.max_n_faces]
             for lm in lms:
-                crops.append(np.asarray(
-                    self._align(arr, jnp.asarray(lm))
-                ))
+                crops.append(self._aligned_crop(arr, lm))
                 owners.append(i)
         if not crops:
             batch["face_embedding"] = output
@@ -236,10 +265,9 @@ class FaceQueryEncoder:
         if redo:
             crops = []
             for j in redo:
-                arr = jnp.asarray(
-                    np.asarray(originals[j], dtype=np.float32))
-                lm = jnp.asarray(lms_all[j] / scales[j])
-                crops.append(np.asarray(self.embedder._align(arr, lm)))
+                arr = FaceEmbedder._to_rgb_array(originals[j])
+                lm = np.asarray(lms_all[j] / scales[j])
+                crops.append(self.embedder._aligned_crop(arr, lm))
             arr = np.stack(crops)
             fixed = []
             for start in range(0, len(arr), bs):

@@ -386,6 +386,7 @@ class MultiIndexRetrievalPipeline(FusedRetrievalPipeline):
 
         self.indexes = dict(indexes)
         self.names = list(indexes)
+        self.text_index = text_index
         self.norm = norm
         self.weights = tuple(float(weights[n]) for n in self.names)
         self.image_encoders = image_encoders
@@ -457,7 +458,17 @@ class MultiIndexRetrievalPipeline(FusedRetrievalPipeline):
         emb = self.embed_fn
         matrices = {n: ix.matrix for n, ix in self.indexes.items()}
         img_params = {n: e.params for n, e in self.image_encoders.items()}
-        feat_dtype = jnp.bfloat16 if self.compact else jnp.float32
+        # compact transfer of modal features is only LOSSLESS when that
+        # index scores in bf16 anyway (the cast happens on device either
+        # way); an fp32 exact-parity index must receive fp32 queries —
+        # unlike the integer compactions, a blanket bf16 cast would be
+        # silently lossy near score ties
+        feat_dtype = {
+            n: (jnp.bfloat16
+                if self.compact and ix.dtype == jnp.bfloat16
+                else jnp.float32)
+            for n, ix in self.indexes.items()
+        }
         for start, chunk in self._batches(queries):
             with self.timer.stage("tokenize+pack+dispatch"):
                 # the packed canvas always carries batch_size CLS slots
@@ -479,7 +490,7 @@ class MultiIndexRetrievalPipeline(FusedRetrievalPipeline):
                             np.zeros((self.batch_size - len(sl),)
                                      + sl.shape[1:], sl.dtype),
                         ])
-                    feats[n] = jnp.asarray(sl, dtype=feat_dtype)
+                    feats[n] = jnp.asarray(sl, dtype=feat_dtype[n])
                 img_inputs = {}
                 for n, enc in self.image_encoders.items():
                     canvas, ok = decode_image_batch(
@@ -500,7 +511,7 @@ class MultiIndexRetrievalPipeline(FusedRetrievalPipeline):
             raise ValueError(
                 f"query_images keys {sorted(query_images)} must match "
                 f"image_encoders + face_encoders {sorted(online)}")
-        missing = (set(self.names) - {self._text_name()}
+        missing = (set(self.names) - {self.text_index}
                    - set(query_features) - online)
         if missing:
             raise ValueError(f"missing query_features for indexes "
@@ -546,12 +557,6 @@ class MultiIndexRetrievalPipeline(FusedRetrievalPipeline):
 
         self._drain_lagged(stream(), drain_one)
         return scores_out, idx_out
-
-    def _text_name(self):
-        for n, ix in self.indexes.items():
-            if ix is self.index:
-                return n
-        raise RuntimeError("text index missing from indexes")
 
     def run(self, query_ids, queries, query_features=None,
             query_images=None):

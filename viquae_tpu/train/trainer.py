@@ -16,6 +16,7 @@ SPMD loop: a single jitted train step over the framework mesh, where
 from __future__ import annotations
 
 import dataclasses
+import functools
 import json
 import time
 from pathlib import Path
@@ -73,6 +74,20 @@ class Trainer:
         batch_spec: Optional[dict] = None,
     ):
         self.cfg = config
+        if config.monitor_mode not in ("max", "min"):
+            # anything else would silently freeze best-keeping after the
+            # first eval (both mode comparisons evaluate False)
+            raise ValueError(
+                f"monitor_mode must be 'max' or 'min', got "
+                f"{config.monitor_mode!r}"
+            )
+        if config.microbatched and config.grad_accum < 2:
+            # the accum==1 fast path would feed loss_fn batches with the
+            # spurious leading microbatch dim unsquashed
+            raise ValueError(
+                "microbatched=True requires grad_accum >= 2 (batches carry "
+                "a leading grad_accum dim — data.microbatch_collate)"
+            )
         if config.debug_nans:
             jax.config.update("jax_debug_nans", True)
         self.mesh_ctx = mesh_ctx or meshlib.current()
@@ -83,6 +98,14 @@ class Trainer:
         self.history: list = []
 
         ctx = self.mesh_ctx
+        # take ownership: train_step DONATES the state, and device_put
+        # aliases (doesn't copy) arrays whose sharding already matches —
+        # without a copy, the first step would delete arrays the caller
+        # still holds (host numpy inputs are unaffected: device_put makes
+        # a fresh device buffer for those)
+        params = jax.tree_util.tree_map(
+            lambda p: p.copy() if isinstance(p, jax.Array) else p, params
+        )
         if param_spec is not None:
             params = jax.tree_util.tree_map(
                 lambda p, s: jax.device_put(p, ctx.sharding(*s)),
@@ -102,7 +125,11 @@ class Trainer:
 
         accum = max(int(config.grad_accum), 1)
 
-        @jax.jit
+        # donate the state: an undonated adam step holds params + moments
+        # TWICE during the update (the round-2 batch-512 configs only fit
+        # with donation); the loop always replaces self.state with the
+        # returned new_state, so the old buffers are never reused
+        @functools.partial(jax.jit, donate_argnums=(0,))
         def train_step(state, batch, rng):
             grad_fn = jax.value_and_grad(
                 lambda p, b, r: self.loss_fn(p, b, r), has_aux=True
@@ -205,9 +232,18 @@ class Trainer:
         ctx = self.mesh_ctx
 
         def is_host_only(v):
-            return isinstance(v, (str, bytes)) or (
-                isinstance(v, list) and v and isinstance(v[0], (str, list))
-            )
+            if isinstance(v, (str, bytes)):
+                return True
+            if isinstance(v, list):
+                # rectangular numeric nested lists are valid array data
+                # (jnp.asarray handles them); only genuinely ragged or
+                # string-carrying lists are host-side bookkeeping
+                try:
+                    arr = np.asarray(v)
+                except (ValueError, TypeError):
+                    return True
+                return arr.dtype.kind in "OUS"
+            return False
 
         micro = self.cfg.microbatched and self.cfg.grad_accum > 1
 
@@ -322,8 +358,12 @@ class Trainer:
                     if better:
                         best_metric, best_step, since_best = current, step, 0
                         if cfg.ckpt_dir:
+                            # only the max step under best/ is ever
+                            # restored — keep=1 avoids accumulating a full
+                            # params+opt_state copy per improvement
                             ckpt_lib.save_state(
-                                Path(cfg.ckpt_dir) / "best", self.state, step
+                                Path(cfg.ckpt_dir) / "best", self.state,
+                                step, keep=1,
                             )
                     else:
                         since_best += 1
@@ -347,7 +387,6 @@ class Trainer:
         """Mean loss + eval_fn aggregation over batches (no grad, and with
         dropout DISABLED when the loss_fn exposes a `deterministic` flag)."""
         if not hasattr(self, "_eval_step"):
-            import functools
             import inspect
 
             loss_fn = self.loss_fn
@@ -362,8 +401,12 @@ class Trainer:
             self._eval_step = jax.jit(loss_fn)
         outputs = []
         losses = []
-        for batch in eval_batches:
-            rng = self.seeds.split("eval")
+        for i, batch in enumerate(eval_batches):
+            # fold the batch index in: one fixed key for every batch would
+            # correlate dropout masks across the whole eval set when the
+            # loss_fn has no `deterministic` flag; keeping the key a pure
+            # function of i makes eval rounds comparable (paired noise)
+            rng = self.seeds.split(f"eval{i}")
             loss, aux = self._eval_step(
                 self.state["params"], self._shard_batch(batch), rng
             )
