@@ -273,3 +273,29 @@ def test_interact_system_repeated_queries(devices):
     assert system("question 2")["results"][0][0] == "2"
     assert system("question 1")["results"][0][0] == "1"
     assert system("question 3")["results"][0][0] == "3"
+
+
+def test_negative_numerical_answers_score_correctly():
+    """Round-3 review: the official [a*(1-t), a*(1+t)] recipe inverts the
+    range for negative answers (exact predictions scored 0) — the deviation
+    sorts the bounds."""
+    assert infoseek.metric_numerical_range(-86.0, -86.0) == 1
+    assert infoseek.metric_numerical_range(-80.0, -86.0) == 1  # within 10%
+    assert infoseek.metric_numerical_range(-50.0, -86.0) == 0
+    assert infoseek.numerical_relevant(["-86"], "the depth is -86 meters")
+
+
+def test_infoseek_full_reports_harmonic_final():
+    qid2example = {
+        "a": {"question_type": "String", "answer_eval": ["paris"]},
+        "b": {"question_type": "String", "answer_eval": ["rome"]},
+    }
+    out = infoseek.evaluate_infoseek_full(
+        {"unseen_question": [{"data_id": "a", "prediction": "paris"}],
+         "unseen_entity": [{"data_id": "b", "prediction": "wrong"}]},
+        qid2example,
+    )
+    assert out["unseen_question"]["score"] == 100.0
+    assert out["unseen_entity"]["score"] == 0.0
+    # harmonic mean with a 0 leg collapses toward 0 (1e-12 guard)
+    assert out["final"]["score"] == pytest.approx(0.0, abs=0.01)

@@ -450,3 +450,43 @@ def test_gazetteer_sentence_initial_determiner():
 def test_bem_scoring_function_rejects_non_callable():
     with pytest.raises(TypeError, match="callable"):
         evqa.initialize_bem_scoring_function("https://tfhub.dev/bem")
+
+
+def test_wikidump_single_line_template_and_nested_values(tmp_path):
+    """Round-3 review: fields on ONE line leaked following |field=... into
+    the captured value; pipes inside nested [[links|..]]/{{templates}} must
+    NOT terminate it."""
+    assert wikidump.get_field(
+        "{{Information|description=A portrait of X|author=John Doe|date=1900}}",
+        "description") == "A portrait of X"
+    assert wikidump.get_field(
+        "{{Information|description=A portrait of X|author=John Doe|date=1900}}",
+        "author") == "John Doe"
+    assert wikidump.get_field(
+        "{{Information|description=A portrait of X|author=John Doe|date=1900}}",
+        "date") == "1900"
+    # nested link/template pipes stay inside the value
+    assert wikidump.get_field(
+        "{{Information\n|description = {{en|1=[[Ada Lovelace|Ada]] in 1840}}\n"
+        "|author = someone\n}}", "description"
+    ) == "{{en|1=[[Ada Lovelace|Ada]] in 1840}}"
+    # multiline values still span lines up to the next field
+    assert wikidump.get_field(
+        "{{Information\n|description = line one\nline two\n|date=1900\n}}",
+        "description") == "line one\nline two"
+    # 'update=' must not match the date field (pipe anchor)
+    assert wikidump.get_field("{{Info|update=2001|date=1900}}",
+                              "date") == "1900"
+
+
+def test_mscelebs_skips_truncated_rows(tmp_path):
+    """A 2-field row aliases face_b64 onto the image-id column — it must be
+    skipped, not base64-decoded as image data."""
+    import base64
+
+    tsv = tmp_path / "faces.tsv"
+    face = base64.b64encode(b"JPEGDATA")
+    tsv.write_bytes(b"m.0abc\timgONLY\n" + b"m.0abc\timg1\t" + face + b"\n")
+    n = mscelebs.extract_faces(tsv, tmp_path / "out", {"m.0abc"})
+    assert n == 1
+    assert (tmp_path / "out" / "m.0abc" / "img1.jpg").exists()

@@ -153,3 +153,39 @@ def test_fuse_rejects_mismatched_weights():
     with pytest.raises(ValueError, match="2 weights for 3 runs"):
         fuse(runs, norm=None, method="wsum",
              params={"weights": [0.5, 0.5]})
+
+
+def test_f1_metric_parses_and_scores():
+    """Round-3 review: the metric-name regex couldn't match 'f1' (digit),
+    making the implemented f1 branch unreachable."""
+    from viquae_tpu.rankeval import Qrels, Run, evaluate
+
+    qrels = Qrels({"q1": {"d1": 1, "d2": 1}})
+    run = Run({"q1": {"d1": 3.0, "dX": 2.0}})
+    out = evaluate(qrels, run, "f1@2")
+    p, r = 1 / 2, 1 / 2
+    assert out == pytest.approx(2 * p * r / (p + r))
+
+
+def test_map_divides_by_total_relevant():
+    """trec_eval/ranx AP@k denominator is the TOTAL judged-relevant count,
+    not min(n_rel, k) — the capped version inflates map@k when n_rel > k."""
+    from viquae_tpu.rankeval import Qrels, Run, evaluate
+
+    qrels = Qrels({"q1": {f"d{i}": 1 for i in range(5)}})
+    run = Run({"q1": {"d0": 9.0, "x1": 8.0}})
+    assert evaluate(qrels, run, "map@2") == pytest.approx(1 / 5)
+
+
+def test_compare_rejects_duplicate_run_names():
+    """Duplicate names silently collapsed per_query/scores rows (trivially
+    produced by Run.from_file on same-named files in different dirs)."""
+    import pytest as _pytest
+
+    from viquae_tpu.rankeval import Qrels, Run, compare
+
+    qrels = Qrels({"q1": {"d1": 1}})
+    runs = [Run({"q1": {"d1": 1.0}}, name="bm25"),
+            Run({"q1": {"dX": 1.0}}, name="bm25")]
+    with _pytest.raises(ValueError, match="duplicate run names"):
+        compare(qrels, runs, metrics=["mrr@10"])

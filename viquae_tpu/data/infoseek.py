@@ -90,7 +90,14 @@ def metric_numerical_range(pred, answer, tolerance: float = 0.1) -> int:
     if isinstance(pred, list) and len(pred) == 1:
         pred = pred[0]
     if not isinstance(answer, list):
-        answer = [answer * (1 - tolerance), answer * (1 + tolerance)]
+        # sorted: for a NEGATIVE scalar answer the official recipe
+        # [a*(1-t), a*(1+t)] (reference meerqat/data/infoseek.py:60,
+        # reproducing the official infoseek_eval) builds an INVERTED
+        # range where even an exact prediction scores 0 — deliberate
+        # deviation so elevations/temperatures evaluate correctly
+        lo = answer * (1 - tolerance)
+        hi = answer * (1 + tolerance)
+        answer = [min(lo, hi), max(lo, hi)]
     if not isinstance(pred, list):
         return 1 if in_range(pred, answer) else 0
     if answer[0] <= pred[0] <= answer[1] and answer[0] <= pred[1] <= answer[1]:
@@ -182,4 +189,13 @@ def evaluate_infoseek_full(predictions: Dict[str, List[dict]],
         split_score = evaluate_infoseek(pred, qid2example)
         split_score["split"] = split
         scores[split] = split_score
+    if len(scores) >= 2:
+        # the official InfoSeek headline number: harmonic mean across the
+        # splits (unseen-question / unseen-entity)
+        scores["final"] = {
+            "score": round(
+                harmonic_mean(*(s["score"] for s in scores.values())), 2
+            ),
+            "split": "harmonic_mean",
+        }
     return scores

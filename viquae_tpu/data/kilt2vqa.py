@@ -425,7 +425,11 @@ def download_images(items: Sequence[dict], save_root,
                 response = wiki.request(vq["url"], session)
                 target.write_bytes(response.content)
                 n += 1
-            except RuntimeError as e:
-                warnings.warn(str(e))
-                return n
+            except (RuntimeError, requests.RequestException) as e:
+                # wiki.request raises requests.HTTPError for permanent
+                # statuses (deleted Commons files 404 routinely) and
+                # RuntimeError after retry exhaustion — warn and keep
+                # going so one bad file never aborts (or crash-loops)
+                # the whole shard
+                warnings.warn(f"{vq['url']}: {e}")
     return n

@@ -23,6 +23,7 @@ from pathlib import Path
 from typing import Dict, List, Optional
 
 from viquae_tpu.data import sentencize
+from viquae_tpu.data.utils import json_integer_keys  # noqa: F401 (re-export)
 
 
 # --------------------------------------------------------------------------
@@ -168,10 +169,6 @@ def make_mapping_dataset(dataset_path, key: str, save_name: str,
     with open(Path(dataset_path) / save_name, "w") as f:
         json.dump(mapping, f)
     return mapping
-
-
-def json_integer_keys(d: dict) -> dict:
-    return {int(k): v for k, v in d.items()}
 
 
 def make_sentences_item(item: dict, text_key: str = "text") -> dict:

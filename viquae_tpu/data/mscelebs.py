@@ -22,7 +22,9 @@ def iter_mscelebs_rows(tsv_path) -> Iterable[tuple]:
     with open(tsv_path, "rb") as f:
         for line in f:
             parts = line.rstrip(b"\n").split(b"\t")
-            if len(parts) < 2:
+            if len(parts) < 3:
+                # a 2-field row would alias face_b64 (= parts[-1]) onto
+                # the image-id column and feed garbage to b64decode
                 continue
             mid = parts[0].decode()
             image_id = parts[1].decode() if len(parts) > 1 else ""

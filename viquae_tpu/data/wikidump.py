@@ -9,19 +9,13 @@ from typing import Dict, Iterable, Optional
 NAMESPACE = "{http://www.mediawiki.org/xml/export-0.10/}"
 FILE_NS = "6"  # MediaWiki namespace id for File: pages
 
-_FIELD_RE = {
-    "description": re.compile(
-        r"description\s*=\s*(.*?)(?:\n\s*\|[a-z_]+\s*=|\}\})",
-        re.IGNORECASE | re.DOTALL,
-    ),
-    "author": re.compile(
-        r"author\s*=\s*(.*?)(?:\n\s*\|[a-z_]+\s*=|\}\})",
-        re.IGNORECASE | re.DOTALL,
-    ),
-    "date": re.compile(
-        r"\bdate\s*=\s*(.*?)(?:\n\s*\|[a-z_]+\s*=|\}\})",
-        re.IGNORECASE | re.DOTALL,
-    ),
+# template fields are always introduced by a top-level '|'; the VALUE is
+# then scanned with {{ }} / [[ ]] depth tracking (see get_field) so pipes
+# inside nested templates or links don't terminate it, while a same-line
+# '|next_field=' does (single-line {{Information}} templates are common)
+_FIELD_START = {
+    f: re.compile(rf"\|\s*{f}\s*=", re.IGNORECASE)
+    for f in ("description", "author", "date")
 }
 _CATEGORY_RE = re.compile(r"\[\[Category:([^\]\|]+)", re.IGNORECASE)
 
@@ -40,8 +34,26 @@ def find_text(element: ET.Element, tag: str) -> Optional[str]:
 
 
 def get_field(wikitext: str, field: str) -> Optional[str]:
-    match = _FIELD_RE[field].search(wikitext or "")
-    return match.group(1).strip() if match else None
+    s = wikitext or ""
+    match = _FIELD_START[field].search(s)
+    if match is None:
+        return None
+    start = i = match.end()
+    depth = 0
+    while i < len(s):
+        two = s[i : i + 2]
+        if two in ("{{", "[["):
+            depth += 1
+            i += 2
+        elif (two == "]]" or two == "}}") and depth > 0:
+            depth -= 1
+            i += 2
+        elif depth == 0 and (two == "}}" or s[i] == "|"):
+            break  # end of template / next top-level field
+        else:
+            i += 1
+    value = s[start:i].strip()
+    return value or None
 
 
 def get_categories(wikitext: str) -> list:

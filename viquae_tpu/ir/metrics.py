@@ -69,7 +69,9 @@ def find_relevant_item(
         provenance["title"][0] for provenance in item["output"]["provenance"]
     }
     original_relevant, relevant = [], []
-    for title in titles:
+    # sorted: set iteration order is hash-seed-dependent, which would make
+    # the saved provenance_indices column order differ run-to-run
+    for title in sorted(titles):
         if title not in title2index:
             continue
         article_index = title2index[title]

@@ -96,6 +96,13 @@ def compare(
     """
     q_ids = list(qrels.keys())
     names = [r.name or f"run_{i}" for i, r in enumerate(runs)]
+    if len(set(names)) != len(names):
+        # every dict below keys by run name — duplicates (trivially
+        # produced by Run.from_file on same-named files in different
+        # dirs) would silently collapse into one row
+        raise ValueError(
+            f"duplicate run names {names}; set distinct Run.name values"
+        )
     rng = np.random.default_rng(seed)
     per_query = {
         name: {m: per_query_scores(qrels, run, m, q_ids=q_ids) for m in metrics}

@@ -19,7 +19,8 @@ from viquae_tpu.rankeval.data import Qrels, Run
 
 DEFAULT_METRICS = ("mrr@100", "precision@1", "precision@20", "hit_rate@20")
 
-_METRIC_RE = re.compile(r"^(?P<name>[a-z_]+)(?:@(?P<k>\d+))?$")
+# name may carry digits ("f1") — '@' is the unambiguous cutoff separator
+_METRIC_RE = re.compile(r"^(?P<name>[a-z][a-z0-9_]*)(?:@(?P<k>\d+))?$")
 
 
 def parse_metric(metric: str):
@@ -77,10 +78,12 @@ def _scores_from_rel(name: str, rel: np.ndarray, n_rel: np.ndarray, k: int,
         first = np.where(binary.any(axis=1), binary.argmax(axis=1) + 1, np.inf)
         return np.where(np.isfinite(first), 1.0 / first, 0.0)
     if name in ("map", "average_precision", "ap"):
+        # trec_eval/ranx convention: AP@k sums precision at the relevant
+        # retrieved ranks but divides by the TOTAL judged-relevant count
+        # (not min(n_rel, k)) — dividing by the capped count inflates
+        # map@k whenever n_rel > k
         cum_prec = np.cumsum(binary, axis=1) / ranks
-        ap = (cum_prec * binary).sum(axis=1) / np.maximum(
-            np.minimum(n_rel, k), 1
-        )
+        ap = (cum_prec * binary).sum(axis=1) / np.maximum(n_rel, 1)
         return np.where(n_rel > 0, ap, 0.0)
     if name == "ndcg":
         # Jarvelin formulation (ranx default): gain/log2(rank+1); IDCG from
