@@ -299,3 +299,57 @@ def test_infoseek_full_reports_harmonic_final():
     assert out["unseen_entity"]["score"] == 0.0
     # harmonic mean with a 0 leg collapses toward 0 (1e-12 guard)
     assert out["final"]["score"] == pytest.approx(0.0, abs=0.01)
+
+
+def test_gridsearch_ignores_stale_storage_trials(tmp_path):
+    """Round-3 review: best-trial argmax must be restricted to the CURRENT
+    grid (a reused storage file carries old combos) and skip NaN values."""
+    storage = tmp_path / "trials.json"
+    stale = {json.dumps({"b": 9.9}, sort_keys=True): 1e9,
+             json.dumps({"b": 0.2}, sort_keys=True): float("nan")}
+    storage.write_text(json.dumps(stale))
+    search = hp.GridSearch({"b": [0.2, 0.4]}, storage=str(storage))
+    result = search.run(lambda p: p["b"])
+    assert result["best_params"] == {"b": 0.4}
+
+    bad = hp.GridSearch({"b": [0.2]}, storage=str(storage))
+    with pytest.raises(ValueError, match="finite"):
+        bad.run(lambda p: float("nan"))
+
+
+def test_interactive_system_does_not_mutate_fusion():
+    """System.__call__ used to overwrite the shared fitted Fusion's
+    runs/qrels (and rewrite its output dir) on every query."""
+    from viquae_tpu.ir.fuse import Fusion
+    from viquae_tpu.interact.system import System
+
+    qrels = Qrels({"q0": {"3": 1}})
+    run_a = Run({"q0": {"3": 1.0, "5": 0.5}}, name="a")
+    run_b = Run({"q0": {"3": 0.7, "7": 0.4}}, name="b")
+    fusion = Fusion(qrels=qrels, runs=[run_a, run_b], norm=None,
+                    method="wsum")
+
+    class _Searcher:
+        reference_key = "passage"
+
+        def __init__(self):
+            self.runs = {"a": {}, "b": {}}
+            self.qrels, self.qnonrels = {}, {}
+
+        def __call__(self, batch):
+            self.runs["a"]["interactive"] = {"3": 1.0, "5": 0.5}
+            self.runs["b"]["interactive"] = {"3": 0.7, "7": 0.4}
+
+    class _Embedder:
+        save_as, key = "emb", "input"
+
+        def embed_texts(self, texts):
+            return np.zeros((len(texts), 4), np.float32)
+
+    system = System(_Embedder(), _Searcher(), fusion=fusion,
+                    fusion_params={"weights": [0.5, 0.5]})
+    out = system("who?")
+    assert out["results"][0][0] == "3"
+    # the shared fusion kept its offline state
+    assert fusion.qrels is qrels
+    assert [r.name for r in fusion.runs] == ["a", "b"]

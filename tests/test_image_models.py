@@ -507,3 +507,77 @@ def test_image_towers_bf16_parity():
 def _synth_modified_resnet_params(mcfg):
     return clip_lib.visual_params_from_openai(
         clip_lib.random_openai_rn50_state_dict(mcfg), mcfg)
+
+
+def test_image_embedder_non_rgb_and_all_none(devices):
+    """Round-3 review: (a) 'L'/'P'/'RGBA' PIL images must be RGB-converted
+    before the canvas assignment (grayscale crashed the whole batch);
+    (b) an ALL-None call must probe the encoder for the embedding width
+    instead of guessing 1 (ragged Arrow column otherwise)."""
+    from PIL import Image
+
+    from viquae_tpu.image.embedding import ImageEmbedder, decode_image_batch
+
+    def apply_fn(params, pixels):
+        return pixels.mean(axis=(1, 2))  # (B, 3)
+
+    emb = ImageEmbedder(apply_fn, {}, save_as="e", image_size=16,
+                        preprocessing="face", batch_size=4)
+    base = np.full((20, 20, 3), 128, np.uint8)
+    out = emb.embed_images([
+        Image.fromarray(base).convert("L"),
+        Image.fromarray(base).convert("RGBA"),
+        Image.fromarray(base).convert("P"),
+    ])
+    assert out.shape == (3, 3) and np.isfinite(out).all()
+
+    # serving-side decode too
+    canvas, valid = decode_image_batch(
+        [Image.fromarray(base).convert("L")], raw_size=16, batch_size=2)
+    assert canvas.shape == (2, 16, 16, 3) and valid.tolist() == [True, False]
+
+    # all-None batch keeps the true embedding width
+    out = emb.embed_images([None, None])
+    assert out.shape == (2, 3)
+    assert np.isnan(out).all()
+
+
+def test_face_detector_pads_final_chunk(devices, monkeypatch):
+    """detect_batch must pad the trailing chunk to batch_size — every
+    distinct batch dim recompiles the vmapped cascade (minutes over the
+    tunneled TPU)."""
+    from PIL import Image
+
+    from viquae_tpu.image import face_detection
+    from viquae_tpu.models import mtcnn
+
+    seen = []
+    real = mtcnn.detect_faces_batch
+
+    def spy(params, images, hws, cfg):
+        seen.append(images.shape[0])
+        return real(params, images, hws, cfg)
+
+    monkeypatch.setattr(face_detection.mtcnn, "detect_faces_batch", spy)
+    cfg = mtcnn.MTCNNConfig(canvas=64, min_face_size=20)
+    params = mtcnn.init(jax.random.key(0))
+    det = face_detection.FaceDetector(params, cfg=cfg, batch_size=4)
+    imgs = [Image.fromarray(
+        np.random.default_rng(i).integers(0, 255, (40, 40, 3), np.uint8))
+        for i in range(6)]
+    probs, boxes, lms = det.detect_batch(imgs + [None])
+    assert seen == [4, 4]  # 6 images -> chunks of 4 and 2->padded 4
+    assert len(probs) == 7 and probs[6] is None
+
+
+def test_scale_boxes_item_schema_on_missing_image():
+    """The image-None branch must still emit scaled_face_landmarks (Arrow
+    needs identical keys across items)."""
+    from viquae_tpu.image.face_box import scale_boxes_item
+
+    item = {"image": "/nonexistent/path.jpg",
+            "face_box": [[1.0, 2.0, 3.0, 4.0]],
+            "face_landmarks": [[[1.0, 1.0]] * 5]}
+    out = scale_boxes_item(dict(item))
+    assert out["scaled_face_box"] is None
+    assert out["scaled_face_landmarks"] is None

@@ -28,6 +28,11 @@ def _resize_center_crop(img, target: int) -> np.ndarray:
     """Aspect-preserving shorter-side resize + center crop to a square
     (the CLIP/torchvision transform; squashing to a square distorts
     embeddings for every non-square corpus image)."""
+    if getattr(img, "mode", "RGB") != "RGB":
+        # dataset columns / serving queries can hold 'L'/'P'/'RGBA' PIL
+        # images directly — without this the canvas assignment below gets
+        # a (H, W) or (H, W, 4) array and crashes the whole batch
+        img = img.convert("RGB")
     w, h = img.size
     if (w, h) != (target, target):
         scale = target / min(w, h)
@@ -142,8 +147,16 @@ class ImageEmbedder:
                 rows = None  # resolved once dim is known
             out_chunks.append((rows, n_chunk))
         dim = next(
-            (c.shape[1] for c, _ in out_chunks if c is not None), 1
+            (c.shape[1] for c, _ in out_chunks if c is not None), None
         )
+        if dim is None:
+            # every image in this call was None: probe the encoder's output
+            # width so the NaN block matches other batches' column width
+            # (a (N, 1) guess would make the Arrow column ragged)
+            zero = np.zeros(
+                (self.batch_size, self.raw_size, self.raw_size, 3), np.uint8
+            )
+            dim = int(self._forward(self.params, jnp.asarray(zero)).shape[1])
         resolved = [
             c if c is not None else np.full((n, dim), np.nan, np.float32)
             for c, n in out_chunks

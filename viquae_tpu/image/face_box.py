@@ -21,7 +21,10 @@ def scale_boxes_item(item: dict, image_key: str = "image") -> dict:
         return item
     image = load_image(item[image_key])
     if image is None:
+        # keep the output schema identical across items (datasets.map's
+        # Arrow writer needs every item to carry the same keys)
         item["scaled_face_box"] = None
+        item["scaled_face_landmarks"] = None
         return item
     width, height = image.size
     boxes = np.asarray(boxes, np.float32)

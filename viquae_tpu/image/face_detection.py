@@ -47,6 +47,8 @@ class FaceDetector:
             if scale < 1.0:
                 img = img.resize((max(1, int(w * scale)),
                                   max(1, int(h * scale))))
+            if getattr(img, "mode", "RGB") != "RGB":
+                img = img.convert("RGB")  # 'L'/'P'/'RGBA' columns
             arr = np.asarray(img, dtype=np.float32)
             canvas = np.zeros((cfg.canvas, cfg.canvas, 3), np.float32)
             canvas[: arr.shape[0], : arr.shape[1]] = arr
@@ -54,10 +56,19 @@ class FaceDetector:
 
         for start in range(0, len(present), self.batch_size):
             chunk = present[start: start + self.batch_size]
-            images = jnp.asarray(np.stack([c[1] for c in chunk]))
-            hws = jnp.asarray(
-                np.array([c[2] for c in chunk], np.float32)
+            # pad the last chunk to batch_size: every distinct batch dim
+            # recompiles the full vmapped cascade (minutes over the
+            # tunnel) — zero canvases detect nothing and are sliced off
+            n_pad = self.batch_size - len(chunk)
+            images_np = np.stack(
+                [c[1] for c in chunk]
+                + [np.zeros((cfg.canvas, cfg.canvas, 3), np.float32)] * n_pad
             )
+            hws_np = np.array(
+                [c[2] for c in chunk] + [(1.0, 1.0)] * n_pad, np.float32
+            )
+            images = jnp.asarray(images_np)
+            hws = jnp.asarray(hws_np)
             out = mtcnn.detect_faces_batch(self.params, images, hws, cfg)
             boxes = np.asarray(out["boxes"])
             probs = np.asarray(out["probs"])

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from viquae_tpu.data.loading import load_image, load_image_batch
+from viquae_tpu.data.loading import load_image
 from viquae_tpu.models import arcface
 from viquae_tpu.ops import image as image_ops
 
@@ -62,11 +62,12 @@ class FaceEmbedder:
 
         self._embed = embed_aligned
 
-        @functools.partial(jax.jit, static_argnames=())
-        def align_one(image, landmarks):
-            return align_face(image, landmarks, self.cfg.image_size)
-
-        self._align = align_one
+        # partial of the module-level jitted align_face: its trace cache is
+        # shared across embedder instances (a per-instance jit wrapper
+        # would re-trace alignment for the same shapes on every instance)
+        self._align = functools.partial(
+            align_face, image_size=self.cfg.image_size
+        )
 
     @staticmethod
     def _to_rgb_array(image) -> np.ndarray:

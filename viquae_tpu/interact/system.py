@@ -64,13 +64,21 @@ class System:
             for name, run in self.searcher.runs.items()
         }
         if self.fusion is not None and len(runs) > 1:
+            import copy
+
             from viquae_tpu.rankeval import Run
 
-            self.fusion.runs = [
+            # shallow copy: the caller's fitted Fusion keeps its offline
+            # runs/qrels/output — mutating the shared object would wipe
+            # its qrels after the first question and overwrite
+            # output/test_run.json on every interactive query
+            fusion = copy.copy(self.fusion)
+            fusion.runs = [
                 Run({"interactive": r}, name=n) for n, r in runs.items()
             ]
-            self.fusion.qrels = None
-            combined = self.fusion.test(self.fusion_params, metrics=[])
+            fusion.qrels = None
+            fusion.output = None
+            combined = fusion.test(self.fusion_params, metrics=[])
             results = combined["interactive"]
         else:
             results = next(iter(runs.values())) if runs else {}

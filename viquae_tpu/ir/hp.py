@@ -36,16 +36,28 @@ class GridSearch:
 
     def run(self, objective: Callable[[dict], float]) -> dict:
         names = list(self.param_grid)
+        grid_keys = []
         for combo in itertools.product(*(self.param_grid[n] for n in names)):
             params = dict(zip(names, combo))
             key = self._key(params)
+            grid_keys.append(key)
             if key in self.trials:
                 continue  # resume: skip completed trials
             self.trials[key] = float(objective(params))
             if self.storage:
                 self.storage.parent.mkdir(parents=True, exist_ok=True)
                 self.storage.write_text(json.dumps(self.trials, indent=2))
-        best_key = max(self.trials, key=self.trials.get)
+        # argmax over the CURRENT grid only — a reused storage file can
+        # carry stale trials from a different grid/metric — and NaN-safe
+        # (evaluate over empty qrels yields NaN, which poisons max())
+        finite = [k for k in grid_keys
+                  if not np.isnan(self.trials.get(k, np.nan))]
+        if not finite:
+            raise ValueError(
+                "no finite objective value in the current grid "
+                "(all trials NaN or missing)"
+            )
+        best_key = max(finite, key=self.trials.get)
         return {
             "best_params": json.loads(best_key),
             "best_value": self.trials[best_key],

@@ -79,7 +79,14 @@ def fuzzy_graph(x: np.ndarray, n_neighbors: int, metric: str
     a[rows, nn.ravel()] = w.ravel()
     sym = a + a.T - a * a.T
     heads, tails = np.nonzero(np.triu(sym, 1) > 1e-8)
-    return heads, tails, sym[heads, tails]
+    w = sym[heads, tails]
+    # emit BOTH directions (umap-learn keeps the full symmetric COO):
+    # repulsion in the SGD loop is applied to heads only, so with
+    # triu-only edges the higher-index endpoints would never feel a
+    # repulsive force and late rows collapse onto their neighbors
+    return (np.concatenate([heads, tails]),
+            np.concatenate([tails, heads]),
+            np.concatenate([w, w]))
 
 
 def find_ab_params(min_dist: float, spread: float = 1.0

@@ -24,8 +24,6 @@ def select_ids(qrels: Qrels, run_a: Run, run_b: Optional[Run] = None,
     all_ids = set(qrels.keys())
     wins_a = get_wins(qrels, run_a, k_a)
     wins_b = get_wins(qrels, run_b, k_b) if run_b is not None else set()
-    if run_b is None:
-        wins_b = set()  # A always "wins" when right
     choices = {
         "win": wins_a - wins_b,
         "loose": wins_b - wins_a if run_b is not None else all_ids - wins_a,
