@@ -581,3 +581,42 @@ def test_scale_boxes_item_schema_on_missing_image():
     out = scale_boxes_item(dict(item))
     assert out["scaled_face_box"] is None
     assert out["scaled_face_landmarks"] is None
+
+
+def test_imagenet_preprocess_no_256_intermediate(devices):
+    """Round-3 review: the reference transform is Resize(224)+CenterCrop(224)
+    (meerqat get_transform defaults) — NOT the torchvision-eval 256-resize.
+    A target-size input must pass through with ONLY normalization."""
+    from viquae_tpu.ops import image as image_ops
+
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, 255, (2, 64, 64, 3), np.uint8)
+    out = np.asarray(image_ops.preprocess(jnp.asarray(x), size=64,
+                                          kind="imagenet"))
+    expected = (x.astype(np.float32) / 255.0
+                - np.asarray(image_ops.IMAGENET_MEAN, np.float32)) \
+        / np.asarray(image_ops.IMAGENET_STD, np.float32)
+    np.testing.assert_allclose(out, expected, rtol=1e-5, atol=1e-5)
+    # aspect is preserved for non-square inputs (shorter-side resize)
+    y = rng.integers(0, 255, (1, 64, 128, 3), np.uint8)
+    out = np.asarray(image_ops.preprocess(jnp.asarray(y), size=32,
+                                          kind="imagenet"))
+    assert out.shape == (1, 32, 32, 3)
+
+
+def test_gelu_is_exact_erf():
+    """HF/torch 'gelu' (BertModel/DPR/nn.GELU) is the exact erf GELU; the
+    tanh approximation drifts ~4e-4 at |x|~2 and is exposed as gelu_new."""
+    import torch
+
+    from viquae_tpu.models.layers import ACT
+
+    x = np.linspace(-4, 4, 101).astype(np.float32)
+    ours = np.asarray(ACT["gelu"](jnp.asarray(x)))
+    oracle = torch.nn.functional.gelu(torch.from_numpy(x)).numpy()
+    np.testing.assert_allclose(ours, oracle, atol=1e-6)  # f32 erf impls differ in the last bits
+    tanh = np.asarray(ACT["gelu_new"](jnp.asarray(x)))
+    oracle_tanh = torch.nn.functional.gelu(
+        torch.from_numpy(x), approximate="tanh").numpy()
+    np.testing.assert_allclose(tanh, oracle_tanh, atol=1e-6)
+    assert np.abs(ours - tanh).max() > 1e-4  # they are genuinely different

@@ -24,7 +24,7 @@ from viquae_tpu.data.loading import load_image_batch
 from viquae_tpu.ops import image as image_ops
 
 
-def _resize_center_crop(img, target: int) -> np.ndarray:
+def _resize_center_crop(img, target: int, resample=None) -> np.ndarray:
     """Aspect-preserving shorter-side resize + center crop to a square
     (the CLIP/torchvision transform; squashing to a square distorts
     embeddings for every non-square corpus image)."""
@@ -37,7 +37,7 @@ def _resize_center_crop(img, target: int) -> np.ndarray:
     if (w, h) != (target, target):
         scale = target / min(w, h)
         nw, nh = max(target, round(w * scale)), max(target, round(h * scale))
-        img = img.resize((nw, nh))
+        img = img.resize((nw, nh), resample=resample)
         left = (nw - target) // 2
         top = (nh - target) // 2
         img = img.crop((left, top, left + target, top + target))
@@ -83,12 +83,11 @@ class ImageEmbedder:
         self.preprocessing = preprocessing
         self.batch_size = batch_size
         self.mesh_ctx = mesh_ctx or meshlib.current()
-        # host-side decode target: the device pipeline crops 256->224 for
-        # imagenet preprocessing, so feed it the pre-crop resolution
-        self.raw_size = (
-            int(round(image_size * 256 / 224))
-            if preprocessing == "imagenet" else image_size
-        )
+        # host-side decode target == model input: the reference transform
+        # is shorter-side Resize(size)+CenterCrop(size) for BOTH imagenet
+        # and clip (meerqat/image/embedding.py:86-94) — no 256-resize
+        # intermediate
+        self.raw_size = image_size
 
         raw = self.raw_size
 
@@ -113,11 +112,20 @@ class ImageEmbedder:
         """
         from viquae_tpu.train.prefetch import PrefetchIterable
 
+        from PIL import Image as pil_image
+
+        # torchvision Resize interpolates BILINEAR; CLIP's transform (and
+        # PIL's default) is BICUBIC
+        resample = (
+            pil_image.Resampling.BILINEAR
+            if self.preprocessing == "imagenet" else None
+        )
+
         def decoded_chunks():
             for start in range(0, len(pil_images), self.batch_size):
                 chunk = pil_images[start: start + self.batch_size]
                 present = [
-                    (i, _resize_center_crop(img, self.raw_size))
+                    (i, _resize_center_crop(img, self.raw_size, resample))
                     for i, img in enumerate(chunk) if img is not None
                 ]
                 if present:

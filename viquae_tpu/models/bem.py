@@ -116,6 +116,11 @@ class BEMScorer:
         self.params = params if params is not None else init(
             jax.random.key(seed), self.cfg
         )
+        if tokenizer is None:
+            raise ValueError(
+                "BEMScorer requires a tokenizer (BertTokenizerFast with "
+                "[CLS]/[SEP] in its vocab)"
+            )
         self.tokenizer = tokenizer
         self.max_length = min(max_length, self.cfg.max_length)
         cls_sep = tokenizer.convert_tokens_to_ids(["[CLS]", "[SEP]"])

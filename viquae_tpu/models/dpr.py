@@ -154,8 +154,12 @@ class DPREncoder:
         from transformers import AutoConfig
 
         hf_cfg = AutoConfig.from_pretrained(path)
-        if hasattr(hf_cfg, "hidden_size"):
-            bcfg = bert.BertConfig.from_hf(hf_cfg, add_pooler=False)
+        if not hasattr(hf_cfg, "hidden_size"):
+            raise ValueError(
+                f"{path}: config type {type(hf_cfg).__name__} has no "
+                "hidden_size — expected a BERT-family encoder config"
+            )
+        bcfg = bert.BertConfig.from_hf(hf_cfg, add_pooler=False)
         cfg = DPRConfig(bert=bcfg)
         from transformers import AutoModel
 

@@ -69,8 +69,12 @@ def layer_norm_spec():
 
 # ---- activations ----------------------------------------------------------
 ACT = {
-    "gelu": jax.nn.gelu,  # tanh approx
+    # HF/torch "gelu" (BertModel, DPR, nn.GELU) is the EXACT erf GELU —
+    # the tanh approximation drifts up to ~4e-4 at |x|~1.5-3, which
+    # accumulates over 12 layers on real ported checkpoints
+    "gelu": lambda x: jax.nn.gelu(x, approximate=False),
     "gelu_exact": lambda x: jax.nn.gelu(x, approximate=False),
+    "gelu_new": jax.nn.gelu,  # HF's tanh approximation ("gelu_new")
     "relu": jax.nn.relu,
     "quick_gelu": lambda x: x * jax.nn.sigmoid(1.702 * x),
     "tanh": jnp.tanh,

@@ -69,10 +69,14 @@ def _conv_init(key, kh, kw, cin, cout):
 
 
 def _conv(p, x, stride=1):
+    # precision=HIGHEST: TPU otherwise runs f32 convs one-pass bf16 and
+    # borderline threshold decisions (probs ~0.699-0.701) flip vs the CPU
+    # torch oracle (same rule as crop_resize's einsums below)
     out = jax.lax.conv_general_dilated(
         x, p["kernel"], (stride, stride), "VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     return out + p["bias"]
 
@@ -415,7 +419,6 @@ def detect_faces(
     boxes, reg = boxes[sel], reg[sel]
     valid = sel_scores > NEG_INF
     boxes = rerec(calibrate(boxes, reg))
-    probs = jnp.where(valid, sel_scores, 0.0)
 
     # ---- stage 3: ONet ----------------------------------------------
     crops = crop_resize(image, boxes, 48)

@@ -204,8 +204,16 @@ int32_t bm25_maxscore_query(
   int64_t n_non = 0;        // terms[0..n_non) are non-essential
 
   auto update_split = [&]() {
-    // largest m with prefix[m] < theta (STRICT: ties must stay essential)
-    while (n_non < n_terms && prefix[n_non + 1] < theta) ++n_non;
+    // largest m with prefix[m] < theta (STRICT: ties must stay essential).
+    // Same ulp slack as the candidate pruning below: the exact score is a
+    // different float-addition order than the ub prefix sum, so a doc
+    // whose every term went non-essential could score a few ulps ABOVE
+    // prefix[n_non] and be lost on an exact-theta tie without it.
+    while (n_non < n_terms) {
+      const float slack = 1e-6f * (theta < 0.0f ? -theta : theta) + 1e-20f;
+      if (!(prefix[n_non + 1] + slack < theta)) break;
+      ++n_non;
+    }
   };
 
   while (true) {

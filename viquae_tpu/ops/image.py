@@ -28,11 +28,12 @@ FACE_STD = (0.5, 0.5, 0.5)
 
 
 def resize_bilinear(images: jnp.ndarray, size: Tuple[int, int],
-                    antialias: bool = True) -> jnp.ndarray:
+                    antialias: bool = True,
+                    method: str = "bilinear") -> jnp.ndarray:
     """(B, H, W, C) -> (B, h, w, C), align_corners=False semantics."""
     b, _, _, c = images.shape
     return jax.image.resize(
-        images, (b, size[0], size[1], c), method="bilinear",
+        images, (b, size[0], size[1], c), method=method,
         antialias=antialias,
     )
 
@@ -56,26 +57,27 @@ def preprocess(images: jnp.ndarray, size: int = 224, kind: str = "clip"
                ) -> jnp.ndarray:
     """uint8/float (B, H, W, 3) in [0, 255] -> normalized float32 (B, s, s, 3).
 
-    kind: "clip" (resize shorter side + center crop + CLIP stats),
-    "imagenet" (256-resize + 224-crop + ImageNet stats),
-    "face" (112 resize + 0.5/0.5 stats).
+    kind: "clip" (bicubic shorter-side resize + center crop + CLIP stats),
+    "imagenet" (bilinear shorter-side resize + center crop + ImageNet
+    stats — the reference's get_transform default is Resize(224)+
+    CenterCrop(224), meerqat/image/embedding.py:86-94, NOT the 256-resize
+    torchvision-eval recipe), "face" (112 resize + 0.5/0.5 stats).
     """
     x = images.astype(jnp.float32) / 255.0
-    if kind == "imagenet":
-        scale = int(round(size * 256 / 224))
-        x = resize_bilinear(x, (scale, scale))
-        x = center_crop(x, size)
-        return normalize(x, IMAGENET_MEAN, IMAGENET_STD)
-    if kind == "clip":
-        # CLIP transform: resize the SHORTER side to `size`, center crop —
-        # never squash the aspect ratio
+    if kind in ("imagenet", "clip"):
+        # resize the SHORTER side to `size`, center crop — never squash
+        # the aspect ratio. CLIP's official transform interpolates
+        # BICUBIC; torchvision Resize defaults to bilinear.
         h, w = x.shape[1], x.shape[2]
         scale = size / min(h, w)
         x = resize_bilinear(
             x, (max(size, int(round(h * scale))),
-                max(size, int(round(w * scale))))
+                max(size, int(round(w * scale)))),
+            method="cubic" if kind == "clip" else "bilinear",
         )
         x = center_crop(x, size)
+        if kind == "imagenet":
+            return normalize(x, IMAGENET_MEAN, IMAGENET_STD)
         return normalize(x, CLIP_MEAN, CLIP_STD)
     if kind == "face":
         x = resize_bilinear(x, (size, size))
