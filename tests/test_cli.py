@@ -655,3 +655,47 @@ def test_cli_answer_hybrid(tmp_path, capsys, devices):
     results = json.loads((tmp_path / "answers.json").read_text())
     assert len(results) == 9
     assert all(r["answer"] is not None for r in results)
+
+
+def test_cli_train_fit_with_eval_dataset(workspace, tmp_path):
+    """Round-3 review: eval_every/monitor/best-keeping were silently inert
+    because run_from_config never built eval batches. With
+    data.eval_dataset set, eval must run and write ckpt best/."""
+    import yaml
+
+    from viquae_tpu.train.run import run_from_config
+
+    config = {
+        "seed": 42,
+        "trainee": {
+            "kind": "biencoder",
+            "question_model": {
+                "class_name": "DPREncoder", "seed": 0,
+                "bert_config": {
+                    "vocab_size": 64, "hidden_size": 16,
+                    "num_hidden_layers": 1, "num_attention_heads": 2,
+                    "intermediate_size": 32,
+                    "max_position_embeddings": 32, "add_pooler": False,
+                },
+            },
+        },
+        "data": {
+            "tokenizer": str(workspace / "tok"),
+            "dataset": str(workspace / "questions"),
+            "eval_dataset": str(workspace / "questions"),
+            "kb": str(workspace / "kb"),
+            "M": 2,
+            "batch_size": 3,
+            "max_length": 16,
+        },
+        "optimizer": {"lr": 1e-4, "total_steps": 4},
+        "trainer": {"max_steps": 2, "log_every": 1, "eval_every": 1,
+                    "monitor": "MRR@N*M", "monitor_mode": "max",
+                    "ckpt_dir": str(tmp_path / "ck")},
+    }
+    cfg_path = tmp_path / "train_eval.yaml"
+    cfg_path.write_text(yaml.safe_dump(config))
+    result = run_from_config(cfg_path, subcommand="fit")
+    assert result["final_step"] == 2
+    assert result["best_step"] is not None
+    assert (tmp_path / "ck" / "best").exists()

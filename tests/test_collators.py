@@ -400,3 +400,63 @@ def test_reader_collator_precomputed_keeps_positions_top_level(tokenizer):
             tok, kb=kb_list, M=2, max_length=24, packed=True,
             image_features=PreComputedImageFeatures(
                 n_faces=1, face_dim=8, bbox_dim=7, image_dims={}))
+
+
+def test_training_passages_sample_full_lists(tokenizer):
+    """Round-3 review: permuting only the first n entries meant training
+    only ever saw the first n_relevant relevant passages and the first
+    M-1 negatives — sampling must reach the WHOLE provenance/irrelevant
+    lists."""
+    kb = make_kb()
+    item = {
+        "id": "q0",
+        "input": "question about ent0",
+        "output": {"original_answer": "fact0", "answer": ["fact0"]},
+        "search_provenance_indices": [0, 1, 2, 3],
+        "search_provenance_scores": [4.0, 3.0, 2.0, 1.0],
+        "search_irrelevant_indices": [10, 11, 12, 13, 14, 15],
+        "search_irrelevant_scores": [6.0, 5.0, 4.0, 3.0, 2.0, 1.0],
+    }
+    mod = tdata.QADataModule(tokenizer, kb=kb, M=4, n_relevant_passages=1,
+                             seed=0)
+    seen_rel, seen_irr = set(), set()
+    for _ in range(200):
+        rel, irr = mod.get_training_passages(item)
+        seen_rel.add(rel[0]["index"])
+        seen_irr.update(p["index"] for p in irr)
+    assert seen_rel == {0, 1, 2, 3}
+    assert seen_irr == {10, 11, 12, 13, 14, 15}
+    # with_scores stays aligned with the sampled indices
+    rel, irr, rs, irs = mod.get_training_passages(item, with_scores=True)
+    score_of = {0: 4.0, 1: 3.0, 2: 2.0, 3: 1.0}
+    assert rs[0] == score_of[rel[0]["index"]]
+
+
+def test_packed_collator_pins_canvas_rows(tokenizer):
+    """Row budgets: two batches with different token totals must produce
+    the SAME canvas height (each new shape recompiles the train step,
+    minutes over the tunneled TPU)."""
+    kb = make_kb()
+    col = tdata.BiEncoderCollator(tokenizer, kb=kb, M=2,
+                                  n_relevant_passages=1, packed=True,
+                                  max_length=32, seed=0)
+    items = make_items(4)
+    b1 = col.collate_fn(items)
+    b2 = col.collate_fn(items[:2])  # fewer questions -> fewer tokens
+    k = "canvas_input_ids"
+    q1 = b1["question_inputs"][k] if "question_inputs" in b1 else b1[k]
+    q2 = b2["question_inputs"][k] if "question_inputs" in b2 else b2[k]
+    assert q1.shape == q2.shape
+
+
+def test_select_kb_batched_matches_rowwise(tokenizer):
+    """The HF-dataset fast path (one batched Arrow gather) must return the
+    same rows as per-index access."""
+    import datasets as hfds
+
+    kb_list = make_kb()
+    kb = hfds.Dataset.from_list(kb_list)
+    mod = tdata.QADataModule(tokenizer, kb=kb, M=4)
+    rows = mod._select_kb([3, 7, 1])
+    assert [r["index"] for r in rows] == [3, 7, 1]
+    assert rows[0]["passage"] == kb_list[3]["passage"]

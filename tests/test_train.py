@@ -112,9 +112,17 @@ def test_squad_metrics():
 
 def test_freeze_mask():
     params = {"encoder": {"kernel": jnp.ones((2, 2))}, "head": {"kernel": jnp.ones(2)}}
-    mask = optim.freeze_mask(params, r"encoder\.")
+    mask = optim.freeze_mask(params, r"encoder/")
     assert mask["encoder"]["kernel"] is False
     assert mask["head"]["kernel"] is True
+    # '/'-joined paths + search: the shipped configs' interior-segment
+    # regexes must actually freeze (they silently froze NOTHING when
+    # _path_name joined with '.' and freeze_mask used match)
+    deep = {"question": {"bert": {"layers": {"6": {"kernel": jnp.ones(2)},
+                                             "2": {"kernel": jnp.ones(2)}}}}}
+    mask = optim.freeze_mask(deep, r".*/layers/(6|7|8|9|10|11)/.*")
+    assert mask["question"]["bert"]["layers"]["6"]["kernel"] is False
+    assert mask["question"]["bert"]["layers"]["2"]["kernel"] is True
 
 
 @pytest.fixture(scope="module")
@@ -563,3 +571,14 @@ def test_shard_batch_keeps_rectangular_lists(devices):
     assert seen == {"labels": (2, 2), "ids": (8, 4)}
     np.testing.assert_array_equal(np.asarray(aux["labels"]),
                                   [[1, 2], [3, 4]])
+
+
+def test_accumulate_batch_metrics_all_ignored():
+    """An eval round where every prediction is ignored (or an empty list)
+    must return zeros, not ZeroDivisionError/KeyError."""
+    out = tmetrics.accumulate_batch_metrics([
+        {"MRR@N*M": 0.0, "hits@1": 0, "ignored_predictions": 3,
+         "batch_size": 3},
+    ])
+    assert out == {"MRR@N*M": 0.0, "hits@1": 0.0}
+    assert tmetrics.accumulate_batch_metrics([]) == {}

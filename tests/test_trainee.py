@@ -160,3 +160,36 @@ def test_biencoder_packed_training(tokenizer, devices):
     with pytest.raises(ValueError):
         tdata.BiEncoderCollator(tokenizer, kb=kb, M=2, max_length=16,
                                 packed=True, passage_type_ids=True)
+
+
+def test_reader_trainee_eval_fn_with_trainer(tokenizer, devices):
+    """Round-3 review: readers exposed no fit-time eval_fn, so the rc
+    recipes' monitor: f1 had nothing to watch. The 2-arg eval_fn contract
+    (outputs + host batches) must surface exact_match/f1 from
+    Trainer.evaluate."""
+    import optax
+
+    from viquae_tpu.core import mesh as meshlib
+    from viquae_tpu.train.trainer import Trainer, TrainerConfig
+
+    cfg = qa.ReaderConfig(bert=bert.BertConfig(**TINY))
+    params = qa.init(jax.random.key(0), cfg)
+    rt = trainee.ReaderTrainee(cfg, params, tokenizer, m_passages=2)
+    n, m, L, A = 2, 2, 10, 2
+    rng = np.random.default_rng(0)
+    batch = {
+        "input_ids": rng.integers(5, 50, (n * m, L)).astype(np.int32),
+        "attention_mask": np.ones((n * m, L), np.int32),
+        "start_positions": rng.integers(1, L - 1, (n, m, A)),
+        "end_positions": rng.integers(1, L - 1, (n, m, A)),
+        "answer_mask": np.ones((n, m, A), np.int32),
+        "answer_strings": [["w7"]] * (n * m),
+    }
+    ctx = meshlib.make_mesh(data=8)
+    with meshlib.use(ctx):
+        t = Trainer(rt.loss_fn, params, optax.sgd(1e-3),
+                    TrainerConfig(log_every=0), mesh_ctx=ctx,
+                    eval_fn=rt.eval_fn)
+        metrics = t.evaluate([batch])
+    assert set(metrics) >= {"loss", "exact_match", "f1"}
+    assert 0.0 <= metrics["f1"] <= 1.0

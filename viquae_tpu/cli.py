@@ -360,6 +360,11 @@ def cmd_fuse(args):
     if args.subcommand == "fit":
         fusion.fit(**subcommand_kwargs)
     else:
+        if not args.best_params:
+            raise SystemExit(
+                "fuse test requires --best_params (a JSON file from "
+                "`fuse fit`)"
+            )
         best_params = json.loads(Path(args.best_params).read_text())
         fusion.test(best_params, **subcommand_kwargs)
 
@@ -475,11 +480,18 @@ def cmd_embed_image(args):
         from viquae_tpu.models import clip as clip_lib
 
         mcfg = clip_lib.ModifiedResNetConfig(**config.pop("model_config", {}))
-        import torch
+        if weights:
+            import torch
 
-        params = clip_lib.visual_params_from_openai(
-            torch.load(weights, map_location="cpu"), mcfg
-        )
+            params = clip_lib.visual_params_from_openai(
+                torch.load(weights, map_location="cpu"), mcfg
+            )
+        else:
+            # torch.load(None) crashed deep inside torch otherwise
+            raise ValueError(
+                "clip-RN50 requires 'weights' (an OpenAI CLIP visual "
+                "state_dict); ModifiedResNet has no random init"
+            )
         apply_fn = lambda p, x: clip_lib.modified_resnet_apply(p, mcfg, x)
         preprocessing = "clip"
     elif model_kind == "imagenet-RN50":

@@ -202,6 +202,34 @@ def packing_efficiency(packed: PackedBatch) -> float:
     return float((packed.segment_ids > 0).mean())
 
 
+def pad_packed_rows(packed: PackedBatch, n_rows: int,
+                    pad_token_id: int = 0) -> PackedBatch:
+    """Grow a canvas to ``n_rows`` by appending all-padding rows
+    (segment_id 0 -> inert under packed attention). Lets callers pin a
+    stable row budget across batches so XLA compiles ONE train-step shape
+    instead of one per pad_rows_to increment (compiles cost minutes over
+    the tunneled TPU). Existing cls/vis pointers stay valid — rows are
+    appended, never reordered."""
+    extra = n_rows - packed.rows
+    if extra < 0:
+        raise ValueError(
+            f"pad_packed_rows: canvas already has {packed.rows} rows > "
+            f"requested {n_rows}"
+        )
+    if extra == 0:
+        return packed
+    pad = ((0, extra), (0, 0))
+    return PackedBatch(
+        input_ids=np.pad(packed.input_ids, pad,
+                         constant_values=pad_token_id),
+        segment_ids=np.pad(packed.segment_ids, pad),
+        position_ids=np.pad(packed.position_ids, pad),
+        cls_rows=packed.cls_rows,
+        cls_cols=packed.cls_cols,
+        n_seqs=packed.n_seqs,
+    )
+
+
 def pack_parallel(packed: PackedBatch, seqs: Sequence[np.ndarray],
                   pad_value: int = 0) -> np.ndarray:
     """Lay a parallel per-token feature (e.g. token_type_ids) onto an

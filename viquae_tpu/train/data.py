@@ -219,9 +219,27 @@ class QADataModule:
         return dataset.filter(lambda item: len(item[key]) > 0)
 
     def _select_kb(self, indices):
-        if hasattr(self.kb, "select"):
-            return [self.kb[int(i)] for i in indices]
+        if hasattr(self.kb, "select") and len(indices) > 1:
+            # HF dataset: ONE batched Arrow gather (columnar read) instead
+            # of a per-row __getitem__ in the collate hot loop
+            batch = self.kb[[int(i) for i in indices]]
+            keys = list(batch)
+            return [dict(zip(keys, vals))
+                    for vals in zip(*(batch[k] for k in keys))]
         return [self.kb[int(i)] for i in indices]
+
+    def _row_budget(self, rows: int) -> int:
+        """Sticky canvas row budget: the first batch pins a row count
+        (+8% headroom, rounded to 8) that later batches pad up to, so the
+        jitted train step compiles ~once instead of once per pad_rows_to
+        increment the batches' token totals happen to cross (compiles
+        cost minutes over the tunneled TPU). Grows (and re-pins) only
+        when a batch genuinely exceeds it."""
+        pinned = getattr(self, "_rows_pinned", 0)
+        if rows > pinned:
+            pinned = -(-(int(rows * 1.08) + 4) // 8) * 8
+            self._rows_pinned = pinned
+        return pinned
 
     def add_image_features(self, passages: List[dict]) -> List[dict]:
         """Join per-article image features from image_kb via passage['index']
@@ -243,7 +261,9 @@ class QADataModule:
         all_rel = item[self.search_key + "_provenance_indices"]
         n_rel = min(len(all_rel), self.n_relevant_passages)
         if n_rel > 0:
-            order = self.rng.permutation(n_rel)
+            # sample n_rel from the FULL list (permuting only the first
+            # n_rel entries showed the model the same passages every epoch)
+            order = self.rng.permutation(len(all_rel))[:n_rel]
             indices = np.asarray(all_rel)[order]
             if with_scores:
                 relevant_scores = np.asarray(
@@ -254,7 +274,7 @@ class QADataModule:
         all_irr = item[self.search_key + "_irrelevant_indices"]
         n_irr = min(len(all_irr), self.M - self.n_relevant_passages)
         if n_irr > 0:
-            order = self.rng.permutation(n_irr)
+            order = self.rng.permutation(len(all_irr))[:n_irr]
             indices = np.asarray(all_irr)[order]
             if with_scores:
                 irrelevant_scores = np.asarray(
@@ -295,21 +315,28 @@ class QADataModule:
                     **pack_mm_text_inputs(
                         inputs, self.max_length + t_vis,
                         exclusive, needs_vis=mm_needs_vis,
+                        row_budget=self._row_budget,
                     ),
                 },
             }
-        return {**inputs, **pack_text_inputs(inputs, self.max_length)}
+        return {**inputs, **pack_text_inputs(inputs, self.max_length,
+                                             row_budget=self._row_budget)}
 
 
-def pack_text_inputs(inputs: Dict[str, np.ndarray], row_len: int) -> dict:
+def pack_text_inputs(inputs: Dict[str, np.ndarray], row_len: int,
+                     row_budget=None) -> dict:
     """Canvas fields for CLS-pooled packed encoding (dpr.apply_packed):
-    strip padding from tokenized {input_ids, attention_mask} and pack."""
+    strip padding from tokenized {input_ids, attention_mask} and pack.
+    ``row_budget`` (rows -> rows) pins a stable canvas height across
+    batches (QADataModule._row_budget) so the train step compiles once."""
     from viquae_tpu.ops import packing
 
     ids = inputs["input_ids"]
     lens = inputs["attention_mask"].sum(axis=1).astype(int)
     seqs = [ids[i, : lens[i]] for i in range(len(ids))]
     p = packing.pack_token_sequences(seqs, row_len=row_len, pad_rows_to=8)
+    if row_budget is not None:
+        p = packing.pad_packed_rows(p, row_budget(p.rows))
     return {
         "canvas_input_ids": p.input_ids,
         "canvas_segment_ids": p.segment_ids,
@@ -346,7 +373,7 @@ def mm_visual_mask(face_inputs, image_inputs,
 
 def pack_mm_text_inputs(mm_inputs: Dict[str, Any], row_len: int,
                         face_and_image_are_exclusive: bool = False,
-                        needs_vis: bool = True) -> dict:
+                        needs_vis: bool = True, row_budget=None) -> dict:
     """Canvas fields for mm.eca_apply_packed: strip text padding, pack with
     T_vis reserved slots per sample (the visual-token scatter targets), and
     zero the segment id of slots whose face/image is ABSENT so attention
@@ -360,7 +387,7 @@ def pack_mm_text_inputs(mm_inputs: Dict[str, Any], row_len: int,
 
     text = mm_inputs["text_inputs"]
     if not needs_vis:
-        return pack_text_inputs(text, row_len)
+        return pack_text_inputs(text, row_len, row_budget=row_budget)
     vis_mask = mm_visual_mask(
         mm_inputs["face_inputs"], mm_inputs.get("image_inputs"),
         face_and_image_are_exclusive,
@@ -372,6 +399,9 @@ def pack_mm_text_inputs(mm_inputs: Dict[str, Any], row_len: int,
     p, vis_rows, vis_cols = packing.pack_with_reserved(
         seqs, t_vis, row_len=row_len, pad_rows_to=8
     )
+    if row_budget is not None:
+        # appended all-pad rows never move existing cls/vis pointers
+        p = packing.pad_packed_rows(p, row_budget(p.rows))
     seg = p.segment_ids.copy()
     b = len(seqs)
     absent = vis_mask[:b] == 0
@@ -763,6 +793,7 @@ class ReaderCollator(QADataModule):
         p = packing.pack_token_sequences(
             seqs, row_len=self.max_length, pad_rows_to=8
         )
+        p = packing.pad_packed_rows(p, self._row_budget(p.rows))
         tt = packing.pack_parallel(p, types)
         g_idx, g_mask = packing.gather_indices(p, self.max_length)
         return {
@@ -873,6 +904,7 @@ class ReRankerCollator(QADataModule):
                 [batch["input_ids"][i, : lens[i]] for i in range(len(lens))],
                 row_len=self.max_length, pad_rows_to=8,
             )
+            p = packing.pad_packed_rows(p, self._row_budget(p.rows))
             batch.update({
                 "canvas_input_ids": p.input_ids,
                 "canvas_segment_ids": p.segment_ids,

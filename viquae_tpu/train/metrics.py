@@ -48,7 +48,13 @@ def accumulate_batch_metrics(batch_metrics: Sequence[dict]) -> Dict[str, float]:
     for m in batch_metrics:
         for k, v in m.items():
             metrics[k] += v
-    effective = metrics.pop("batch_size") - metrics.pop("ignored_predictions", 0)
+    effective = (metrics.pop("batch_size", 0)
+                 - metrics.pop("ignored_predictions", 0))
+    if effective <= 0:
+        # every prediction ignored (e.g. a dev split with no relevant
+        # passages) or an empty eval iterable: report zeros instead of
+        # killing the whole fit with a ZeroDivisionError mid-eval
+        return {k: 0.0 for k in metrics}
     return {k: v / effective for k, v in metrics.items()}
 
 

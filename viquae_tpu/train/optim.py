@@ -42,6 +42,10 @@ def linear_warmup_schedule(lr: float, warmup_steps: int, total_steps: int):
 
 
 def _path_name(path) -> str:
+    # '/'-joined to match every other param-path surface in the repo
+    # (checkpoint.export_params, trainer key flattening, the shipped
+    # freeze regexes in configs/experiments/*) — a '.'-join silently made
+    # those regexes freeze nothing
     parts = []
     for p in path:
         if hasattr(p, "key"):
@@ -50,7 +54,7 @@ def _path_name(path) -> str:
             parts.append(str(p.idx))
         else:
             parts.append(str(p))
-    return ".".join(parts)
+    return "/".join(parts)
 
 
 def decay_mask(params):
@@ -67,8 +71,10 @@ def freeze_mask(params, freeze_regex: Optional[str]):
     if freeze_regex is None:
         return jax.tree_util.tree_map(lambda _: True, params)
     pattern = re.compile(freeze_regex)
+    # search, not match: config regexes target interior segments
+    # ('.*/layers/(6|7)/.*' must hit 'question/bert/layers/6/kernel')
     return jax.tree_util.tree_map_with_path(
-        lambda path, _: pattern.match(_path_name(path)) is None, params
+        lambda path, _: pattern.search(_path_name(path)) is None, params
     )
 
 

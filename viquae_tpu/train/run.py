@@ -123,22 +123,30 @@ def build_collator(config: dict, tokenizer, trainee_kind: str):
     from viquae_tpu.train import data as tdata
 
     dataset = load_from_disk(str(config.pop("dataset")))
+    eval_dataset = (
+        load_from_disk(str(config.pop("eval_dataset")))
+        if "eval_dataset" in config else None
+    )
     kb = load_from_disk(str(config.pop("kb"))) if "kb" in config else None
     image_kb = (
         load_from_disk(str(config.pop("image_kb")))
         if "image_kb" in config else None
     )
     batch_size = config.pop("batch_size", 8)
+    kind = config.pop(
+        "collator", {"jcm": "crossmodal"}.get(trainee_kind, trainee_kind)
+    )
     collator_cls = {
         "biencoder": tdata.BiEncoderCollator,
         "reader": tdata.ReaderCollator,
         "reranker": tdata.ReRankerCollator,
         "ict": tdata.ICTCollator,
-    }[config.pop("collator", trainee_kind)]
+        "crossmodal": tdata.CrossModalCollator,
+    }[kind]
     collator = collator_cls(
         tokenizer, dataset=dataset, kb=kb, image_kb=image_kb, **config
     )
-    return collator, dataset, batch_size
+    return collator, dataset, eval_dataset, batch_size
 
 
 def run_from_config(config_path, subcommand: str = "fit") -> dict:
@@ -154,13 +162,24 @@ def run_from_config(config_path, subcommand: str = "fit") -> dict:
     trainee_cfg = dict(config["trainee"])
     trainee_kind = trainee_cfg["kind"]
     trainee = build_trainee(trainee_cfg, tokenizer=tokenizer)
-    collator, dataset, batch_size = build_collator(
+    collator, dataset, eval_dataset, batch_size = build_collator(
         dict(config["data"]), tokenizer, trainee_kind
     )
 
     ctx = meshlib.make_mesh()
     params = trainee.params
-    tx = optim.make_optimizer(params, **config.get("optimizer", {}))
+    opt_cfg = dict(config.get("optimizer", {}))
+    auto_freeze = getattr(trainee, "freeze_weights_regex", None)
+    if auto_freeze is not None:
+        # jcm/crossmodal trainees with learn_weights=False must freeze
+        # their fusion weights even when the config sets no freeze_regex
+        fr = auto_freeze()
+        if fr:
+            existing = opt_cfg.get("freeze_regex")
+            opt_cfg["freeze_regex"] = (
+                f"(?:{existing})|(?:{fr})" if existing else fr
+            )
+    tx = optim.make_optimizer(params, **opt_cfg)
     trainer_cfg = TrainerConfig(seed=seed, **config.get("trainer", {}))
     collate_fn = collator.collate_fn
     if trainer_cfg.grad_accum > 1 and getattr(collator, "packed", False):
@@ -178,13 +197,39 @@ def run_from_config(config_path, subcommand: str = "fit") -> dict:
             eval_fn=getattr(trainee, "eval_fn", None),
         )
         if subcommand == "fit":
+            # eval_batches drives eval_every / monitor / early stopping /
+            # best-checkpoint keeping — all shipped recipes set these, so
+            # a dev split must actually be wired when configured
+            eval_batches = None
+            if eval_dataset is not None:
+                eval_batches = lambda: _batches(  # noqa: E731
+                    eval_dataset, collator.collate_fn, batch_size
+                )
+            elif trainer_cfg.eval_every:
+                import warnings
+
+                warnings.warn(
+                    "trainer.eval_every is set but data.eval_dataset is "
+                    "not: no eval/early-stop/best-checkpoint will run"
+                )
             result = trainer.fit(
                 _batches(dataset, collate_fn, batch_size,
-                         shuffle_seed=seed)
+                         shuffle_seed=seed),
+                eval_batches=eval_batches,
             )
             export = config.get("export")
             if export and hasattr(trainee, "export"):
                 trainee.export(export, params=trainer.state["params"])
+        elif subcommand == "test" and hasattr(trainee, "test"):
+            # full test protocol (reader: metrics.json/predictions.json,
+            # parity with the reference's `trainer test`)
+            log_dir = (config.get("export") or trainer_cfg.ckpt_dir
+                       or ".")
+            result = trainee.test(
+                trainer.state["params"],
+                _batches(dataset, collator.collate_fn, batch_size),
+                log_dir,
+            )
         else:
             result = trainer.evaluate(
                 _batches(dataset, collator.collate_fn, batch_size)

@@ -451,6 +451,35 @@ class ReaderTrainee:
         }
 
     # ---- evaluation ---------------------------------------------------
+    def eval_fn(self, outputs: List[dict], batches: List[dict]
+                ) -> Dict[str, float]:
+        """Fit-time eval hook (Trainer.evaluate 2-arg contract): span log
+        probs from the jitted loss aux + host batches -> mean EM/F1, so
+        the rc recipes' `monitor: f1` actually has a metric to watch."""
+        em: List[float] = []
+        f1: List[float] = []
+        for aux, batch in zip(outputs, batches):
+            m = self.M
+            ids = np.asarray(batch["input_ids"])
+            n, length = ids.shape[0] // m, ids.shape[1]
+            start_lp = np.asarray(aux["start_log_probs"]).reshape(
+                n * m, length)
+            end_lp = np.asarray(aux["end_log_probs"]).reshape(n * m, length)
+            predictions = self.qa.log_probs_to_answers(
+                start_lp, end_lp, ids.reshape(n, m, length),
+                self.tokenizer, m,
+            )
+            answer_strings = [
+                batch["answer_strings"][i] for i in range(0, n * m, m)
+            ]
+            per_q = tmetrics.squad_per_question(predictions, answer_strings)
+            em.extend(per_q["exact_match"])
+            f1.extend(per_q["f1"])
+        return {
+            "exact_match": float(np.mean(em)) if em else 0.0,
+            "f1": float(np.mean(f1)) if f1 else 0.0,
+        }
+
     def eval_batch(self, params, batch) -> dict:
         loss, aux = self.loss_fn(params, batch, jax.random.key(0),
                                  deterministic=True)

@@ -400,6 +400,7 @@ class Trainer:
                 loss_fn = functools.partial(loss_fn, deterministic=True)
             self._eval_step = jax.jit(loss_fn)
         outputs = []
+        host_batches = []
         losses = []
         for i, batch in enumerate(eval_batches):
             # fold the batch index in: one fixed key for every batch would
@@ -412,9 +413,23 @@ class Trainer:
             )
             losses.append(float(loss))
             outputs.append(aux)
-        metrics = {"loss": float(np.mean(losses))}
+            host_batches.append(batch)
+        metrics = {"loss": float(np.mean(losses)) if losses else 0.0}
         if self.eval_fn is not None:
-            metrics.update(self.eval_fn(outputs))
+            import inspect
+
+            # a 2-arg eval_fn also receives the ORIGINAL host batches
+            # (readers need input_ids/answer_strings to turn the aux log
+            # probs into text-level EM/F1)
+            try:
+                two_arg = len(inspect.signature(
+                    self.eval_fn).parameters) >= 2
+            except (TypeError, ValueError):
+                two_arg = False
+            metrics.update(
+                self.eval_fn(outputs, host_batches) if two_arg
+                else self.eval_fn(outputs)
+            )
         return metrics
 
     def _log(self, entry: dict):
