@@ -36,6 +36,15 @@ CHECKPOINTS = {
 }
 
 
+def set_checkpoint_root(root):
+    """Point every checkpoint at <root>/<name> (save_pretrained layout).
+    Lets CI execute this script's exact port+parity+checksum logic on
+    locally-saved tiny checkpoints (tests/test_validate_ports.py) even
+    though the real HF-hub pulls need network."""
+    for name in CHECKPOINTS:
+        CHECKPOINTS[name] = os.path.join(str(root), name)
+
+
 def checksum(arr: np.ndarray) -> str:
     return hashlib.sha256(
         np.round(np.asarray(arr, np.float64), 3).tobytes()
@@ -53,7 +62,8 @@ def validate_bert(results):
     cfg = bert.BertConfig.from_hf(model.config)
     params = bert.params_from_hf(model.state_dict(), cfg)
     rng = np.random.default_rng(0)
-    ids = rng.integers(999, 9999, (2, 16))
+    vocab = model.config.vocab_size
+    ids = rng.integers(min(999, vocab - 2), min(9999, vocab), (2, 16))
     mask = np.ones((2, 16), np.int64)
     with torch.no_grad():
         ref = model(input_ids=torch.tensor(ids),
@@ -78,10 +88,16 @@ def validate_dpr(results):
     from viquae_tpu.models import bert, dpr
 
     model = DPRQuestionEncoder.from_pretrained(CHECKPOINTS["dpr"]).eval()
-    cfg = dpr.DPRConfig(bert=bert.BertConfig(add_pooler=False))
+    # derive dims from the loaded config (HF DPRConfig carries the BERT
+    # fields) — hardcoded bert-base dims would silently mis-port any
+    # other checkpoint
+    cfg = dpr.DPRConfig(
+        bert=bert.BertConfig.from_hf(model.config, add_pooler=False)
+    )
     params = dpr.params_from_hf_dpr(model.state_dict(), cfg)
     rng = np.random.default_rng(1)
-    ids = rng.integers(999, 9999, (2, 16))
+    vocab = model.config.vocab_size
+    ids = rng.integers(min(999, vocab - 2), min(9999, vocab), (2, 16))
     mask = np.ones((2, 16), np.int64)
     with torch.no_grad():
         ref = model(input_ids=torch.tensor(ids),
@@ -106,12 +122,17 @@ def validate_clip(results):
 
     model = CLIPModel.from_pretrained(CHECKPOINTS["clip"]).eval()
     params = clip_lib.params_from_hf(model.state_dict())
+    vc = model.config.vision_config
     vcfg = clip_lib.CLIPVisionConfig(
-        hidden_size=768, num_layers=12, num_heads=12, intermediate_size=3072,
-        image_size=224, patch_size=32, projection_dim=512,
+        hidden_size=vc.hidden_size, num_layers=vc.num_hidden_layers,
+        num_heads=vc.num_attention_heads,
+        intermediate_size=vc.intermediate_size,
+        image_size=vc.image_size, patch_size=vc.patch_size,
+        projection_dim=model.config.projection_dim,
     )
     rng = np.random.default_rng(2)
-    pixels = rng.standard_normal((1, 224, 224, 3)).astype(np.float32)
+    size = vc.image_size
+    pixels = rng.standard_normal((1, size, size, 3)).astype(np.float32)
     with torch.no_grad():
         ref = model.get_image_features(
             pixel_values=torch.tensor(pixels.transpose(0, 3, 1, 2))
@@ -153,10 +174,15 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--models", default="bert,dpr,clip")
     ap.add_argument("--arcface-path", default=None)
+    ap.add_argument("--checkpoint-root", default=None,
+                    help="read checkpoints from <root>/<name> "
+                         "(save_pretrained layout) instead of the HF hub")
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "fixtures", "port_checksums.json"))
     args = ap.parse_args()
+    if args.checkpoint_root:
+        set_checkpoint_root(args.checkpoint_root)
 
     results: dict = {"timestamp": time.strftime("%Y-%m-%dT%H:%M:%S")}
     todo = args.models.split(",")

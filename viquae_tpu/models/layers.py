@@ -68,11 +68,19 @@ def layer_norm_spec():
 
 
 # ---- activations ----------------------------------------------------------
+def _gelu_hf(x):
+    """HF/torch "gelu" (BertModel, DPR, nn.GELU) is the EXACT erf GELU —
+    the tanh approximation drifts up to ~4e-4 at |x|~1.5-3, which
+    accumulates over 12 layers on real ported fp32 checkpoints. In bf16
+    compute, that 4e-4 is ~20x BELOW the format's ~8e-3 resolution, and
+    exact erf upcasts through f32 on the VPU — measured ~8% of a whole
+    bert step on the v5e — so bf16 keeps the tanh form (sub-ulp
+    identical), fp32 gets the exact erf the parity contract needs."""
+    return jax.nn.gelu(x, approximate=(x.dtype == jnp.bfloat16))
+
+
 ACT = {
-    # HF/torch "gelu" (BertModel, DPR, nn.GELU) is the EXACT erf GELU —
-    # the tanh approximation drifts up to ~4e-4 at |x|~1.5-3, which
-    # accumulates over 12 layers on real ported checkpoints
-    "gelu": lambda x: jax.nn.gelu(x, approximate=False),
+    "gelu": _gelu_hf,
     "gelu_exact": lambda x: jax.nn.gelu(x, approximate=False),
     "gelu_new": jax.nn.gelu,  # HF's tanh approximation ("gelu_new")
     "relu": jax.nn.relu,

@@ -229,16 +229,17 @@ class QADataModule:
         return [self.kb[int(i)] for i in indices]
 
     def _row_budget(self, rows: int) -> int:
-        """Sticky canvas row budget: the first batch pins a row count
-        (+8% headroom, rounded to 8) that later batches pad up to, so the
-        jitted train step compiles ~once instead of once per pad_rows_to
-        increment the batches' token totals happen to cross (compiles
-        cost minutes over the tunneled TPU). Grows (and re-pins) only
-        when a batch genuinely exceeds it."""
+        """Sticky canvas row budget: a monotone running max of the natural
+        (pad_rows_to-rounded) row counts. Later batches pad up to it, so
+        the jitted train step compiles once per max-increase (expected
+        O(log n) for iid batches) instead of once per pad_rows_to
+        increment the token totals happen to cross — compiles cost
+        minutes over the tunneled TPU. No headroom factor: a constant
+        +8% would tax EVERY batch with padding compute to save at most a
+        couple of compiles."""
         pinned = getattr(self, "_rows_pinned", 0)
         if rows > pinned:
-            pinned = -(-(int(rows * 1.08) + 4) // 8) * 8
-            self._rows_pinned = pinned
+            self._rows_pinned = pinned = rows
         return pinned
 
     def add_image_features(self, passages: List[dict]) -> List[dict]:
