@@ -413,3 +413,66 @@ def test_select_topk_global_mode_alias():
     s1, i1 = mips._select_topk(scores, 5, "global")
     s2, i2 = mips._select_topk(scores, 5, "fast")
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_topk_global_k_exceeds_pool(devices):
+    """Round-3 review (confirmed crash): k > the candidate pool (k > one
+    shard's rows in topk_sharded modes global/approx) crashed
+    jax.lax.top_k; now pads with NEG_INF / int32-max."""
+    rng = np.random.default_rng(0)
+    kb = rng.standard_normal((128, 16)).astype(np.float32)
+    q = rng.standard_normal((4, 16)).astype(np.float32)
+    for mode in ("exact", "approx"):
+        s, i = mips.topk_global(jnp.asarray(q), jnp.asarray(kb), 500,
+                                compute_dtype=jnp.float32, mode=mode)
+        s, i = np.asarray(s), np.asarray(i)
+        assert s.shape == (4, 500) and i.shape == (4, 500)
+        assert (i[:, 128:] == np.iinfo(np.int32).max).all()
+        assert np.isneginf(s[:, 128:]).all()
+        # the real 128 lead and (exact mode) match the oracle
+        if mode == "exact":
+            es, ei = mips.exact_topk_numpy(q, kb, 128)
+            np.testing.assert_array_equal(i[:, :128], ei)
+
+
+def test_topk_sharded_k_exceeds_shard_rows(devices):
+    """The 8-way sharded wrappers hit the same k > rows_per_shard case."""
+    import jax
+
+    from viquae_tpu.core import mesh as meshlib
+
+    rng = np.random.default_rng(1)
+    kb = rng.standard_normal((1024, 16)).astype(np.float32)
+    q = rng.standard_normal((4, 16)).astype(np.float32)
+    ctx = meshlib.make_mesh(kb=8)
+    with meshlib.use(ctx):
+        shards = jax.device_put(
+            jnp.asarray(kb), ctx.sharding("kb", None))
+        for mode in ("global", "approx"):
+            s, i = mips.topk_sharded(
+                jnp.asarray(q), shards, 500, mesh_ctx=ctx, mode=mode,
+                valid_rows=1024)
+            assert np.asarray(s).shape == (4, 500)
+            if mode == "global":
+                es, ei = mips.exact_topk_numpy(q, kb, 500)
+                np.testing.assert_array_equal(np.asarray(i), ei)
+
+
+def test_topk_pad_sentinel_convention(devices):
+    """-inf lanes must carry the int32-max pad id, never a real-looking
+    masked row id (fuse_topk's min/sigma and qa_serving's range guard key
+    on it)."""
+    rng = np.random.default_rng(2)
+    kb = rng.standard_normal((64, 8)).astype(np.float32)
+    q = rng.standard_normal((3, 8)).astype(np.float32)
+    for fn in (
+        lambda: mips.topk_single(jnp.asarray(q), jnp.asarray(kb), 16,
+                                 valid_rows=jnp.int32(4),
+                                 compute_dtype=jnp.float32),
+        lambda: mips.topk_global(jnp.asarray(q), jnp.asarray(kb), 16,
+                                 valid_rows=jnp.int32(4),
+                                 compute_dtype=jnp.float32),
+    ):
+        s, i = map(np.asarray, fn())
+        assert (i[:, 4:] == np.iinfo(np.int32).max).all(), i
+        assert (i[:, :4] < 4).all()

@@ -106,3 +106,20 @@ def test_topk_pallas_any_query_count(devices):
             for r in range(q_count)
         ])
         assert overlap > 0.95, (q_count, overlap)
+
+
+def test_topk_pallas_partial_boundary_segment(devices):
+    """Round-3 review (confirmed wrong results): valid_rows cutting
+    mid-segment with HIGH-scoring invalid rows inflated that segment's
+    max, displacing a fully-valid segment that held a true top-k element.
+    The boundary segment's max is now recomputed over valid rows only."""
+    rng = np.random.default_rng(0)
+    n, d, nv = 4096, 16, 4032  # nv cuts segment 31 in half
+    kb = rng.standard_normal((n, d)).astype(np.float32)
+    kb[nv:] *= 100.0  # invalid rows dominate every segment max
+    q = rng.standard_normal((8, d)).astype(np.float32)
+    s, i = mips_pallas.topk_pallas(
+        jnp.asarray(q), jnp.asarray(kb), 10, valid_rows=jnp.int32(nv))
+    es, ei = mips.exact_topk_numpy(q, kb[:nv], 10)
+    np.testing.assert_array_equal(np.asarray(i), ei)
+    np.testing.assert_allclose(np.asarray(s), es, rtol=2e-2, atol=2e-2)

@@ -168,6 +168,14 @@ class AnswerPipeline:
             head = [cls_id] + list(q_ids_all[qi]) + [sep_id]
             budget = seq - len(head) - 1
             for p_ids in doc_tokens[j]:
+                if not len(p_ids):
+                    # empty/out-of-range passage: keep the ROW POSITION
+                    # (spans map back to passage rank by row) but leave it
+                    # all-zero — a live [CLS] q [SEP][SEP] row would
+                    # compete in the global softmax and could win a
+                    # nonsense span inside the question text
+                    row += 1
+                    continue
                 full = head + list(p_ids)[: max(budget, 0)] + [sep_id]
                 L = len(full)
                 ids[row, :L] = full

@@ -379,7 +379,13 @@ def dataset_search(dataset, k: int = 100, metric_save_path=None,
     """
     searcher = Searcher(k=k, **kwargs)
     if hasattr(dataset, "map"):
-        dataset.map(searcher, batched=True, **(map_kwargs or {}))
+        # load_from_cache_file=False: runs/qrels fill as a SIDE CHANNEL of
+        # the map — a deterministic Searcher (e.g. BM25-only, which the
+        # datasets Hasher fingerprints stably) would otherwise cache-hit
+        # on the second run, skip every __call__, and evaluate over empty
+        # runs (same pitfall as metrics.find_relevant_dataset)
+        dataset.map(searcher, batched=True,
+                    **{"load_from_cache_file": False, **(map_kwargs or {})})
     else:  # plain dict of columns
         searcher(dataset)
 

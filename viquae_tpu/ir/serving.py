@@ -516,6 +516,14 @@ class MultiIndexRetrievalPipeline(FusedRetrievalPipeline):
         if missing:
             raise ValueError(f"missing query_features for indexes "
                              f"{sorted(missing)}")
+        unknown = set(query_features) - set(self.names)
+        if unknown:
+            # caught here as a clear input error — a stray key otherwise
+            # surfaces as a bare KeyError from inside the prefetch
+            # thread's canvas generator
+            raise ValueError(
+                f"query_features keys {sorted(unknown)} are not index "
+                f"names {sorted(self.names)}")
         n = len(queries)
         for name, f in query_features.items():
             if len(f) != n:

@@ -91,10 +91,14 @@ def fuse_topk(
         [i.astype(jnp.int32) for i in idx_list], axis=1)
     order = jnp.argsort(all_idx, axis=-1)
     idx_sorted_early = jnp.take_along_axis(all_idx, order, axis=1)
-    distinct = jnp.concatenate([
+    # run-boundary flags over the sorted ids, computed ONCE: 'starts'
+    # seeds the segmented scan below; 'distinct' additionally drops the
+    # int32-max pad lanes for the union count
+    starts = jnp.concatenate([
         jnp.ones_like(idx_sorted_early[:, :1], dtype=bool),
         idx_sorted_early[:, 1:] != idx_sorted_early[:, :-1],
-    ], axis=1) & (idx_sorted_early != _INT_MAX)
+    ], axis=1)
+    distinct = starts & (idx_sorted_early != _INT_MAX)
     u_q = distinct.sum(axis=1).astype(jnp.float32)[:, None]  # (Q, 1)
     q_count_total = all_idx.shape[0]
     if valid_queries is None:
@@ -157,10 +161,6 @@ def fuse_topk(
     all_c = jnp.concatenate(contribs, axis=1)
     idx_sorted = idx_sorted_early
     c_sorted = jnp.take_along_axis(all_c, order, axis=1)
-    starts = jnp.concatenate([
-        jnp.ones_like(idx_sorted[:, :1], dtype=bool),
-        idx_sorted[:, 1:] != idx_sorted[:, :-1],
-    ], axis=1)
 
     def seg_combine(a, b):
         # (value, start_flag): segmented inclusive sum, associative

@@ -65,6 +65,37 @@ def _merge_topk(scores_a, idx_a, scores_b, idx_b, k: int):
 
 _SEG = 128  # VPU lane width; segment size for two-level selection
 
+INT32_MAX = jnp.iinfo(jnp.int32).max
+
+
+def finalize_topk(cand: jnp.ndarray, cand_idx: jnp.ndarray, k: int
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Candidate pool -> final (Q, k) under the repo-wide topk contract.
+
+    One place for the tail every selection path shares (topk_global,
+    mips_pallas.topk_fused/topk_pallas grew three drifting copies — two of
+    which forgot the pad sentinel): top_k over the pool, -inf lanes
+    blanked to the int32-max pad id BEFORE the FAISS tie-order restore
+    (so they sort last), then NEG_INF/int32-max padding out to k when the
+    pool is narrower than k (k > n or k > one shard's rows —
+    jax.lax.top_k CRASHES on k > pool otherwise)."""
+    q_count, pool = cand.shape
+    kk = min(k, pool)
+    top_scores, pos = jax.lax.top_k(cand, kk)
+    top_idx = jnp.take_along_axis(cand_idx, pos, axis=1)
+    top_idx = jnp.where(top_scores <= NEG_INF, INT32_MAX, top_idx)
+    neg, top_idx = jax.lax.sort((-top_scores, top_idx), dimension=-1,
+                                num_keys=2)
+    scores_out, idx_out = -neg, top_idx
+    if kk < k:
+        scores_out = jnp.concatenate([
+            scores_out, jnp.full((q_count, k - kk), NEG_INF,
+                                 scores_out.dtype)], axis=1)
+        idx_out = jnp.concatenate([
+            idx_out, jnp.full((q_count, k - kk), INT32_MAX, jnp.int32)],
+            axis=1)
+    return scores_out, idx_out
+
 
 def _select_topk(scores: jnp.ndarray, k: int, mode: str):
     """Top-k over the last axis of (Q, C) scores.
@@ -198,6 +229,10 @@ def topk_single(
     (scores, idx), _ = jax.lax.scan(
         step, init, (jnp.arange(n_chunks, dtype=jnp.int32), kb_chunks)
     )
+    # lanes masked to -inf (beyond valid_rows, when valid < k) carry real-
+    # but-INVALID chunk-local ids: blank them to the int32-max pad
+    # convention fuse_topk / qa_serving key on
+    idx = jnp.where(scores <= NEG_INF, INT32_MAX, idx)
     return scores, idx
 
 
@@ -266,14 +301,11 @@ def topk_global(
         # recall_target trades selection speed for per-call recall (the TPU
         # PartialReduce picks its reduction shape from it); 0.99 measures
         # R@20-vs-exact ~0.999 on real DPR embeddings
+        kk = min(k, n)  # approx_max_k crashes on k > n (per-shard calls)
         top_scores, top_idx = jax.lax.approx_max_k(
-            scores, k, recall_target=recall_target, aggregate_to_topk=True
+            scores, kk, recall_target=recall_target, aggregate_to_topk=True
         )
-        neg, top_idx = jax.lax.sort(
-            (-top_scores.astype(jnp.float32), top_idx),
-            dimension=-1, num_keys=2,
-        )
-        return -neg, top_idx
+        return finalize_topk(top_scores.astype(jnp.float32), top_idx, k)
     n_seg = n // _SEG
     seg = scores.reshape(q_count, n_seg, _SEG)
     seg_max = seg.max(axis=2)
@@ -286,10 +318,7 @@ def topk_global(
         seg_idx[:, :, None] * _SEG
         + jax.lax.broadcasted_iota(jnp.int32, (q_count, p, _SEG), 2)
     ).reshape(q_count, p * _SEG)
-    top_scores, pos = jax.lax.top_k(cand, k)
-    top_idx = jnp.take_along_axis(cand_idx, pos, axis=1)
-    neg, top_idx = jax.lax.sort((-top_scores, top_idx), dimension=-1, num_keys=2)
-    return -neg[:, :k], top_idx[:, :k]
+    return finalize_topk(cand, cand_idx, k)
 
 
 def topk_sharded(

@@ -179,29 +179,10 @@ def topk_fused(
         seg_idx[:, :, None] * _SEG
         + jax.lax.broadcasted_iota(jnp.int32, (q_count, p, _SEG), 2)
     ).reshape(q_count, p * _SEG)
-    kk = min(k, p * _SEG)  # candidate pool caps at n when k > n
-    top_scores, pos = jax.lax.top_k(cand, kk)
-    top_idx = jnp.take_along_axis(cand_idx, pos, axis=1)
-    neg, top_idx = jax.lax.sort((-top_scores, top_idx), dimension=-1,
-                                num_keys=2)
-    scores_out, idx_out = -neg[:, :kk], top_idx[:, :kk]
-    # lanes masked to -inf (beyond valid_rows) carry real-but-INVALID ids:
-    # blank them to the int32-max pad convention consumers key on
-    idx_out = jnp.where(jnp.isneginf(scores_out),
-                        jnp.iinfo(jnp.int32).max, idx_out)
-    if kk < k:
-        # pad to the requested k like topk_single (NEG_INF / int32 max), so
-        # topk_sharded's all-gather merge sees uniform (Q, k) shards even
-        # when k exceeds one shard's row count
-        scores_out = jnp.concatenate([
-            scores_out,
-            jnp.full((q_count, k - kk), mips.NEG_INF, scores_out.dtype),
-        ], axis=1)
-        idx_out = jnp.concatenate([
-            idx_out,
-            jnp.full((q_count, k - kk), jnp.iinfo(jnp.int32).max, jnp.int32),
-        ], axis=1)
-    return scores_out, idx_out
+    # shared tail: top-k + -inf-lane blanking + tie-order restore + pad
+    # to k (topk_sharded's all-gather merge needs uniform (Q, k) shards
+    # even when k exceeds one shard's row count)
+    return mips.finalize_topk(cand, cand_idx, k)
 
 
 # --------------------------------------------------------------------------
@@ -325,13 +306,25 @@ def topk_pallas(
     scores_t, segmax_t = fused_score_segmax(queries, kb, tile=tile)
     segmax = segmax_t.T
 
-    # mask padded/invalid segments out of the maxima (scores of invalid rows
-    # can only win via the segment gate, so masking segmax suffices unless a
-    # partially-valid segment's invalid rows dominate — handle those by
-    # masking the candidate gather below as well)
+    # mask padded/invalid segments out of the maxima. Fully-invalid
+    # segments drop to NEG_INF; the PARTIALLY-valid boundary segment
+    # (nv cuts mid-segment) needs its max RECOMPUTED over valid rows only
+    # — the kernel's unmasked max would let a high-scoring invalid row
+    # inflate the segment, displacing a fully-valid segment that holds a
+    # true top-k element (the candidate-gather mask below then silently
+    # loses that element, returning WRONG results, not tie swaps). One
+    # 128-row dynamic slice of the materialized kb-major scores fixes it
+    # without an (N, Q) row-id mask.
     n_seg = n // _SEG
     seg_ids = jax.lax.broadcasted_iota(jnp.int32, (q_count, n_seg), 1)
     segmax = jnp.where(seg_ids * _SEG < nv, segmax, mips.NEG_INF)
+    boundary = nv // _SEG  # dynamic; == n_seg (a no-op below) when nv == n
+    bstart = jnp.minimum(boundary * _SEG, n - _SEG)
+    bslice = jax.lax.dynamic_slice(
+        scores_t, (bstart, 0), (_SEG, q_count)).astype(jnp.float32)
+    brows = bstart + jnp.arange(_SEG, dtype=jnp.int32)[:, None]
+    bmax = jnp.max(jnp.where(brows < nv, bslice, mips.NEG_INF), axis=0)
+    segmax = jnp.where(seg_ids == boundary, bmax[:, None], segmax)
 
     # top-k segments via the two-level scheme (exact modulo equal-score ties)
     _, seg_idx = mips._select_topk(segmax, min(k, n_seg), "fast")
@@ -343,24 +336,7 @@ def topk_pallas(
         + jax.lax.broadcasted_iota(jnp.int32, (q_count, seg_idx.shape[1], _SEG), 2)
     ).reshape(q_count, -1)
     cand = jnp.take_along_axis(scores_t, gather_cols.T, axis=0).T
-    cand = jnp.where(gather_cols < nv, cand, mips.NEG_INF)
-    kk = min(k, cand.shape[1])  # candidate pool caps at n when k > n
-    top_scores, pos = jax.lax.top_k(cand, kk)
-    top_idx = jnp.take_along_axis(gather_cols, pos, axis=1)
-    neg, top_idx = jax.lax.sort(
-        (-top_scores, top_idx), dimension=-1, num_keys=2
-    )
-    scores_out, idx_out = -neg[:, :kk], top_idx[:, :kk]
-    idx_out = jnp.where(scores_out <= mips.NEG_INF,
-                        jnp.iinfo(jnp.int32).max, idx_out)
-    if kk < k:
-        scores_out = jnp.concatenate([
-            scores_out,
-            jnp.full((q_count, k - kk), mips.NEG_INF, scores_out.dtype),
-        ], axis=1)
-        idx_out = jnp.concatenate([
-            idx_out,
-            jnp.full((q_count, k - kk), jnp.iinfo(jnp.int32).max,
-                     jnp.int32),
-        ], axis=1)
+    cand = jnp.where(gather_cols < nv, cand.astype(jnp.float32),
+                     mips.NEG_INF)
+    scores_out, idx_out = mips.finalize_topk(cand, gather_cols, k)
     return scores_out[:q_real], idx_out[:q_real]
