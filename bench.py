@@ -56,8 +56,11 @@ def _bm25_corpus(n_docs: int, vocab_size: int = 400_000):
     time once, then loads in seconds."""
     from viquae_tpu.ops import bm25 as bm25_lib
 
+    # cache key carries ALL generation params — a key of n_docs alone
+    # silently reused a stale index after a vocab/corpus-shape change
     cache = os.path.join(
-        os.path.dirname(__file__), ".bench_cache", f"bm25_{n_docs}")
+        os.path.dirname(__file__), ".bench_cache",
+        f"bm25_{n_docs}_v{vocab_size}")
     if os.path.exists(os.path.join(cache, "postings.npz")):
         return bm25_lib.BM25Index.load(cache)
     index = bm25_lib.synth_zipf_index(n_docs, vocab_size=vocab_size)
@@ -372,6 +375,16 @@ def main():
         compute_dtype=jnp.bfloat16, mode="fast",
     )
     idx_fast = np.asarray(idx_fast)
+    # exact selection over the SAME q_dev: the fused program re-embeds in
+    # a different XLA program, so comparing the fast path against ITS
+    # output would fold bf16 cross-program embedding tie swaps into the
+    # selection-contract metric (a real fast-path regression could hide
+    # behind that accepted noise)
+    _, idx_exact_q = mips.topk_global(
+        q_dev, kb, k, valid_rows=jnp.int32(n_kb),
+        compute_dtype=jnp.bfloat16,
+    )
+    idx_exact_q = np.asarray(idx_exact_q)
 
     # ---- fp32 FAISS-flat contract on a 262k slice ------------------------
     # (precision=HIGHEST fast vs exact; full-scale FAISS tie-order contract
@@ -379,9 +392,11 @@ def main():
     # the tunnel is too slow for the bench)
     n_check = 16 if small else 64
     slice_rows = min(n_kb, 262144)
-    q_fp32 = dpr.apply_packed(
-        params, cfg, *p_args, deterministic=True, compute_dtype=jnp.float32,
-    )[:n_check]
+    # jitted: an eager 12-layer forward over the tunnel is hundreds of
+    # per-primitive remote dispatches (minutes inside the watchdog budget)
+    fp32_fwd = jax.jit(lambda p, *a: dpr.apply_packed(
+        p, cfg, *a, deterministic=True, compute_dtype=jnp.float32))
+    q_fp32 = fp32_fwd(params, *p_args)[:n_check]
     kb_f32 = kb[:slice_rows].astype(jnp.float32)
     _, idx = mips.topk_single(
         jnp.asarray(q_fp32), kb_f32, 20,
@@ -443,7 +458,7 @@ def main():
     idx_exact = np.asarray(out[1])
     idx_approx = np.asarray(out_a[1])
     r20_approx = r_at_20(idx_approx, idx_exact, n_queries)
-    r20_fast = r_at_20(idx_fast, idx_exact, n_queries)
+    r20_fast = r_at_20(idx_fast, idx_exact_q, n_queries)
     del out, out_a  # free device result buffers before the fusion stage
 
     # ---- hybrid sparse+dense (BM25 C++ MaxScore on host, overlapped with
@@ -477,8 +492,10 @@ def main():
         return fuse_hybrid(d_s, d_i, jnp.asarray(b_s), jnp.asarray(b_i))
 
     # bm25 alone (host, single core); build the MaxScore upper bounds
-    # (one-off index cost) before timing queries
+    # (one-off index cost) AND warm the lazy C++ scorer (first call may
+    # g++-compile / ctypes-load the .so) before timing queries
     _ = bm25_index.term_ub
+    bm25_index.search_batch(bm25_queries[:8], k=k)
     t0 = time.time()
     bm25_index.search_batch(bm25_queries, k=k)
     bm25_qps = n_queries / (time.time() - t0)
@@ -497,8 +514,6 @@ def main():
     # experiments/ir/viquae/dpr+clip-cross-modal/config_test.json): packed
     # embed + dpr Pallas-exact + clip/face approx + ops.fusion.fuse_topk.
     # The reference runs fusion offline over run files.
-    from viquae_tpu.ops import fusion as fusion_ops
-
     n_clip = n_kb
     n_face = 50_624 if small else 506_237  # humans_with_faces
     kb_clip = jax.random.normal(
@@ -709,7 +724,18 @@ if __name__ == "__main__":
         main()
     except Exception as e:  # noqa: BLE001
         # the tunneled TPU occasionally throws a transient INTERNAL error
-        # on a fresh process; one retry reliably clears it
-        print(f"bench attempt 1 failed ({e!r}); retrying once", file=sys.stderr)
-        main()
+        # on a fresh process; one retry reliably clears it. Retry in a
+        # FRESH process (CLAUDE.md): exec replaces this one, so the
+        # exception traceback's multi-GB device buffers are freed, the
+        # PJRT client re-initializes, and the watchdog budget re-arms —
+        # an in-process retry held attempt 1's kb/kbt alive through the
+        # traceback and re-allocated on a near-full chip.
+        if os.environ.get("VIQUAE_BENCH_RETRY") == "1":
+            raise
+        print(f"bench attempt 1 failed ({e!r}); retrying in a fresh "
+              f"process", file=sys.stderr)
+        sys.stderr.flush()
+        env = dict(os.environ, VIQUAE_BENCH_RETRY="1")
+        os.execve(sys.executable,
+                  [sys.executable, os.path.abspath(__file__)], env)
     timer.cancel()

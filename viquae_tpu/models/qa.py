@@ -32,6 +32,21 @@ class ReaderConfig:
     fuse_ir_score: bool = False
 
 
+def param_spec(cfg: ReaderConfig):
+    """PartitionSpec pytree mirroring init(): bert tensor-parallel over the
+    `model` axis, span head + IR-score fusion scalars replicated."""
+    from jax.sharding import PartitionSpec as P
+
+    spec: Dict[str, Any] = {
+        "bert": bert.param_spec(cfg.bert),
+        "qa_outputs": L.dense_spec(),
+    }
+    if cfg.fuse_ir_score:
+        spec["score_proj_w"] = P(None, None)
+        spec["score_proj_b"] = P(None)
+    return spec
+
+
 def init(key, cfg: ReaderConfig) -> Dict[str, Any]:
     k1, k2 = jax.random.split(key)
     params = {
