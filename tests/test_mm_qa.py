@@ -198,6 +198,20 @@ def test_get_best_spans_matches_torch_reference():
     np.testing.assert_array_equal(np.asarray(e), ref_end.numpy())
 
 
+def test_reader_param_spec_tree_matches_init():
+    """qa.param_spec must mirror init() exactly (both fuse_ir_score
+    variants) — the multichip dryrun shards the reader trainer with it."""
+    for fuse in (False, True):
+        cfg = qa.ReaderConfig(bert=TINY_BERT, fuse_ir_score=fuse)
+        params = qa.init(jax.random.key(0), cfg)
+        spec = qa.param_spec(cfg)
+        pt = jax.tree_util.tree_structure(params)
+        st = jax.tree_util.tree_structure(
+            spec,
+            is_leaf=lambda x: isinstance(x, jax.sharding.PartitionSpec))
+        assert pt == st
+
+
 def test_reader_forward_and_loss():
     cfg = qa.ReaderConfig(bert=TINY_BERT, fuse_ir_score=True)
     params = qa.init(jax.random.key(0), cfg)
