@@ -156,3 +156,55 @@ def test_maxscore_survives_retune():
     s_np, i_np = index.search("w1 w2 w3", k=10)
     assert i[0] == i_np
     np.testing.assert_allclose(s[0], s_np, rtol=1e-5)
+
+
+def test_maxscore_mt_bitwise_matches_sequential():
+    """The threaded MaxScore driver must return BITWISE-identical scores,
+    ids, and tie order to the sequential one (queries are independent;
+    threading only changes which worker runs each). Exercised at several
+    thread counts including more threads than queries."""
+    from viquae_tpu.native import load_bm25_maxscore, load_bm25_maxscore_mt
+
+    seq = load_bm25_maxscore()
+    mt = load_bm25_maxscore_mt()
+    assert seq is not None and mt is not None
+
+    rng = np.random.default_rng(7)
+    n_docs, vocab = 600, 80
+    docs = [
+        " ".join(f"w{(int(z) - 1) % vocab}"
+                 for z in rng.zipf(1.3, rng.integers(10, 80)))
+        for _ in range(n_docs // 2)
+    ]
+    docs = docs + docs  # duplicates -> exact score ties
+    index = bm25.BM25Index.build(docs, k1=0.5, b=0.3)
+    queries = [
+        " ".join(f"w{(int(z) - 1) % vocab}" for z in rng.zipf(1.3, 6))
+        for _ in range(33)
+    ] + ["", "zzz unknown"]
+    s_seq, i_seq = index._search_batch_native(seq, queries, 25,
+                                              maxscore=True)
+    for n_threads in (1, 2, 4, 64):
+        s_mt, i_mt = index._search_batch_native(
+            mt, queries, 25, maxscore=True, n_threads=n_threads)
+        assert i_mt == i_seq, n_threads
+        for q in range(len(queries)):
+            np.testing.assert_array_equal(
+                np.asarray(s_mt[q], np.float32),
+                np.asarray(s_seq[q], np.float32))
+
+
+def test_search_batch_n_threads_kwarg():
+    """The public search_batch honors n_threads and matches the default
+    path exactly."""
+    rng = np.random.default_rng(11)
+    docs = [" ".join(f"w{rng.integers(0, 30)}" for _ in range(25))
+            for _ in range(150)]
+    index = bm25.BM25Index.build(docs, k1=0.5, b=0.3)
+    queries = ["w1 w2 w3", "w4 w5", "w6"]
+    s_a, i_a = index.search_batch(queries, k=10)
+    s_b, i_b = index.search_batch(queries, k=10, n_threads=4)
+    assert i_a == i_b
+    for q in range(len(queries)):
+        np.testing.assert_array_equal(
+            np.asarray(s_a[q], np.float32), np.asarray(s_b[q], np.float32))

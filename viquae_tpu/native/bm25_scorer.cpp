@@ -14,6 +14,7 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 extern "C" {
@@ -347,6 +348,55 @@ void bm25_maxscore_batch(
         query_terms + lo, query_tfs + lo, hi - lo, k,
         out_scores + q * k, out_indices + q * k);
   }
+}
+
+// Multithreaded batch driver. bm25_maxscore_query only READS the shared
+// index arrays and writes disjoint per-query output slices, so queries are
+// embarrassingly parallel (the reference's Elasticsearch scores across a
+// Java thread pool the same way). Assignment is STRIDED (thread w takes
+// queries w, w+nt, ...), not chunked: Zipf query costs are heavy-tailed
+// and striding spreads the expensive ones across workers. Per-query
+// results are bitwise identical to the sequential driver — rank safety
+// and tie order are per-query properties and threading changes neither.
+void bm25_maxscore_batch_mt(
+    const int64_t* offsets,
+    const int32_t* docs,
+    const float* tfs,
+    const float* idf,
+    const float* norm,
+    const float* term_ub,
+    int64_t n_docs,
+    const int32_t* query_terms,
+    const float* query_tfs,
+    const int64_t* query_offsets,
+    int64_t n_queries,
+    int32_t k,
+    float* out_scores,
+    int32_t* out_indices,
+    int32_t* out_counts,
+    int32_t n_threads) {
+  if (n_threads <= 1 || n_queries <= 1) {
+    bm25_maxscore_batch(offsets, docs, tfs, idf, norm, term_ub, n_docs,
+                        query_terms, query_tfs, query_offsets, n_queries, k,
+                        out_scores, out_indices, out_counts);
+    return;
+  }
+  const int64_t nt = std::min<int64_t>(n_threads, n_queries);
+  std::vector<std::thread> pool;
+  pool.reserve(static_cast<size_t>(nt));
+  for (int64_t w = 0; w < nt; ++w) {
+    pool.emplace_back([=]() {
+      for (int64_t q = w; q < n_queries; q += nt) {
+        const int64_t lo = query_offsets[q];
+        const int64_t hi = query_offsets[q + 1];
+        out_counts[q] = bm25_maxscore_query(
+            offsets, docs, tfs, idf, norm, term_ub,
+            query_terms + lo, query_tfs + lo, hi - lo, k,
+            out_scores + q * k, out_indices + q * k);
+      }
+    });
+  }
+  for (auto& t : pool) t.join();
 }
 
 }  // extern "C"

@@ -18,7 +18,7 @@ _CACHE: dict = {}
 def _compile(source: Path, out: Path):
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-        str(source), "-o", str(out),
+        "-pthread", str(source), "-o", str(out),
     ]
     subprocess.run(cmd, check=True, capture_output=True)
 
@@ -120,6 +120,38 @@ def load_bm25_maxscore():
         ndpointer(np.float32, flags="C_CONTIGUOUS"),  # out_scores
         ndpointer(np.int32, flags="C_CONTIGUOUS"),    # out_indices
         ndpointer(np.int32, flags="C_CONTIGUOUS"),    # out_counts
+    ]
+    return fn
+
+
+def load_bm25_maxscore_mt():
+    """ctypes handle to bm25_maxscore_batch_mt (the MaxScore driver over a
+    std::thread pool, strided query assignment), or None."""
+    lib = _load("bm25_scorer")
+    if lib is None or not hasattr(lib, "bm25_maxscore_batch_mt"):
+        return None
+    import numpy as np
+    from numpy.ctypeslib import ndpointer
+
+    fn = lib.bm25_maxscore_batch_mt
+    fn.restype = None
+    fn.argtypes = [
+        ndpointer(np.int64, flags="C_CONTIGUOUS"),    # offsets
+        ndpointer(np.int32, flags="C_CONTIGUOUS"),    # docs
+        ndpointer(np.float32, flags="C_CONTIGUOUS"),  # tfs
+        ndpointer(np.float32, flags="C_CONTIGUOUS"),  # idf
+        ndpointer(np.float32, flags="C_CONTIGUOUS"),  # norm
+        ndpointer(np.float32, flags="C_CONTIGUOUS"),  # term_ub
+        ctypes.c_int64,                               # n_docs
+        ndpointer(np.int32, flags="C_CONTIGUOUS"),    # query_terms
+        ndpointer(np.float32, flags="C_CONTIGUOUS"),  # query_tfs
+        ndpointer(np.int64, flags="C_CONTIGUOUS"),    # query_offsets
+        ctypes.c_int64,                               # n_queries
+        ctypes.c_int32,                               # k
+        ndpointer(np.float32, flags="C_CONTIGUOUS"),  # out_scores
+        ndpointer(np.int32, flags="C_CONTIGUOUS"),    # out_indices
+        ndpointer(np.int32, flags="C_CONTIGUOUS"),    # out_counts
+        ctypes.c_int32,                               # n_threads
     ]
     return fn
 

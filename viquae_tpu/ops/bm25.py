@@ -151,8 +151,24 @@ class BM25Index:
         cand = cand[np.lexsort((cand, -scores[cand]))][:k]
         return scores[cand].tolist(), cand.tolist()
 
-    def search_batch(self, queries: Sequence[str], k: int = 100
+    def search_batch(self, queries: Sequence[str], k: int = 100,
+                     n_threads: int = None
                      ) -> Tuple[List[List[float]], List[List[int]]]:
+        """n_threads: worker threads for the C++ MaxScore driver (queries
+        are embarrassingly parallel; per-query results are bitwise
+        identical to sequential). None = one per host core. The attached
+        VM has ONE core, so the default stays sequential here — the knob
+        exists because real serving hosts have many."""
+        if n_threads is None:
+            import os as _os
+
+            n_threads = _os.cpu_count() or 1
+        if n_threads > 1:
+            native_mt = self._maxscore_scorer_mt()
+            if native_mt is not None:
+                return self._search_batch_native(
+                    native_mt, queries, k, maxscore=True,
+                    n_threads=n_threads)
         native = self._maxscore_scorer()
         if native is not None:
             return self._search_batch_native(native, queries, k,
@@ -181,8 +197,16 @@ class BM25Index:
             self._native_maxscore = load_bm25_maxscore()
         return self._native_maxscore
 
+    def _maxscore_scorer_mt(self):
+        if not hasattr(self, "_native_maxscore_mt"):
+            from viquae_tpu.native import load_bm25_maxscore_mt
+
+            self._native_maxscore_mt = load_bm25_maxscore_mt()
+        return self._native_maxscore_mt
+
     def _search_batch_native(self, native, queries: Sequence[str], k: int,
-                             maxscore: bool = False):
+                             maxscore: bool = False,
+                             n_threads: int = None):
         """C++ CSR scorers (viquae_tpu/native/bm25_scorer.cpp): identical
         math + tie order to the numpy path. The MaxScore variant prunes
         with per-term upper bounds (rank-safe: exact scores + tie order)
@@ -224,6 +248,8 @@ class BM25Index:
             np.int32(k_eff),
             out_scores, out_indices, out_counts,
         ]
+        if n_threads is not None:
+            args.append(np.int32(n_threads))
         native(*args)
         scores_batch = [
             out_scores[q, : out_counts[q]].tolist() for q in range(n_queries)
