@@ -177,10 +177,22 @@ def main():
     ap.add_argument("--checkpoint-root", default=None,
                     help="read checkpoints from <root>/<name> "
                          "(save_pretrained layout) instead of the HF hub")
+    ap.add_argument("--platform", default="cpu",
+                    help="JAX platform for the ported forward ('cpu' "
+                         "default: parity is vs torch-CPU and the "
+                         "accelerator is irrelevant — on this rig the "
+                         "tunneled TPU turns tiny compiles into minutes; "
+                         "pass 'default' to use the attached device)")
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "fixtures", "port_checksums.json"))
     args = ap.parse_args()
+    if args.platform != "default":
+        # before any backend query (the axon plugin ignores JAX_PLATFORMS;
+        # the config route works — CLAUDE.md environment notes)
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     if args.checkpoint_root:
         set_checkpoint_root(args.checkpoint_root)
 
