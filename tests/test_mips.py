@@ -476,3 +476,82 @@ def test_topk_pad_sentinel_convention(devices):
         s, i = map(np.asarray, fn())
         assert (i[:, 4:] == np.iinfo(np.int32).max).all(), i
         assert (i[:, :4] < 4).all()
+
+
+# ---------------------------------------------------------------------------
+# incremental add / reconstruct (FAISS IndexFlat.add contract)
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("mode", ["fast", "global", "fused"])
+def test_dense_index_add_matches_fresh_build(devices, mode):
+    """add() must be indistinguishable from building the index over the
+    concatenated data: same ids, same scores, new rows searchable at
+    ids [n, n+m). Covers both the in-place (within padding) and the
+    repad (beyond padding) paths via two successive adds."""
+    rng = np.random.default_rng(5)
+    d = 32
+    base = rng.standard_normal((600, d)).astype(np.float32)
+    extra1 = rng.standard_normal((3, d)).astype(np.float32)    # in padding
+    extra2 = rng.standard_normal((700, d)).astype(np.float32)  # forces repad
+    queries = rng.standard_normal((9, d)).astype(np.float32)
+
+    ctx = meshlib.make_kb_mesh(kb=1)
+    with meshlib.use(ctx):
+        idx = mips.DenseIndex(base, mesh_ctx=ctx, mode=mode, chunk_size=256)
+        idx.add(extra1)
+        idx.add(extra2)
+        s_inc, i_inc = idx.search_batch(queries, k=25)
+        fresh = mips.DenseIndex(
+            np.concatenate([base, extra1, extra2]), mesh_ctx=ctx,
+            mode=mode, chunk_size=256)
+        s_ref, i_ref = fresh.search_batch(queries, k=25)
+    np.testing.assert_array_equal(i_inc, i_ref)
+    np.testing.assert_allclose(s_inc, s_ref, rtol=2e-5, atol=2e-5)
+    assert idx.n == 1303
+    # the appended rows are actually retrievable under their new ids
+    with meshlib.use(ctx):
+        s_hit, i_hit = idx.search_batch(extra2[:2], k=1)
+    np.testing.assert_array_equal(i_hit[:, 0], [603, 604])
+
+
+def test_dense_index_add_l2norm_and_sharded(devices):
+    """add() normalizes new rows on an L2norm index and works on a
+    kb-sharded mesh (the matrix re-shards after the update)."""
+    rng = np.random.default_rng(6)
+    d = 32
+    base = rng.standard_normal((500, d)).astype(np.float32)
+    extra = 5.0 * rng.standard_normal((77, d)).astype(np.float32)
+    queries = rng.standard_normal((7, d)).astype(np.float32)
+
+    ctx = meshlib.make_kb_mesh()
+    with meshlib.use(ctx):
+        idx = mips.DenseIndex(base, do_l2norm=True, mesh_ctx=ctx,
+                              chunk_size=256)
+        idx.add(extra)
+        s_inc, i_inc = idx.search_batch(queries, k=15)
+        fresh = mips.DenseIndex(np.concatenate([base, extra]),
+                                do_l2norm=True, mesh_ctx=ctx,
+                                chunk_size=256)
+        s_ref, i_ref = fresh.search_batch(queries, k=15)
+    np.testing.assert_array_equal(i_inc, i_ref)
+    np.testing.assert_allclose(s_inc, s_ref, rtol=2e-5, atol=2e-5)
+
+
+def test_dense_index_reconstruct(devices):
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((100, 16)).astype(np.float32)
+    ctx = meshlib.make_kb_mesh(kb=1)
+    with meshlib.use(ctx):
+        idx = mips.DenseIndex(base, mesh_ctx=ctx, chunk_size=64)
+        got = idx.reconstruct_batch([0, 17, 99])
+        np.testing.assert_allclose(got, base[[0, 17, 99]], rtol=1e-6)
+        # L2norm index returns the STORED (normalized) rows
+        idxn = mips.DenseIndex(base, do_l2norm=True, mesh_ctx=ctx,
+                               chunk_size=64)
+        gotn = idxn.reconstruct_batch([3])
+        np.testing.assert_allclose(np.linalg.norm(gotn[0]), 1.0, rtol=1e-5)
+        with pytest.raises(IndexError):
+            idx.reconstruct_batch([100])
+        # fused mode stores (d, N); reconstruct transposes back, bf16-quantized
+        idxf = mips.DenseIndex(base, mesh_ctx=ctx, mode="fused")
+        gotf = idxf.reconstruct_batch([5, 50])
+        np.testing.assert_allclose(gotf, base[[5, 50]], rtol=1e-2, atol=1e-2)

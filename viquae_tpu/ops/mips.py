@@ -527,6 +527,70 @@ class DenseIndex:
             return scores, idx
         return np.asarray(scores), np.asarray(idx)
 
+    # ---- incremental updates (parity with faiss IndexFlat.add: new rows
+    #      get sequential ids after the existing ones) ---------------------
+    def add(self, vectors) -> None:
+        """Append rows to the index without a host-side rebuild.
+
+        FAISS flat indexes support incremental `add()` (the reference
+        rebuilds via `dataset.add_faiss_index`, but serving KBs grow);
+        here the device matrix's alignment padding absorbs small adds
+        in place (one `dynamic_update_slice`), and larger adds extend
+        the matrix on device (transiently ~2x the matrix in HBM, like a
+        realloc). New rows take ids [n, n+m); searches see them
+        immediately (`valid_rows` masks only the remaining padding).
+        """
+        vectors = np.asarray(vectors, np.float32)
+        if vectors.ndim != 2 or vectors.shape[1] != self.d:
+            raise ValueError(
+                f"expected (m, {self.d}) vectors, got {vectors.shape}")
+        m = len(vectors)
+        if m == 0:
+            return
+        if self.do_l2norm:
+            vectors = vectors / np.maximum(
+                np.linalg.norm(vectors, axis=1, keepdims=True), 1e-12)
+        fused = self.mode == "fused"
+        n_pad_cur = (self.matrix.shape[1] if fused
+                     else self.matrix.shape[0])
+        new_n = self.n + m
+        if new_n > n_pad_cur:
+            # extend with zero padding to the next aligned size first
+            n_dev = self.mesh_ctx.kb_size
+            block = n_dev * (512 if fused else 8)
+            n_pad_new = meshlib.pad_to_multiple(new_n, block)
+            if fused:
+                pad = jnp.zeros((self.d, n_pad_new - n_pad_cur), self.dtype)
+                mat = jnp.concatenate([self.matrix, pad], axis=1)
+            else:
+                pad = jnp.zeros((n_pad_new - n_pad_cur, self.d), self.dtype)
+                mat = jnp.concatenate([self.matrix, pad], axis=0)
+        else:
+            mat = self.matrix
+        upd = jnp.asarray(vectors.T if fused else vectors, self.dtype)
+        start = (0, self.n) if fused else (self.n, 0)
+        mat = jax.lax.dynamic_update_slice(mat, upd, start)
+        if self.mesh_ctx.kb_size > 1:
+            sharding = (self.mesh_ctx.sharding(None, meshlib.KB_AXIS)
+                        if fused else self.mesh_ctx.kb_sharded)
+            mat = jax.device_put(mat, sharding)
+        self.matrix = mat
+        self.n = new_n
+
+    def reconstruct_batch(self, ids) -> np.ndarray:
+        """Return the STORED vectors for `ids` (float32) — FAISS
+        `reconstruct` semantics: an L2norm index returns the normalized
+        rows it searches, a bf16 index the bf16-quantized values."""
+        ids = np.asarray(ids)
+        if ids.size and (ids.min() < 0 or ids.max() >= self.n):
+            raise IndexError(f"ids outside [0, {self.n})")
+        if self.mode == "fused":
+            out = np.asarray(self.matrix[:, ids].T if ids.size
+                             else np.zeros((0, self.d)))
+        else:
+            out = np.asarray(self.matrix[ids])
+        return out.astype(np.float32)
+
     # ---- persistence (parity with faiss index save/load,
     #      ir/search.py:246-248) -------------------------------------------
     def save(self, path):
