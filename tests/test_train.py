@@ -275,6 +275,32 @@ def test_prefetch_loader():
         list(PrefetchIterable(bad()))
 
 
+def test_prefetch_early_break_stops_producer():
+    """Abandoning iteration (max_steps ends mid-epoch) must terminate the
+    producer thread — a plain q.put() would block it forever, leaking one
+    thread + a pinned collator generator per epoch."""
+    import threading
+    import time as _time
+
+    from viquae_tpu.train.prefetch import PrefetchIterable
+
+    def batches():
+        for i in range(1000):
+            yield {"x": np.full((2,), i)}
+
+    for batch in PrefetchIterable(batches(), buffer_size=2):
+        break  # consumer abandons after one batch
+
+    deadline = _time.time() + 5.0
+    while _time.time() < deadline:
+        alive = [t for t in threading.enumerate()
+                 if t.name == "viquae-prefetch" and t.is_alive()]
+        if not alive:
+            break
+        _time.sleep(0.05)
+    assert not alive, "producer thread leaked after consumer break"
+
+
 def test_grad_accum_matches_full_batch(devices, tmp_path):
     """grad_accum=4 on batch B must equal grad_accum=1 on the SAME batch B
     (mean-reduced per-example loss), to float32 tolerance — VERDICT item 4's

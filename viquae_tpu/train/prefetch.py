@@ -32,26 +32,45 @@ class PrefetchIterable:
 
     def __iter__(self) -> Iterator:
         q: queue.Queue = queue.Queue(maxsize=self._buffer_size)
+        stop = threading.Event()
         error: list = []
+
+        def _put(item) -> bool:
+            # bounded put that notices consumer abandonment: a plain
+            # q.put() would block FOREVER once the consumer breaks out of
+            # the loop (max_steps training ends mid-epoch), leaking one
+            # producer thread + a pinned collator generator per epoch
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 for batch in self._batches:
-                    q.put(batch)
+                    if not _put(batch):
+                        return
             except BaseException as e:  # noqa: BLE001 — propagate to consumer
                 error.append(e)
             finally:
-                q.put(_SENTINEL)
+                _put(_SENTINEL)
 
-        thread = threading.Thread(target=producer, daemon=True)
+        thread = threading.Thread(
+            target=producer, daemon=True, name="viquae-prefetch")
         thread.start()
-        while True:
-            item = q.get()
-            if item is _SENTINEL:
-                if error:
-                    raise error[0]
-                return
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is _SENTINEL:
+                    if error:
+                        raise error[0]
+                    return
+                yield item
+        finally:
+            stop.set()
 
 
 class CollatorLoader:
