@@ -307,6 +307,24 @@ def main():
     cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    # backend-init deadline: a tunnel outage makes jax.devices() itself hang
+    # (observed 25 min before UNAVAILABLE on 2026-08-17) inside native PJRT
+    # code where no python exception can interrupt — fail FAST so the
+    # driver sees a clear error instead of the watchdog burning 45 min
+    import threading as _threading
+
+    def _init_watchdog():
+        print("bench: TPU backend init exceeded 600s (tunnel down?); "
+              "exiting", file=sys.stderr)
+        sys.stderr.flush()
+        os._exit(3)
+
+    _init_timer = _threading.Timer(600, _init_watchdog)
+    _init_timer.daemon = True
+    _init_timer.start()
+    jax.devices()
+    _init_timer.cancel()
     import jax.numpy as jnp
 
     from viquae_tpu.models import bert, dpr

@@ -629,3 +629,51 @@ def test_multi_index_compact_transfer_fp32_feature_parity(setup):
     np.testing.assert_array_equal(results[False][1], results[True][1])
     np.testing.assert_allclose(results[False][0], results[True][0],
                                rtol=1e-2, atol=1e-2)
+
+
+def test_fused_pipeline_sees_rows_added_after_construction(setup):
+    """DenseIndex.add() inside the alignment padding keeps the compiled
+    shape — the serving program must read the CURRENT row count as a jit
+    argument, not a baked trace-time constant, or the new rows stay
+    silently invisible (jit cache hit with stale valid_rows)."""
+    tok, cfg, params, queries, kb = setup
+    emb = PackedTextEmbedder(dpr.make_packed_apply(cfg), params, tok,
+                             row_len=32, batch_size=64,
+                             compute_dtype=jnp.float32)
+    index = mips.DenseIndex(kb[:4992], mode="global")  # 4992 % 8 == 0
+    pipe = FusedRetrievalPipeline(emb, index, batch_size=64, k=10)
+    _ = pipe.run_arrays(queries[:64])  # compile with the original count
+
+    # the added rows are scaled copies of the first queries' embeddings —
+    # guaranteed MIPS winners for those queries
+    enc = tok(queries[:3], padding="max_length", truncation=True,
+              max_length=32, return_tensors="np")
+    q_emb = np.asarray(dpr.apply(
+        params, cfg, jnp.asarray(enc["input_ids"].astype(np.int32)),
+        jnp.asarray(enc["attention_mask"].astype(np.int32)),
+        deterministic=True,
+    )["pooler_output"])
+    added = 10.0 * q_emb  # dominant rows (tiny-model embeddings are near-
+    # duplicates across queries, so the three rows tie within fp noise —
+    # assertions below are tie-tolerant per CLAUDE.md)
+    index.add(added)
+    scores, idx = pipe.run_arrays(queries)
+    # every query's winner is one of the added rows (they dominate), and
+    # each source query ranks SOME added row first
+    assert np.all(idx[:3, 0] >= 4992)
+    full_kb = np.concatenate([kb[:4992], added])
+    enc = tok(queries, padding="max_length", truncation=True,
+              max_length=32, return_tensors="np")
+    q_all = np.asarray(dpr.apply(
+        params, cfg, jnp.asarray(enc["input_ids"].astype(np.int32)),
+        jnp.asarray(enc["attention_mask"].astype(np.int32)),
+        deterministic=True,
+    )["pooler_output"])
+    ref_scores = q_all @ full_kb.T
+    ref_idx = np.argsort(-ref_scores, axis=1, kind="stable")[:, :10]
+    # tie-tolerant parity: where ids differ, the reference scores of the
+    # swapped ids must be equal to fp tolerance (tied-id swaps only)
+    np.testing.assert_allclose(
+        np.take_along_axis(ref_scores, idx.astype(np.int64), axis=1),
+        np.take_along_axis(ref_scores, ref_idx, axis=1),
+        rtol=1e-5, atol=1e-4)

@@ -124,7 +124,7 @@ class RetrievalPipeline:
         return self.timer.report()
 
 
-def _device_search(index, q, matrix, k):
+def _device_search(index, q, matrix, k, n_valid=None):
     """Single-dispatch MIPS routing by index mode — called INSIDE jit.
 
     'fused' uses the Pallas q-major kernel (ops/mips_pallas.topk_fused); a
@@ -132,7 +132,13 @@ def _device_search(index, q, matrix, k):
     + all-gather merge) because pallas_call cannot be partitioned — jitting
     topk_fused over a sharded matrix makes GSPMD silently all-gather the
     whole KB onto every device. 'global'/'approx' are the XLA single-pass
-    selections."""
+    selections.
+
+    n_valid: pass the CURRENT index.n as a traced jit argument from the
+    serving call site. Reading index.n here bakes it as an HLO constant —
+    after DenseIndex.add() lands inside the alignment padding (same matrix
+    shape -> jit cache HIT), a baked count would leave the new rows
+    silently invisible to serving."""
     import jax.numpy as jnp
 
     from viquae_tpu.ops import mips
@@ -142,20 +148,19 @@ def _device_search(index, q, matrix, k):
         # does the same; an all-bf16 norm perturbs scores near ties
         q = mips.l2_normalize(q.astype(jnp.float32))
     q = q.astype(index.dtype)
+    nv = jnp.int32(index.n) if n_valid is None else n_valid.astype(jnp.int32)
     k = min(k, index.n)
     if index.mode == "fused":
         if index.mesh_ctx.kb_size > 1:
             return mips.topk_sharded(
                 q, matrix, k, mesh_ctx=index.mesh_ctx,
-                valid_rows=index.n, compute_dtype=index.dtype, mode="fused",
+                valid_rows=nv, compute_dtype=index.dtype, mode="fused",
             )
         from viquae_tpu.ops import mips_pallas
 
-        return mips_pallas.topk_fused(
-            q, matrix, k, valid_rows=jnp.int32(index.n)
-        )
+        return mips_pallas.topk_fused(q, matrix, k, valid_rows=nv)
     return mips.topk_global(
-        q, matrix, k, valid_rows=jnp.int32(index.n),
+        q, matrix, k, valid_rows=nv,
         compute_dtype=index.dtype,
         mode="approx" if index.mode == "approx" else "exact",
         recall_target=getattr(index, "approx_recall_target", 0.99),
@@ -217,13 +222,14 @@ class FusedRetrievalPipeline(RetrievalPipeline):
         )
 
         @jax.jit
-        def _retrieve(params, ids, seg, pos, cr, cc, matrix):
+        def _retrieve(params, ids, seg, pos, cr, cc, matrix, n_rows):
             q = packed_apply(
                 params, ids.astype(jnp.int32), seg.astype(jnp.int32),
                 pos.astype(jnp.int32), cr.astype(jnp.int32),
                 cc.astype(jnp.int32),
             )
-            scores, idx = _device_search(index, q, matrix, k_clamped)
+            scores, idx = _device_search(index, q, matrix, k_clamped,
+                                         n_valid=n_rows)
             scores16 = jax.lax.bitcast_convert_type(
                 scores.astype(jnp.bfloat16), jnp.int16
             )
@@ -253,12 +259,18 @@ class FusedRetrievalPipeline(RetrievalPipeline):
         )
 
     def _canvas_stream(self, queries):
+        import jax.numpy as jnp
+
         emb = self.embed_fn
         for start, chunk in self._batches(queries):
             with self.timer.stage("tokenize+pack+dispatch"):
+                # n before matrix: a concurrent add() binds the matrix
+                # first, so this order can only lag (old n + new matrix),
+                # never score alignment padding (new n + old matrix)
+                n_rows = jnp.asarray(self.index.n, jnp.int32)
                 scores16, idx = self._retrieve(
                     emb.params, *self._upload(emb.pack(list(chunk))),
-                    self.index.matrix,
+                    self.index.matrix, n_rows,
                 )
             yield start, len(chunk), scores16, idx
 
@@ -404,7 +416,7 @@ class MultiIndexRetrievalPipeline(FusedRetrievalPipeline):
 
         @jax.jit
         def _retrieve(params, ids, seg, pos, cr, cc, feats, img_inputs,
-                      img_params, matrices, n_valid):
+                      img_params, matrices, kb_rows, n_valid):
             q_text = packed_apply(
                 params, ids.astype(jnp.int32), seg.astype(jnp.int32),
                 pos.astype(jnp.int32), cr.astype(jnp.int32),
@@ -430,7 +442,8 @@ class MultiIndexRetrievalPipeline(FusedRetrievalPipeline):
                     ok = jnp.all(jnp.isfinite(q), axis=1, keepdims=True)
                     q = jnp.where(ok, q, 0.0)
                 s, i = _device_search(
-                    idx_objs[name], q, matrices[name], k_clamped)
+                    idx_objs[name], q, matrices[name], k_clamped,
+                    n_valid=kb_rows[name])
                 if ok is not None:
                     # queries WITHOUT an image are absent from this run
                     # (search_batch_if_not_None): empty rows are min-imputed
@@ -456,7 +469,6 @@ class MultiIndexRetrievalPipeline(FusedRetrievalPipeline):
         from viquae_tpu.image.embedding import decode_image_batch
 
         emb = self.embed_fn
-        matrices = {n: ix.matrix for n, ix in self.indexes.items()}
         img_params = {n: e.params for n, e in self.image_encoders.items()}
         # compact transfer of modal features is only LOSSLESS when that
         # index scores in bf16 anyway (the cast happens on device either
@@ -498,9 +510,16 @@ class MultiIndexRetrievalPipeline(FusedRetrievalPipeline):
                         enc.raw_size, self.batch_size,
                     )
                     img_inputs[n] = (jnp.asarray(canvas), jnp.asarray(ok))
+                # row counts read BEFORE matrices: add() binds the new
+                # matrix first, so this order can at worst pair an old
+                # count with a new matrix (new rows lag one batch) — the
+                # reverse pairing would score alignment padding as valid
+                kb_rows = {n: jnp.asarray(ix.n, jnp.int32)
+                           for n, ix in self.indexes.items()}
+                matrices = {n: ix.matrix for n, ix in self.indexes.items()}
                 scores16, idx = self._retrieve_multi(
                     emb.params, *self._upload(emb.pack(list(chunk))),
-                    feats, img_inputs, img_params, matrices,
+                    feats, img_inputs, img_params, matrices, kb_rows,
                     jnp.int32(len(chunk)),
                 )
             yield start, len(chunk), scores16, idx
@@ -653,13 +672,13 @@ class HybridRetrievalPipeline(FusedRetrievalPipeline):
         int_max = np.iinfo(np.int32).max
 
         @jax.jit
-        def _retrieve_dense(params, ids, seg, pos, cr, cc, matrix):
+        def _retrieve_dense(params, ids, seg, pos, cr, cc, matrix, n_rows):
             q = packed_apply(
                 params, ids.astype(jnp.int32), seg.astype(jnp.int32),
                 pos.astype(jnp.int32), cr.astype(jnp.int32),
                 cc.astype(jnp.int32),
             )
-            return _device_search(index, q, matrix, k_final)
+            return _device_search(index, q, matrix, k_final, n_valid=n_rows)
 
         @jax.jit
         def _fuse(d_scores, d_idx, b_scores, b_idx, n_valid):
@@ -700,9 +719,10 @@ class HybridRetrievalPipeline(FusedRetrievalPipeline):
         emb = self.embed_fn
         for start, chunk in self._batches(queries):
             with self.timer.stage("tokenize+pack+dense_dispatch"):
+                n_rows = jnp.asarray(self.index.n, jnp.int32)  # n before matrix
                 d_scores, d_idx = self._retrieve_dense_fn(
                     emb.params, *self._upload(emb.pack(list(chunk))),
-                    self.index.matrix,
+                    self.index.matrix, n_rows,
                 )
             # the dense program is now in flight; BM25 scoring (C++ on
             # host) overlaps device compute
