@@ -58,19 +58,27 @@ def collective_sizes(hlo_text: str):
     return out
 
 
-@pytest.mark.parametrize("mode", ["fast", "global", "approx"])
+@pytest.mark.parametrize("mode", ["fast", "global", "approx", "fused"])
 def test_sharded_search_collectives_are_candidate_sized(devices, mode):
     """topk_sharded's inter-device traffic must be the (n_dev, Q, k)
-    candidate merge — never per-shard score rows or KB rows."""
+    candidate merge — never per-shard score rows or KB rows. 'fused' is
+    the Pallas engine (interpreted on CPU; its column-sharded (d, N)
+    layout rides the same merge)."""
     ctx = meshlib.make_kb_mesh()
     n_dev = ctx.kb_size
     Q, d, k = 16, 32, 10
     rows_per_shard = 512
     N = n_dev * rows_per_shard
     with meshlib.use(ctx):
-        kb = jax.device_put(
-            jnp.asarray(np.zeros((N, d), np.float32)), ctx.kb_sharded)
-        q = jnp.zeros((Q, d), jnp.float32)
+        if mode == "fused":
+            kb = jax.device_put(
+                jnp.zeros((d, N), jnp.bfloat16),
+                ctx.sharding(None, meshlib.KB_AXIS))
+            q = jnp.zeros((Q, d), jnp.bfloat16)
+        else:
+            kb = jax.device_put(
+                jnp.asarray(np.zeros((N, d), np.float32)), ctx.kb_sharded)
+            q = jnp.zeros((Q, d), jnp.float32)
 
         def search(q, kb):
             return mips.topk_sharded(
