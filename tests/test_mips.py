@@ -555,3 +555,36 @@ def test_dense_index_reconstruct(devices):
         idxf = mips.DenseIndex(base, mesh_ctx=ctx, mode="fused")
         gotf = idxf.reconstruct_batch([5, 50])
         np.testing.assert_allclose(gotf, base[[5, 50]], rtol=1e-2, atol=1e-2)
+
+
+def test_dense_index_differential_fuzz(devices):
+    """Randomized differential sweep: every exact-selection DenseIndex mode
+    must match np.argsort over random (N, d, k, Q, l2norm) configs incl.
+    awkward shapes (N not 8/128-aligned, N < one segment, k near N, Q=1).
+    Complements the targeted edge tests above with breadth."""
+    rng = np.random.default_rng(42)
+    ctx = meshlib.make_kb_mesh(kb=1)
+    for trial in range(8):
+        n = int(rng.choice([37, 129, 800, 1000, 2049]))
+        d = int(rng.choice([8, 32, 48]))
+        q_count = int(rng.choice([1, 5, 17]))
+        k = int(rng.choice([1, 3, min(64, n), min(n, 200)]))
+        do_norm = bool(rng.integers(0, 2))
+        kb = rng.standard_normal((n, d)).astype(np.float32)
+        queries = rng.standard_normal((q_count, d)).astype(np.float32)
+        kb_ref = kb if not do_norm else (
+            kb / np.maximum(np.linalg.norm(kb, axis=1, keepdims=True), 1e-12))
+        q_ref = queries if not do_norm else (
+            queries / np.maximum(
+                np.linalg.norm(queries, axis=1, keepdims=True), 1e-12))
+        ref_s, ref_i = mips.exact_topk_numpy(q_ref, kb_ref, min(k, n))
+        with meshlib.use(ctx):
+            for mode in ("fast", "global"):
+                index = mips.DenseIndex(kb, do_l2norm=do_norm, mesh_ctx=ctx,
+                                        mode=mode, chunk_size=256)
+                s, i = index.search_batch(queries, k=k)
+                np.testing.assert_array_equal(
+                    i, ref_i, err_msg=f"{trial=} {mode=} {n=} {k=}")
+                np.testing.assert_allclose(
+                    s, ref_s, rtol=2e-5, atol=2e-5,
+                    err_msg=f"{trial=} {mode=} {n=} {k=}")
