@@ -705,7 +705,8 @@ def main():
                                     f"{packing.packing_efficiency(rp):.3f}",
             "bm25_qps": round(bm25_qps, 1),
             "bm25_config": f"{n_kb} Zipf passages, 400k vocab, C++ "
-                           "MaxScore, b=0.3 k1=0.5, k=100, 1 host core",
+                           "MaxScore, b=0.3 k1=0.5, k=100, "
+                           f"{os.cpu_count()} host core(s)",
             "hybrid_qps": round(hybrid_qps, 1),
             "hybrid_config": "dense pallas-exact (device, overlapped) + "
                              "bm25 (host) + device gzmuv fusion [.7,.3]",
