@@ -308,6 +308,13 @@ def main():
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    # BENCH_PLATFORM=cpu: run the whole bench program flow on the virtual
+    # CPU backend — a functional smoke of every stage (numbers meaningless)
+    # for when the TPU tunnel is down; pairs with BENCH_SMALL=1
+    plat = os.environ.get("BENCH_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+
     # backend-init deadline: a tunnel outage makes jax.devices() itself hang
     # (observed 25 min before UNAVAILABLE on 2026-08-17) inside native PJRT
     # code where no python exception can interrupt — fail FAST so the
