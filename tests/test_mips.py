@@ -588,3 +588,26 @@ def test_dense_index_differential_fuzz(devices):
                 np.testing.assert_allclose(
                     s, ref_s, rtol=2e-5, atol=2e-5,
                     err_msg=f"{trial=} {mode=} {n=} {k=}")
+
+
+def test_dense_index_add_sharded_fused(devices):
+    """add() on a kb-sharded FUSED index: the (d, N) column-sharded matrix
+    extends along axis 1 and re-shards; parity vs a fresh build."""
+    rng = np.random.default_rng(8)
+    d = 32
+    base = rng.standard_normal((3000, d)).astype(np.float32)
+    extra = rng.standard_normal((1500, d)).astype(np.float32)
+    queries = rng.standard_normal((8, d)).astype(np.float32)
+
+    ctx = meshlib.make_kb_mesh()
+    with meshlib.use(ctx):
+        idx = mips.DenseIndex(base, mesh_ctx=ctx, mode="fused")
+        idx.add(extra)
+        s_inc, i_inc = idx.search_batch(queries, k=20)
+        fresh = mips.DenseIndex(np.concatenate([base, extra]),
+                                mesh_ctx=ctx, mode="fused")
+        s_ref, i_ref = fresh.search_batch(queries, k=20)
+    # bf16 scores: tolerate tied-id swaps (compare scores + id sets)
+    np.testing.assert_allclose(s_inc, s_ref, rtol=1e-2, atol=1e-2)
+    for r in range(len(queries)):
+        assert set(i_inc[r]) == set(i_ref[r]), r
