@@ -611,3 +611,45 @@ def test_dense_index_add_sharded_fused(devices):
     np.testing.assert_allclose(s_inc, s_ref, rtol=1e-2, atol=1e-2)
     for r in range(len(queries)):
         assert set(i_inc[r]) == set(i_ref[r]), r
+
+
+def test_streaming_index_matches_exact(devices):
+    """StreamingDenseIndex (host-resident KB, double-buffered chunk
+    uploads) matches np.argsort across chunk boundaries, tail chunks,
+    k > chunk_rows, l2norm, and k > n."""
+    rng = np.random.default_rng(9)
+    d = 32
+    kb = rng.standard_normal((1337, d)).astype(np.float32)
+    queries = rng.standard_normal((7, d)).astype(np.float32)
+
+    # f32: exact FAISS-contract parity
+    idx = mips.StreamingDenseIndex(kb, chunk_rows=256, dtype=jnp.float32)
+    s, i = idx.search_batch(queries, k=20)
+    ref_s, ref_i = mips.exact_topk_numpy(queries, kb, 20)
+    np.testing.assert_array_equal(i, ref_i)
+    np.testing.assert_allclose(s, ref_s, rtol=2e-5, atol=2e-5)
+
+    # k larger than one chunk
+    s, i = idx.search_batch(queries, k=300)
+    ref_s, ref_i = mips.exact_topk_numpy(queries, kb, 300)
+    np.testing.assert_array_equal(i, ref_i)
+
+    # k > n pads with the sentinel convention
+    small = mips.StreamingDenseIndex(kb[:50], chunk_rows=256,
+                                     dtype=jnp.float32)
+    s, i = small.search_batch(queries, k=60)
+    assert i.shape == (7, 60)
+    assert np.all(i[:, 50:] == np.iinfo(np.int32).max)
+    assert np.all(np.isneginf(s[:, 50:]))
+
+    # l2norm semantics match DenseIndex
+    stream_n = mips.StreamingDenseIndex(kb, chunk_rows=512, do_l2norm=True,
+                                        dtype=jnp.float32)
+    ctx = meshlib.make_kb_mesh(kb=1)
+    with meshlib.use(ctx):
+        dense_n = mips.DenseIndex(kb, do_l2norm=True, mesh_ctx=ctx,
+                                  mode="global")
+        s_d, i_d = dense_n.search_batch(queries, k=15)
+    s_s, i_s = stream_n.search_batch(queries, k=15)
+    np.testing.assert_array_equal(i_s, i_d)
+    np.testing.assert_allclose(s_s, s_d, rtol=2e-5, atol=2e-5)

@@ -616,3 +616,121 @@ class DenseIndex:
         idx = cls(data["vectors"], do_l2norm=False, **kwargs)
         idx.do_l2norm = bool(data["do_l2norm"])
         return idx
+
+
+class StreamingDenseIndex:
+    """Host-resident flat MIPS index streamed through the chip — for KBs
+    BEYOND HBM.
+
+    One v5e holds ~3M bf16 768-d rows device-resident next to the serving
+    score buffer (docs/SCALING.md); past that the device matrix can't
+    exist. This index keeps the vectors in host RAM and searches by
+    streaming fixed-size row chunks: upload chunk c+1 (async device_put)
+    BEFORE dispatching chunk c's score+select step, so on hardware with a
+    real DMA path the upload of the next chunk overlaps the current
+    matmul. Per-chunk top-k merges ride a jitted running-carry step with
+    ONE compiled shape (the tail chunk zero-pads + masks).
+
+    Same `search_batch` contract and FAISS tie order as DenseIndex.
+    Role parity: FAISS serves RAM-resident indexes on CPU the same way
+    (the reference's `datasets.add_faiss_index` KB lives in host RAM —
+    /root/reference/meerqat/ir/search.py:207-249).
+
+    NOTE on the attached rig: the tunneled link moves ~13 MB/s, so
+    streaming 1.5M x 768 bf16 (2.3 GB) costs minutes per batch — this
+    class is for deployment topologies (PCIe/DCN hosts), correctness-
+    tested here on the virtual mesh.
+    """
+
+    def __init__(self, vectors: np.ndarray, chunk_rows: int = 262144,
+                 do_l2norm: bool = False, dtype=jnp.bfloat16):
+        vectors = np.asarray(vectors, np.float32)
+        self.n, self.d = vectors.shape
+        self.do_l2norm = do_l2norm
+        self.dtype = dtype
+        self.chunk_rows = int(chunk_rows)
+        if do_l2norm:
+            vectors = vectors / np.maximum(
+                np.linalg.norm(vectors, axis=1, keepdims=True), 1e-12)
+        # pre-chunked host arrays in the COMPUTE dtype (halves link bytes
+        # for bf16) — the tail chunk zero-pads to the common shape
+        self._chunks = []
+        np_dtype = np.dtype(jnp.dtype(dtype).name) if dtype != jnp.bfloat16 \
+            else None
+        for start in range(0, self.n, self.chunk_rows):
+            chunk = vectors[start: start + self.chunk_rows]
+            if len(chunk) < self.chunk_rows:
+                chunk = np.concatenate([
+                    chunk, np.zeros((self.chunk_rows - len(chunk), self.d),
+                                    np.float32)])
+            if np_dtype is not None:
+                chunk = chunk.astype(np_dtype)
+            else:
+                import ml_dtypes
+
+                chunk = chunk.astype(ml_dtypes.bfloat16)
+            self._chunks.append(np.ascontiguousarray(chunk))
+
+    def _build_step(self, k: int):
+        import functools
+
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def step(q, chunk, carry_s, carry_i, base, valid, k):
+            precision = (jax.lax.Precision.HIGHEST
+                         if chunk.dtype == jnp.float32
+                         else jax.lax.Precision.DEFAULT)
+            scores = jnp.dot(q, chunk.T, precision=precision,
+                             preferred_element_type=jnp.float32)
+            if chunk.dtype != jnp.float32:
+                scores = scores.astype(jnp.bfloat16)
+            col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+            scores = jnp.where(col < valid, scores,
+                               jnp.asarray(NEG_INF, scores.dtype))
+            kk = min(k, self.chunk_rows)
+            s, i = _select_topk(scores.astype(jnp.float32), kk, "fast")
+            i = jnp.where(s <= NEG_INF, INT32_MAX, i + base)
+            if kk < k:
+                pad_s = jnp.full((s.shape[0], k - kk), NEG_INF, s.dtype)
+                pad_i = jnp.full((s.shape[0], k - kk), INT32_MAX, jnp.int32)
+                s = jnp.concatenate([s, pad_s], axis=1)
+                i = jnp.concatenate([i, pad_i], axis=1)
+            return _merge_topk(carry_s, carry_i, s, i, k)
+
+        return step
+
+    def search_batch(self, queries, k: int = 100, sync: bool = True
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+        if isinstance(queries, jax.Array):
+            q = queries.astype(jnp.float32)
+        else:
+            q = jnp.asarray(np.asarray(queries), jnp.float32)
+        if self.do_l2norm:
+            q = l2_normalize(q)
+        q = q.astype(self.dtype)
+        k_eff = min(k, self.n)
+        step = self._build_step(k_eff)
+        q_count = q.shape[0]
+        carry_s = jnp.full((q_count, k_eff), NEG_INF, jnp.float32)
+        carry_i = jnp.full((q_count, k_eff), INT32_MAX, jnp.int32)
+        # double-buffered streaming: the NEXT chunk's device_put is issued
+        # before the CURRENT chunk's compute dispatch
+        dev = jax.device_put(self._chunks[0])
+        for ci in range(len(self._chunks)):
+            nxt = (jax.device_put(self._chunks[ci + 1])
+                   if ci + 1 < len(self._chunks) else None)
+            base = jnp.int32(ci * self.chunk_rows)
+            valid = jnp.int32(
+                min(self.chunk_rows, self.n - ci * self.chunk_rows))
+            carry_s, carry_i = step(q, dev, carry_s, carry_i, base, valid,
+                                    k=k_eff)
+            dev = nxt
+        if k_eff < k:
+            carry_s = jnp.concatenate([
+                carry_s, jnp.full((q_count, k - k_eff), NEG_INF,
+                                  carry_s.dtype)], axis=1)
+            carry_i = jnp.concatenate([
+                carry_i, jnp.full((q_count, k - k_eff), INT32_MAX,
+                                  jnp.int32)], axis=1)
+        if not sync:
+            return carry_s, carry_i
+        return np.asarray(carry_s), np.asarray(carry_i)
