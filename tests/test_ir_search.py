@@ -407,3 +407,26 @@ def test_searcher_stringifies_integer_ids(tmp_path):
     assert set(searcher.runs["dense"]) <= {"0", "1"}
     # the file judgment for q "0" survived (not clobbered by an int key)
     assert searcher.qrels["0"].get("9") == 1
+
+
+def test_streaming_index_through_kb_seam(setup, tmp_path):
+    """`streaming: true` in index_kwargs routes the dense column to
+    StreamingDenseIndex (host-RAM KB streamed through the chip) with
+    identical search results to the device-resident index."""
+    import jax.numpy as jnp
+
+    kb, batch = setup
+    common = dict(
+        kb_path=kb,
+        index_kwargs={
+            "dense": dict(column="embedding", key="dense_query",
+                          streaming=True, chunk_rows=16,
+                          dtype=jnp.float32),
+        },
+    )
+    report, runs, _ = ir_search.dataset_search(
+        dict(batch), k=5, metric_save_path=tmp_path / "out_stream",
+        kb_kwargs={"kb0": common}, reference_kb_path=kb, do_fusion=False,
+    )
+    assert report.scores["dense"]["precision@1"] == 1.0
+    assert report.scores["dense"]["mrr@100"] == 1.0

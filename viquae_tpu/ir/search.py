@@ -136,7 +136,15 @@ class KnowledgeBase:
                 do_l2norm = "L2norm" in string_factory or explicit_l2
                 load_path = index_kwargs.pop("load_path", None)
                 save_path = index_kwargs.pop("save_path", None)
-                if load_path and (
+                # streaming: true -> host-RAM KB streamed through the chip
+                # (KBs beyond HBM; ops.mips.StreamingDenseIndex)
+                streaming = index_kwargs.pop("streaming", False)
+                if streaming:
+                    vectors = np.asarray(self.dataset[column], dtype=np.float32)
+                    index_kwargs.pop("mode", None)  # single streamed engine
+                    backend = mips.StreamingDenseIndex(
+                        vectors, do_l2norm=do_l2norm, **index_kwargs)
+                elif load_path and (
                     Path(str(load_path)).suffix == ".npz"
                     and Path(str(load_path)).exists()
                     or Path(str(load_path) + ".npz").exists()
