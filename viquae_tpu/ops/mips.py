@@ -648,6 +648,9 @@ class StreamingDenseIndex:
         self.n, self.d = vectors.shape
         self.do_l2norm = do_l2norm
         self.dtype = dtype
+        self.mode = "streaming"  # chunked engine: FusedRetrievalPipeline's
+        # single-pass check rejects it with a real message, not an
+        # AttributeError; the base RetrievalPipeline serves it fine
         self.chunk_rows = int(chunk_rows)
         if do_l2norm:
             vectors = vectors / np.maximum(
