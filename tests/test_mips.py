@@ -653,3 +653,21 @@ def test_streaming_index_matches_exact(devices):
     s_s, i_s = stream_n.search_batch(queries, k=15)
     np.testing.assert_array_equal(i_s, i_d)
     np.testing.assert_allclose(s_s, s_d, rtol=2e-5, atol=2e-5)
+
+
+def test_streaming_index_add(devices):
+    """StreamingDenseIndex.add(): in-padding and new-chunk appends match a
+    fresh build (f32 exact contract)."""
+    rng = np.random.default_rng(10)
+    d = 16
+    base = rng.standard_normal((300, d)).astype(np.float32)
+    extra = rng.standard_normal((270, d)).astype(np.float32)
+    queries = rng.standard_normal((5, d)).astype(np.float32)
+    idx = mips.StreamingDenseIndex(base, chunk_rows=256, dtype=jnp.float32)
+    idx.add(extra)  # fills chunk 1's padding and spills into chunk 2
+    assert idx.n == 570 and len(idx._chunks) == 3
+    s, i = idx.search_batch(queries, k=30)
+    ref_s, ref_i = mips.exact_topk_numpy(
+        queries, np.concatenate([base, extra]), 30)
+    np.testing.assert_array_equal(i, ref_i)
+    np.testing.assert_allclose(s, ref_s, rtol=2e-5, atol=2e-5)

@@ -674,6 +674,36 @@ class StreamingDenseIndex:
                 chunk = chunk.astype(ml_dtypes.bfloat16)
             self._chunks.append(np.ascontiguousarray(chunk))
 
+    def add(self, vectors) -> None:
+        """Append rows (host-side; FAISS IndexFlat.add contract, same id
+        semantics as DenseIndex.add). The tail chunk's padding absorbs
+        rows in place; overflow starts new chunks."""
+        vectors = np.asarray(vectors, np.float32)
+        if vectors.ndim != 2 or vectors.shape[1] != self.d:
+            raise ValueError(
+                f"expected (m, {self.d}) vectors, got {vectors.shape}")
+        if len(vectors) == 0:
+            return
+        if self.do_l2norm:
+            vectors = vectors / np.maximum(
+                np.linalg.norm(vectors, axis=1, keepdims=True), 1e-12)
+        np_dtype = (np.dtype(jnp.dtype(self.dtype).name)
+                    if self.dtype != jnp.bfloat16 else None)
+        if np_dtype is None:
+            import ml_dtypes
+
+            vectors = vectors.astype(ml_dtypes.bfloat16)
+        else:
+            vectors = vectors.astype(np_dtype)
+        pos = self.n
+        for row in range(0, len(vectors)):
+            ci, off = divmod(pos + row, self.chunk_rows)
+            if ci == len(self._chunks):
+                self._chunks.append(np.zeros(
+                    (self.chunk_rows, self.d), vectors.dtype))
+            self._chunks[ci][off] = vectors[row]
+        self.n = pos + len(vectors)
+
     def _build_step(self, k: int):
         import functools
 
