@@ -438,7 +438,14 @@ def test_gazetteer_placeholder_integration():
     item = {"input": "Who wrote the opera Carmen?"}
     kilt2vqa.item2placeholder(item, ner_fn=gaz)
     assert item["placeholder"][0]["input"] == "Who wrote {mention}?"
-    assert item["placeholder"][0]["entity"]["text"] == "the opera Carmen"
+    # the placeholder cuts the expanded span, but the stored entity is the
+    # core MENTION (reference: entity = e.as_doc()) — NED computes WER
+    # against it, and "the opera Carmen" vs the title "Carmen" would be
+    # WER 2/3 > the 0.5 filter
+    assert item["placeholder"][0]["entity"]["text"] == "Carmen"
+    start = item["placeholder"][0]["entity"]["start"]
+    end = item["placeholder"][0]["entity"]["end"]
+    assert item["input"][start:end] == "Carmen"
 
 
 def test_gazetteer_sentence_initial_determiner():

@@ -16,8 +16,11 @@ kwargs-tree configs:
   fuse       <- meerqat.ir.fuse (fit/test)
   hp         <- meerqat.ir.hp (bm25 grid search)
   train      <- meerqat.train.trainer (fit/test via config)
-  html       <- meerqat.viz.html
   stats      <- meerqat.viz.stats
+
+plus the data-construction / viz / export / interactive surfaces registered
+from `viquae_tpu.cli_aux` (kilt2vqa, wikidump, wit, labelstudio, mscelebs,
+evqa, infoseek, html, plot, wtl-filter, save-ptm, interact).
 """
 from __future__ import annotations
 
@@ -621,6 +624,10 @@ def main(argv=None):
     p.add_argument("subcommand", choices=["fit", "test"])
     _add_config_positional(p)
     p.set_defaults(fn=cmd_train)
+
+    from viquae_tpu.cli_aux import register_aux
+
+    register_aux(sub, _add_config_arg, _add_config_positional)
 
     args = parser.parse_args(argv)
     if getattr(args, "config_opt", None) is not None:

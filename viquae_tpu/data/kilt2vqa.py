@@ -196,13 +196,22 @@ class GazetteerNER:
                 ):
                     end += 1
                     break
+            # the full span (incl. determiner phrase/quotes) is what the
+            # placeholder replaces; the entity itself is the core mention —
+            # the reference keeps them separate too (placeholder spans
+            # left_edge..right_edge, entity = e.as_doc(),
+            # meerqat/data/kilt2vqa.py:205-223) and NED matches titles
+            # against the MENTION, not the syntactic children
+            m_start, m_end = tokens[first][1], tokens[last][2]
             spans.append((text[start:end], start, end,
-                          self.entries[tuple(lower[first: last + 1])]))
+                          self.entries[tuple(lower[first: last + 1])],
+                          text[m_start:m_end], m_start, m_end))
             i = last + 1
         if self.backoff:
             for cand in capitalized_span_ner(text):
-                if not any(s <= cand[1] < e or s < cand[2] <= e
-                           for _, s, e, _ in spans):
+                if not any(span[1] <= cand[1] < span[2]
+                           or span[1] < cand[2] <= span[2]
+                           for span in spans):
                     spans.append(cand)
         return sorted(spans, key=lambda s: s[1])
 
@@ -211,29 +220,43 @@ def keep_biggest_spans(spans):
     """Drop spans strictly contained in another (parity with the
     overlapping-mention filter, meerqat/data/kilt2vqa.py:210-222)."""
     out = []
-    for text, start, end, label in spans:
+    for span in spans:
+        start, end = span[1], span[2]
         included = False
-        for _, os_, oe, _ in spans:
+        for other in spans:
+            os_, oe = other[1], other[2]
             if (start >= os_ and end < oe) or (start > os_ and end <= oe):
                 included = True
                 break
         if not included:
-            out.append((text, start, end, label))
+            out.append(span)
     return out
 
 
 def item2placeholder(item: dict,
                      ner_fn: Callable = capitalized_span_ner) -> dict:
     """Replace an explicit entity mention by '{mention}'
-    ('Who wrote the opera Carmen?' -> 'Who wrote {mention}?')."""
+    ('Who wrote the opera Carmen?' -> 'Who wrote {mention}?').
+
+    ner_fn spans are (span_text, start, end, label) with an optional
+    (mention_text, m_start, m_end) tail when the replaced span is wider
+    than the entity mention (determiner-phrase expansion). The placeholder
+    cuts the FULL span; the stored entity is the MENTION — the reference's
+    split exactly (placeholder spans left_edge..right_edge, entity =
+    e.as_doc(); NED then computes WER against the mention,
+    meerqat/data/kilt2vqa.py:205-223,299-327)."""
     item["placeholder"] = []
     question = item["input"]
-    for text, start, end, label in keep_biggest_spans(ner_fn(question)):
+    for span in keep_biggest_spans(ner_fn(question)):
+        text, start, end, label = span[:4]
+        mention, m_start, m_end = (
+            span[4:7] if len(span) > 4 else (text, start, end)
+        )
         placeholder = question[:start] + "{mention}" + question[end:]
         item["placeholder"].append({
             "input": placeholder,
-            "entity": {"text": text, "label": label,
-                       "start": start, "end": end},
+            "entity": {"text": mention, "label": label,
+                       "start": m_start, "end": m_end},
             "dependency": "",
         })
     return item

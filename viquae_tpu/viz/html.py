@@ -33,6 +33,9 @@ def get_top_1(item, run: Run) -> Optional[int]:
 def _passage_cell(i, passages, wiki):
     if i is None:
         return ""
+    if passages is None and wiki is None:
+        # no text corpora to resolve against: show the raw top-1 id
+        return html_lib.escape(str(i))
     if passages is not None:
         passage = passages[int(i)]
         text = passage["passage"]
