@@ -178,6 +178,28 @@ def test_cli_wit(tmp_path, capsys):
     assert sum(sizes.values()) == 30
 
 
+def test_cli_face_box(tmp_path, capsys, monkeypatch):
+    from datasets import Dataset, load_from_disk
+    from PIL import Image
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    Image.new("RGB", (200, 100)).save(img_dir / "im0.jpg")
+    Dataset.from_list([{
+        "image": "im0.jpg",
+        "face_box": [[20.0, 10.0, 120.0, 60.0]],
+        "face_landmarks": [[[40.0, 20.0], [80.0, 20.0], [60.0, 30.0],
+                            [50.0, 45.0], [70.0, 45.0]]],
+    }]).save_to_disk(str(tmp_path / "ds"))
+    monkeypatch.setenv("VIQUAE_IMAGES_PATH", str(img_dir))
+    cli_main(["face-box", str(tmp_path / "ds")])
+    assert json.loads(capsys.readouterr().out)["items"] == 1
+    out = load_from_disk(str(tmp_path / "ds"))
+    box = out[0]["scaled_face_box"][0]
+    # x1,y1,x2,y2,w,h,wh scaled by (200,100)
+    assert box == pytest.approx([0.1, 0.1, 0.6, 0.6, 0.5, 0.5, 0.25])
+
+
 # ---------------------------------------------------------------------------
 # labelstudio / mscelebs
 # ---------------------------------------------------------------------------

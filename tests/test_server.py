@@ -1,0 +1,307 @@
+"""Dynamic micro-batching + HTTP serving runtime (viquae_tpu/ir/server.py)."""
+import json
+import threading
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+from viquae_tpu.ir.server import (
+    BatchedAnswerService,
+    BatchedRetrievalService,
+    DynamicBatcher,
+    make_http_server,
+)
+
+
+# ---------------------------------------------------------------------------
+# DynamicBatcher unit behavior
+# ---------------------------------------------------------------------------
+def test_batcher_batches_concurrent_requests():
+    calls = []
+
+    def process(items):
+        calls.append(list(items))
+        time.sleep(0.02)  # dispatch latency lets the queue fill
+        return [x * 10 for x in items]
+
+    b = DynamicBatcher(process, max_batch=8, max_wait_ms=50.0)
+    futures = [b.submit(i) for i in range(16)]
+    results = [f.result(timeout=5) for f in futures]
+    b.close()
+    assert results == [i * 10 for i in range(16)]  # per-item order kept
+    assert sum(len(c) for c in calls) == 16
+    assert len(calls) < 16          # batching actually happened
+    assert all(len(c) <= 8 for c in calls)
+
+
+def test_batcher_max_wait_dispatches_partial_batch():
+    b = DynamicBatcher(lambda items: items, max_batch=1000, max_wait_ms=30.0)
+    start = time.monotonic()
+    assert b.submit("x").result(timeout=5) == "x"
+    elapsed = time.monotonic() - start
+    b.close()
+    assert elapsed < 2.0  # did not wait for 1000 items
+
+
+def test_batcher_propagates_process_errors():
+    def process(items):
+        raise ValueError("boom")
+
+    b = DynamicBatcher(process, max_batch=4, max_wait_ms=5.0)
+    futures = [b.submit(i) for i in range(3)]
+    for f in futures:
+        with pytest.raises(ValueError, match="boom"):
+            f.result(timeout=5)
+    # the dispatcher survives a failing batch
+    b2 = b.submit.__self__  # noqa: B018 — same object, readability
+    assert b2 is b
+    b.process = lambda items: items
+    assert b.submit(7).result(timeout=5) == 7
+    b.close()
+
+
+def test_batcher_close_drains_pending():
+    done = []
+
+    def process(items):
+        time.sleep(0.01)
+        done.extend(items)
+        return items
+
+    b = DynamicBatcher(process, max_batch=4, max_wait_ms=1.0)
+    futures = [b.submit(i) for i in range(10)]
+    b.close()
+    assert [f.result(timeout=1) for f in futures] == list(range(10))
+    assert sorted(done) == list(range(10))
+    with pytest.raises(RuntimeError):
+        b.submit(99)
+
+
+def test_batcher_result_count_mismatch_is_an_error():
+    b = DynamicBatcher(lambda items: items[:-1] if len(items) > 1 else items,
+                       max_batch=4, max_wait_ms=20.0)
+    futures = [b.submit(i) for i in range(4)]
+    time.sleep(0.05)
+    errors = [f for f in futures if f.exception(timeout=5) is not None]
+    ok = [f for f in futures if f.exception(timeout=5) is None]
+    b.close()
+    # either all 4 landed in one failing batch, or stragglers succeeded
+    # alone — but a short result list must never silently drop requests
+    assert errors, "mismatched process() output must fail the batch"
+    for f in errors:
+        assert "results for" in str(f.exception())
+    for f in ok:
+        f.result(timeout=1)
+
+
+# ---------------------------------------------------------------------------
+# services over real pipelines (tiny models, CPU mesh)
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def retrieval_pipeline(tmp_path_factory):
+    from transformers import BertTokenizerFast
+
+    from viquae_tpu.ir.embedding import PackedTextEmbedder
+    from viquae_tpu.ir.serving import FusedRetrievalPipeline
+    from viquae_tpu.models import bert, dpr
+    from viquae_tpu.ops import mips
+
+    import jax
+
+    tmp = tmp_path_factory.mktemp("srv")
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + [
+        f"w{i}" for i in range(30)
+    ]
+    (tmp / "vocab.txt").write_text("\n".join(vocab))
+    tokenizer = BertTokenizerFast(vocab_file=str(tmp / "vocab.txt"))
+
+    cfg = dpr.DPRConfig(bert=bert.BertConfig(
+        vocab_size=40, hidden_size=16, num_hidden_layers=1,
+        num_attention_heads=2, intermediate_size=32,
+        max_position_embeddings=32, add_pooler=False,
+    ))
+    params = dpr.init(jax.random.key(0), cfg)
+    embedder = PackedTextEmbedder(
+        dpr.make_packed_apply(cfg), params, tokenizer, row_len=16,
+        batch_size=8, fixed_rows=8,
+    )
+    rng = np.random.default_rng(0)
+    kb = rng.standard_normal((50, 16)).astype(np.float32)
+    index = mips.DenseIndex(kb, mode="global")
+    return FusedRetrievalPipeline(embedder, index, batch_size=8, k=5)
+
+
+def test_retrieval_service_matches_direct_pipeline(retrieval_pipeline):
+    queries = [f"w{i} w{i + 1} w{i + 2}" for i in range(7)]
+    direct_scores, direct_idx = retrieval_pipeline.run_arrays(list(queries))
+
+    service = BatchedRetrievalService(
+        retrieval_pipeline, max_batch=8, max_wait_ms=40.0)
+    results = [None] * len(queries)
+
+    def client(i):
+        results[i] = service.search(queries[i], timeout=60)
+
+    threads = [threading.Thread(target=client, args=(i,))
+               for i in range(len(queries))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    service.close()
+
+    for i, got in enumerate(results):
+        assert got["indices"] == direct_idx[i].tolist()
+        np.testing.assert_allclose(
+            got["scores"], direct_scores[i].astype(np.float64),
+            rtol=1e-5, atol=1e-5,
+        )
+    # 7 concurrent requests into max_batch=8 should not need 7 dispatches
+    assert service.batcher.n_dispatches < len(queries)
+
+
+def test_answer_service_pads_and_trims():
+    class StubAnswerPipeline:
+        def __init__(self):
+            self.calls = []
+
+        def run(self, questions):
+            self.calls.append(len(questions))
+            return [{"answer": q.upper()} for q in questions]
+
+    stub = StubAnswerPipeline()
+    service = BatchedAnswerService(stub, max_batch=4, max_wait_ms=20.0)
+    futures = [service.batcher.submit(q) for q in ("a", "b", "c")]
+    out = [f.result(timeout=5) for f in futures]
+    service.close()
+    assert out == [{"answer": "A"}, {"answer": "B"}, {"answer": "C"}]
+    assert all(n == 4 for n in stub.calls)  # every dispatch padded to shape
+
+
+# ---------------------------------------------------------------------------
+# HTTP front
+# ---------------------------------------------------------------------------
+def _post(url, payload):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_http_server_end_to_end(retrieval_pipeline):
+    service = BatchedRetrievalService(
+        retrieval_pipeline, max_batch=8, max_wait_ms=30.0)
+    server = make_http_server(retrieval=service)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    port = server.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+    try:
+        queries = [f"w{i} w{i + 1}" for i in range(6)]
+        direct_scores, direct_idx = retrieval_pipeline.run_arrays(
+            list(queries))
+        responses = [None] * len(queries)
+
+        def client(i):
+            responses[i] = _post(f"{base}/search", {"query": queries[i]})
+
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(len(queries))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for i, (status, body) in enumerate(responses):
+            assert status == 200
+            assert body["indices"] == direct_idx[i].tolist()
+
+        status, health = _post_health(base)
+        assert status == 200 and health["ok"]
+        assert health["search"]["items"] == len(queries)
+        assert health["search"]["dispatches"] < len(queries)
+
+        # error paths
+        assert _post(f"{base}/search", {"query": ""})[0] == 400
+        assert _post(f"{base}/search", {})[0] == 400
+        assert _post(f"{base}/answer", {"question": "x"})[0] == 404
+        assert _post(f"{base}/nope", {})[0] == 404
+    finally:
+        server.shutdown()
+        thread.join(timeout=5)
+        service.close()
+
+
+def _post_health(base):
+    with urllib.request.urlopen(f"{base}/health", timeout=10) as resp:
+        return resp.status, json.loads(resp.read())
+
+
+def test_cli_server_subprocess(tmp_path):
+    """`viquae_tpu server` end-to-end over a real socket in a fresh
+    process (the deployment shape)."""
+    import os
+    import subprocess
+    import sys
+
+    from datasets import Dataset
+    from transformers import BertTokenizerFast
+
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + [
+        f"w{i}" for i in range(30)
+    ]
+    tok_dir = tmp_path / "tok"
+    tok_dir.mkdir()
+    (tok_dir / "vocab.txt").write_text("\n".join(vocab))
+    BertTokenizerFast(
+        vocab_file=str(tok_dir / "vocab.txt"), do_lower_case=True
+    ).save_pretrained(tok_dir)
+    rng = np.random.default_rng(0)
+    Dataset.from_dict({
+        "embedding": rng.standard_normal((40, 16)).astype(
+            np.float32).tolist(),
+    }).save_to_disk(str(tmp_path / "kb"))
+    config = {
+        "model": {"class_name": "DPREncoder", "bert_config": {
+            "vocab_size": 40, "hidden_size": 16, "num_hidden_layers": 1,
+            "num_attention_heads": 2, "intermediate_size": 32,
+            "max_position_embeddings": 32, "add_pooler": False,
+        }},
+        "tokenizer": str(tok_dir),
+        "row_len": 16,
+        "index": {"dataset": str(tmp_path / "kb"), "column": "embedding",
+                  "mode": "global"},
+    }
+    (tmp_path / "server.json").write_text(json.dumps(config))
+
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    proc = subprocess.Popen(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms', 'cpu'); "
+         "from viquae_tpu.cli import main; main()",
+         "server", str(tmp_path / "server.json"),
+         "--port", "0", "--k", "3", "--max-batch", "4",
+         "--max-wait-ms", "20"],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, env=env,
+        text=True,
+    )
+    try:
+        line = proc.stdout.readline()
+        info = json.loads(line)
+        base = info["listening"]
+        status, body = _post(f"{base}/search", {"query": "w1 w2 w3"})
+        assert status == 200
+        assert len(body["indices"]) == 3
+        status, health = _post_health(base)
+        assert status == 200 and health["ok"]
+        assert health["search"]["items"] == 1
+    finally:
+        proc.terminate()
+        proc.wait(timeout=10)

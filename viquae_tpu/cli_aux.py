@@ -16,7 +16,10 @@ surfaces `viquae_tpu/cli.py` did not yet expose):
   plot       <- meerqat.viz.umap (projection scatter; matplotlib here)
   wtl-filter <- meerqat.viz.wtl_filter
   save-ptm   <- meerqat.train.save_ptm
+  face-box   <- meerqat.image.face_box
   interact   <- meerqat.interact.system (REPL over the serving pipelines)
+  server     -> beyond reference: HTTP serving with dynamic micro-batching
+                (ir/server.py)
 
 All commands follow cli.py's conventions: positional dataset paths,
 JSON/YAML kwargs-tree configs, imports deferred into each handler.
@@ -153,6 +156,13 @@ def cmd_kilt2vqa(args):
 # ---------------------------------------------------------------------------
 # wikidump / wit
 # ---------------------------------------------------------------------------
+def cmd_face_box(args):
+    from viquae_tpu.image.face_box import dataset_scale_face_boxes
+
+    out = dataset_scale_face_boxes(args.dataset, image_key=args.image_key)
+    print(json.dumps({"items": len(out)}))
+
+
 def cmd_wikidump(args):
     from viquae_tpu.data import wikidump
 
@@ -493,6 +503,77 @@ def cmd_interact(args):
         print(respond(question), flush=True)
 
 
+def cmd_server(args):
+    """HTTP serving over the dynamic micro-batcher: the `serve` config
+    schema gains live POST /search; adding a 'reader' block (the `answer`
+    schema) also enables POST /answer."""
+    from transformers import AutoTokenizer
+
+    from viquae_tpu import cli as _cli
+    from viquae_tpu.core.config import get_pretrained
+    from viquae_tpu.ir.embedding import PackedTextEmbedder
+    from viquae_tpu.ir.server import (
+        BatchedAnswerService,
+        BatchedRetrievalService,
+        make_http_server,
+    )
+    from viquae_tpu.ir.serving import FusedRetrievalPipeline
+    from viquae_tpu.models import dpr as dpr_lib
+
+    config = load_config(args.config)
+    model = get_pretrained(**config.pop("model"))
+    tokenizer = AutoTokenizer.from_pretrained(config.pop("tokenizer"))
+    embedder = PackedTextEmbedder(
+        dpr_lib.make_packed_apply(model.cfg), model.params, tokenizer,
+        row_len=config.pop("row_len", 64), batch_size=args.max_batch,
+        fixed_rows=config.pop("fixed_rows", None),
+    )
+    reader_cfg = config.pop("reader", None)
+    retrieval_pipeline = FusedRetrievalPipeline(
+        embedder,
+        _cli._build_dense_index(
+            config.pop("index"),
+            default_mode="fused" if reader_cfg else "global"),
+        batch_size=args.max_batch,
+        k=args.m_passages if reader_cfg else args.k,
+    )
+    retrieval = answerer = None
+    if reader_cfg is not None:
+        from datasets import load_from_disk
+
+        from viquae_tpu.ir.qa_serving import AnswerPipeline
+
+        reader = get_pretrained(**reader_cfg)
+        kb = load_from_disk(config.pop("passages"))
+        answerer = BatchedAnswerService(
+            AnswerPipeline(retrieval_pipeline, kb, reader.cfg,
+                           reader.params, tokenizer,
+                           m_passages=args.m_passages, **config),
+            max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+        )
+    else:
+        retrieval = BatchedRetrievalService(
+            retrieval_pipeline, max_batch=args.max_batch,
+            max_wait_ms=args.max_wait_ms,
+        )
+    server = make_http_server(host=args.host, port=args.port,
+                              retrieval=retrieval, answerer=answerer)
+    print(json.dumps({
+        "listening": f"http://{args.host}:{server.server_address[1]}",
+        "endpoints": (["/answer"] if answerer else ["/search"]) + ["/health"],
+        "max_batch": args.max_batch, "max_wait_ms": args.max_wait_ms,
+    }), flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.shutdown()
+        for service in (retrieval, answerer):
+            if service is not None:
+                service.close()
+
+
 # ---------------------------------------------------------------------------
 # registration
 # ---------------------------------------------------------------------------
@@ -515,6 +596,12 @@ def register_aux(sub, add_config_arg, add_config_positional):
     p.add_argument("--num-shards", type=int)
     p.add_argument("--shard-index", type=int)
     p.set_defaults(fn=cmd_kilt2vqa)
+
+    p = sub.add_parser(
+        "face-box", help="UNITER-style scaled face-box features")
+    p.add_argument("dataset")
+    p.add_argument("--image-key", default="image")
+    p.set_defaults(fn=cmd_face_box)
 
     p = sub.add_parser(
         "wikidump", help="Commons dump -> per-entity image metadata")
@@ -595,6 +682,18 @@ def register_aux(sub, add_config_arg, add_config_positional):
     p.add_argument("--ckpt", help="checkpoint dir (default: trainer.ckpt_dir)")
     p.add_argument("--step", type=int)
     p.set_defaults(fn=cmd_save_ptm)
+
+    p = sub.add_parser(
+        "server", help="HTTP serving (dynamic micro-batching) over a "
+                       "serve/answer config")
+    add_config_positional(p)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--k", type=int, default=100)
+    p.add_argument("--m-passages", type=int, default=24)
+    p.add_argument("--max-batch", type=int, default=64)
+    p.add_argument("--max-wait-ms", type=float, default=10.0)
+    p.set_defaults(fn=cmd_server)
 
     p = sub.add_parser(
         "interact", help="interactive retrieval/QA REPL over stdin")

@@ -1,0 +1,264 @@
+"""Online serving runtime: dynamic micro-batching + a JSON-over-HTTP front.
+
+The reference's only online surface is a stdin loop that embeds and searches
+ONE query at a time and never prints results or runs the reader
+(meerqat/interact/system.py:24-73). On TPU, per-query dispatch wastes the
+MXU — the chip's serving sweet spot is a large packed batch (bench.py:
+10k+ q/s at batch 1280 vs ~100 q/s at batch 1 over the tunneled link). The
+production-shaped answer is DYNAMIC BATCHING: concurrent requests queue,
+a dispatcher collects up to `max_batch` of them (or waits at most
+`max_wait_ms` after the first), pads the batch to ONE compiled shape, runs
+the single-dispatch pipeline, and resolves each request's future.
+
+Components:
+- :class:`DynamicBatcher` — generic request queue + dispatcher thread over
+  a `process(items) -> results` callable. Padding to a fixed batch is the
+  processor's job (shape stability is what keeps XLA from recompiling:
+  a fresh canvas shape costs MINUTES of compile on the tunneled chip).
+- :class:`BatchedRetrievalService` / :class:`BatchedAnswerService` —
+  adapters over `ir.serving.RetrievalPipeline.run_arrays` and
+  `ir.qa_serving.AnswerPipeline.run` with fixed-shape padding.
+- :func:`make_http_server` — stdlib ThreadingHTTPServer exposing
+  POST /search, POST /answer, GET /health. No web-framework dependency.
+"""
+from __future__ import annotations
+
+import json
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Callable, List, Optional, Sequence
+
+import numpy as np
+
+_SHUTDOWN = object()
+
+
+class DynamicBatcher:
+    """Queue requests; dispatch them through `process` in micro-batches.
+
+    process(items: list) -> list of per-item results (same order/length).
+    A batch is dispatched when `max_batch` items are pending, or
+    `max_wait_ms` after the FIRST pending item arrived — the classic
+    latency/throughput knob. Results (or the batch's exception) resolve
+    each item's Future.
+    """
+
+    def __init__(self, process: Callable[[List], List],
+                 max_batch: int = 64, max_wait_ms: float = 10.0,
+                 name: str = "batcher"):
+        if max_batch < 1:
+            raise ValueError(f"max_batch must be >= 1, got {max_batch}")
+        self.process = process
+        self.max_batch = max_batch
+        self.max_wait_s = max_wait_ms / 1e3
+        self.n_dispatches = 0
+        self.n_items = 0
+        self._queue: queue.Queue = queue.Queue()
+        self._thread = threading.Thread(
+            target=self._loop, daemon=True, name=f"viquae-{name}")
+        self._closed = False
+        self._thread.start()
+
+    def submit(self, item) -> Future:
+        if self._closed:
+            raise RuntimeError("batcher is closed")
+        future: Future = Future()
+        self._queue.put((item, future))
+        return future
+
+    def __call__(self, item, timeout: Optional[float] = None):
+        """Blocking convenience: submit + wait."""
+        return self.submit(item).result(timeout=timeout)
+
+    def close(self):
+        """Drain pending work, then stop the dispatcher thread."""
+        if not self._closed:
+            self._closed = True
+            self._queue.put(_SHUTDOWN)
+            self._thread.join()
+
+    def _collect(self) -> Optional[List]:
+        """Block for the first item, then batch up to max_batch or until
+        max_wait_ms passes."""
+        first = self._queue.get()
+        if first is _SHUTDOWN:
+            return None
+        batch = [first]
+        deadline = time.monotonic() + self.max_wait_s
+        while len(batch) < self.max_batch:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                item = self._queue.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if item is _SHUTDOWN:
+                # re-enqueue so the loop exits after this batch resolves
+                self._queue.put(_SHUTDOWN)
+                break
+            batch.append(item)
+        return batch
+
+    def _loop(self):
+        while True:
+            batch = self._collect()
+            if batch is None:
+                return
+            items = [item for item, _ in batch]
+            futures = [future for _, future in batch]
+            try:
+                results = self.process(items)
+                if len(results) != len(items):
+                    raise RuntimeError(
+                        f"process returned {len(results)} results for "
+                        f"{len(items)} items"
+                    )
+            except BaseException as e:  # noqa: BLE001 — deliver to callers
+                for future in futures:
+                    future.set_exception(e)
+                continue
+            self.n_dispatches += 1
+            self.n_items += len(items)
+            for future, result in zip(futures, results):
+                future.set_result(result)
+
+
+def _pad_queries(queries: Sequence[str], max_batch: int) -> List[str]:
+    """Pad to the pinned dispatch width with empty queries ([CLS][SEP]
+    rows) so every dispatch reuses ONE compiled program."""
+    return list(queries) + [""] * (max_batch - len(queries))
+
+
+class BatchedRetrievalService:
+    """DynamicBatcher over a retrieval pipeline: query str -> top-k hits.
+
+    Every dispatch is padded to `batcher.max_batch` queries; combined with
+    a `fixed_rows`-pinned PackedTextEmbedder this keeps the whole serving
+    path on one compiled shape.
+    """
+
+    def __init__(self, pipeline, max_batch: int = 64,
+                 max_wait_ms: float = 10.0):
+        self.pipeline = pipeline
+        self.max_batch = max_batch
+        self.batcher = DynamicBatcher(
+            self._process, max_batch=max_batch, max_wait_ms=max_wait_ms,
+            name="retrieval",
+        )
+
+    def _process(self, queries: List[str]) -> List[dict]:
+        n = len(queries)
+        scores, indices = self.pipeline.run_arrays(
+            _pad_queries(queries, self.max_batch))
+        return [
+            {"indices": indices[i].tolist(),
+             "scores": np.asarray(scores[i], np.float64).tolist()}
+            for i in range(n)
+        ]
+
+    def search(self, query: str, timeout: Optional[float] = None) -> dict:
+        return self.batcher(query, timeout=timeout)
+
+    def close(self):
+        self.batcher.close()
+
+
+class BatchedAnswerService:
+    """DynamicBatcher over ir.qa_serving.AnswerPipeline: question -> answer."""
+
+    def __init__(self, pipeline, max_batch: int = 64,
+                 max_wait_ms: float = 25.0):
+        self.pipeline = pipeline
+        self.max_batch = max_batch
+        self.batcher = DynamicBatcher(
+            self._process, max_batch=max_batch, max_wait_ms=max_wait_ms,
+            name="answer",
+        )
+
+    def _process(self, questions: List[str]) -> List[dict]:
+        n = len(questions)
+        results = self.pipeline.run(_pad_queries(questions, self.max_batch))
+        return results[:n]
+
+    def answer(self, question: str, timeout: Optional[float] = None) -> dict:
+        return self.batcher(question, timeout=timeout)
+
+    def close(self):
+        self.batcher.close()
+
+
+# ---------------------------------------------------------------------------
+# HTTP front (stdlib only)
+# ---------------------------------------------------------------------------
+def make_http_server(host: str = "127.0.0.1", port: int = 0,
+                     retrieval=None, answerer=None):
+    """ThreadingHTTPServer over the batched services.
+
+    POST /search {"query": str}   -> {"indices": [...], "scores": [...]}
+    POST /answer {"question": str}-> {"answer": str, ...}
+    GET  /health                  -> {"ok": true, dispatch stats}
+
+    Returns the server object; run `.serve_forever()` (typically in a
+    thread) and `.shutdown()` to stop. `port=0` picks a free port
+    (`server.server_address[1]`).
+    """
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def _reply(self, status: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *args):  # quiet by default
+            pass
+
+        def do_GET(self):
+            if self.path != "/health":
+                return self._reply(404, {"error": "unknown path"})
+            stats = {}
+            for name, service in (("search", retrieval),
+                                  ("answer", answerer)):
+                if service is not None:
+                    stats[name] = {
+                        "dispatches": service.batcher.n_dispatches,
+                        "items": service.batcher.n_items,
+                    }
+            return self._reply(200, {"ok": True, **stats})
+
+        def do_POST(self):
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(length) or b"{}")
+            except (ValueError, json.JSONDecodeError):
+                return self._reply(400, {"error": "invalid JSON body"})
+            try:
+                if self.path == "/search":
+                    if retrieval is None:
+                        return self._reply(404, {"error": "no retrieval "
+                                                          "service"})
+                    query = payload.get("query", "")
+                    if not isinstance(query, str) or not query.strip():
+                        return self._reply(400, {"error": "need a "
+                                                          "non-empty 'query'"})
+                    return self._reply(200, retrieval.search(query))
+                if self.path == "/answer":
+                    if answerer is None:
+                        return self._reply(404, {"error": "no answer "
+                                                          "service"})
+                    question = payload.get("question", "")
+                    if not isinstance(question, str) or not question.strip():
+                        return self._reply(
+                            400, {"error": "need a non-empty 'question'"})
+                    return self._reply(200, answerer.answer(question))
+                return self._reply(404, {"error": "unknown path"})
+            except Exception as e:  # noqa: BLE001 — report, don't kill the server
+                return self._reply(500, {"error": repr(e)})
+
+    return ThreadingHTTPServer((host, port), Handler)
