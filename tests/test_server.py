@@ -227,9 +227,18 @@ def test_http_server_end_to_end(retrieval_pipeline):
         assert health["search"]["items"] == len(queries)
         assert health["search"]["dispatches"] < len(queries)
 
+        # client-side batch endpoint coalesces into the same dispatches
+        status, body = _post(f"{base}/search", {"queries": queries[:3]})
+        assert status == 200
+        assert [r["indices"] for r in body["results"]] == [
+            direct_idx[i].tolist() for i in range(3)
+        ]
+
         # error paths
         assert _post(f"{base}/search", {"query": ""})[0] == 400
         assert _post(f"{base}/search", {})[0] == 400
+        assert _post(f"{base}/search", {"queries": []})[0] == 400
+        assert _post(f"{base}/search", {"queries": ["ok", ""]})[0] == 400
         assert _post(f"{base}/answer", {"question": "x"})[0] == 404
         assert _post(f"{base}/nope", {})[0] == 404
     finally:

@@ -162,6 +162,13 @@ class BatchedRetrievalService:
     def search(self, query: str, timeout: Optional[float] = None) -> dict:
         return self.batcher(query, timeout=timeout)
 
+    def search_many(self, queries: Sequence[str],
+                    timeout: Optional[float] = None) -> List[dict]:
+        """Submit a client-side batch; the requests coalesce into the same
+        micro-batches as everyone else's."""
+        futures = [self.batcher.submit(q) for q in queries]
+        return [f.result(timeout=timeout) for f in futures]
+
     def close(self):
         self.batcher.close()
 
@@ -186,6 +193,11 @@ class BatchedAnswerService:
     def answer(self, question: str, timeout: Optional[float] = None) -> dict:
         return self.batcher(question, timeout=timeout)
 
+    def answer_many(self, questions: Sequence[str],
+                    timeout: Optional[float] = None) -> List[dict]:
+        futures = [self.batcher.submit(q) for q in questions]
+        return [f.result(timeout=timeout) for f in futures]
+
     def close(self):
         self.batcher.close()
 
@@ -198,7 +210,9 @@ def make_http_server(host: str = "127.0.0.1", port: int = 0,
     """ThreadingHTTPServer over the batched services.
 
     POST /search {"query": str}   -> {"indices": [...], "scores": [...]}
+    POST /search {"queries": [..]}-> {"results": [per-query dicts]}
     POST /answer {"question": str}-> {"answer": str, ...}
+    POST /answer {"questions": [..]} -> {"results": [...]}
     GET  /health                  -> {"ok": true, dispatch stats}
 
     Returns the server object; run `.serve_forever()` (typically in a
@@ -243,6 +257,16 @@ def make_http_server(host: str = "127.0.0.1", port: int = 0,
                     if retrieval is None:
                         return self._reply(404, {"error": "no retrieval "
                                                           "service"})
+                    if "queries" in payload:
+                        queries = payload["queries"]
+                        if (not isinstance(queries, list) or not queries
+                                or not all(isinstance(q, str) and q.strip()
+                                           for q in queries)):
+                            return self._reply(400, {
+                                "error": "'queries' must be a non-empty "
+                                         "list of non-empty strings"})
+                        return self._reply(
+                            200, {"results": retrieval.search_many(queries)})
                     query = payload.get("query", "")
                     if not isinstance(query, str) or not query.strip():
                         return self._reply(400, {"error": "need a "
@@ -252,6 +276,16 @@ def make_http_server(host: str = "127.0.0.1", port: int = 0,
                     if answerer is None:
                         return self._reply(404, {"error": "no answer "
                                                           "service"})
+                    if "questions" in payload:
+                        questions = payload["questions"]
+                        if (not isinstance(questions, list) or not questions
+                                or not all(isinstance(q, str) and q.strip()
+                                           for q in questions)):
+                            return self._reply(400, {
+                                "error": "'questions' must be a non-empty "
+                                         "list of non-empty strings"})
+                        return self._reply(
+                            200, {"results": answerer.answer_many(questions)})
                     question = payload.get("question", "")
                     if not isinstance(question, str) or not question.strip():
                         return self._reply(
