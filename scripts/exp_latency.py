@@ -40,11 +40,17 @@ def main():
 
     N, D, K = 1_500_000, 768, 100
     key = jax.random.key(0)
-    kb = jax.random.normal(jax.random.fold_in(key, 1), (N, D), jnp.bfloat16)
-    kb = kb / np.sqrt(D)
-    kbt = mips_pallas.to_kernel_layout(kb)
+    # generate DIRECTLY in the kernel's (d, N_pad) layout: materializing a
+    # row-major kb first and transposing doubles peak HBM (kb+kbt = 4.6GB
+    # coexist), which OOMed on 2026-08-18 when available HBM dipped to
+    # ~6-7GB (shared chip). For latency timing random values are random
+    # either way; padding columns are masked via valid_rows=N.
+    n_pad = N + ((-N) % 512)
+    kbt = jax.random.normal(jax.random.fold_in(key, 1), (D, n_pad),
+                            jnp.bfloat16) / np.sqrt(D)
+    if n_pad != N:
+        kbt = kbt.at[:, N:].set(0)
     sync(kbt)
-    del kb
 
     cfg = dpr.DPRConfig(bert=bert.BertConfig(add_pooler=False))
     params = jax.tree_util.tree_map(
