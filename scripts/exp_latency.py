@@ -70,6 +70,8 @@ def main():
             p.input_ids, p.segment_ids, p.position_ids, p.cls_rows,
             p.cls_cols))
 
+    from viquae_tpu.ops import mips
+
     @jax.jit
     def step(params, ids, seg, pos, cr, cc, kbt):
         q = dpr.apply_packed(params, cfg, ids, seg, pos, cr, cc,
@@ -78,22 +80,34 @@ def main():
                              ).astype(jnp.bfloat16)
         return mips_pallas.topk_fused(q, kbt, K, valid_rows=jnp.int32(N))
 
-    for n_q, q_pad in ((1, 8), (64, 64), (1257, 1280)):
-        args = packed_args(n_q, q_pad)
-        out = step(params, *args, kbt)
-        sync(out)  # compile + warm
-        lat = []
-        reps = 30 if n_q < 100 else 10
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            out = step(params, *args, kbt)
-            sync(out)
-            lat.append((time.perf_counter() - t0) * 1e3)
-        lat = np.sort(lat)
-        print(f"batch {n_q:>5} (pad {q_pad:>5}): p50 {np.percentile(lat, 50):7.1f} ms  "
-              f"p99 {np.percentile(lat, 99):7.1f} ms  min {lat[0]:7.1f}  "
-              f"({n_q / np.percentile(lat, 50) * 1e3:,.0f} q/s at p50)",
-              file=sys.stderr)
+    @jax.jit
+    def step_approx(params, ids, seg, pos, cr, cc, kbt):
+        q = dpr.apply_packed(params, cfg, ids, seg, pos, cr, cc,
+                             deterministic=True,
+                             compute_dtype=jnp.bfloat16
+                             ).astype(jnp.bfloat16)
+        return mips.topk_global(q, kbt, K, valid_rows=jnp.int32(N),
+                                compute_dtype=jnp.bfloat16, mode="approx",
+                                transposed=True)
+
+    for label, fn in (("exact/fused", step), ("approx", step_approx)):
+        for n_q, q_pad in ((1, 8), (64, 64), (1257, 1280)):
+            args = packed_args(n_q, q_pad)
+            out = fn(params, *args, kbt)
+            sync(out)  # compile + warm
+            lat = []
+            reps = 30 if n_q < 100 else 10
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                out = fn(params, *args, kbt)
+                sync(out)
+                lat.append((time.perf_counter() - t0) * 1e3)
+            lat = np.sort(lat)
+            print(f"[{label:>11}] batch {n_q:>5} (pad {q_pad:>5}): "
+                  f"p50 {np.percentile(lat, 50):7.1f} ms  "
+                  f"p99 {np.percentile(lat, 99):7.1f} ms  min {lat[0]:7.1f}  "
+                  f"({n_q / np.percentile(lat, 50) * 1e3:,.0f} q/s at p50)",
+                  file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -178,6 +178,21 @@ def test_cli_wit(tmp_path, capsys):
     assert sum(sizes.values()) == 30
 
 
+def test_cli_sentences(tmp_path, capsys):
+    from datasets import Dataset, load_from_disk
+
+    Dataset.from_dict({
+        "text": ["First sentence here. Second one! A third?"],
+    }).save_to_disk(str(tmp_path / "ds"))
+    cli_main(["sentences", str(tmp_path / "ds")])
+    assert json.loads(capsys.readouterr().out)["items"] == 1
+    out = load_from_disk(str(tmp_path / "ds"))
+    sents = out[0]["sentences"]
+    assert len(sents) == 3
+    assert sents[0]["text"].startswith("First")
+    assert all(s["n_tokens"] >= 2 for s in sents)
+
+
 def test_cli_face_box(tmp_path, capsys, monkeypatch):
     from datasets import Dataset, load_from_disk
     from PIL import Image

@@ -252,6 +252,76 @@ def _post_health(base):
         return resp.status, json.loads(resp.read())
 
 
+def test_service_sees_concurrent_index_adds(retrieval_pipeline):
+    """A DenseIndex.add() while the service is live becomes searchable —
+    the traced-row-count contract under the batcher (a lagging batch may
+    miss the newest rows, but a subsequent request must see them)."""
+    service = BatchedRetrievalService(
+        retrieval_pipeline, max_batch=8, max_wait_ms=5.0)
+    try:
+        index = retrieval_pipeline.index
+        n_before = index.n
+        service.search("w1 w2", timeout=60)  # compile/warm
+
+        # add a row tailored to dominate a known query's embedding
+        import jax.numpy as jnp
+
+        emb = retrieval_pipeline.embed_fn
+        p = emb.pack(["w7 w8 w9"])
+        q = np.asarray(emb._forward(
+            emb.params, jnp.asarray(p.input_ids),
+            jnp.asarray(p.segment_ids), jnp.asarray(p.position_ids),
+            jnp.asarray(p.cls_rows), jnp.asarray(p.cls_cols),
+        ), np.float32)
+        spike = q[0] * 100.0
+        index.add(spike[None, :])
+        out = service.search("w7 w8 w9", timeout=60)
+        assert out["indices"][0] == n_before  # the new row wins top-1
+    finally:
+        service.close()
+
+
+def test_cli_evqa_bem_scorer(tmp_path, capsys):
+    """CLI `evqa --scorer bem` end-to-end with a tiny random-init BEM
+    (asserting the protocol runs: EM hits short-circuit, misses go
+    through the BEM forward)."""
+    import json as json_lib
+
+    from transformers import BertTokenizerFast
+
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + [
+        f"w{i}" for i in range(30)
+    ]
+    tok_dir = tmp_path / "tok"
+    tok_dir.mkdir()
+    (tok_dir / "vocab.txt").write_text("\n".join(vocab))
+    BertTokenizerFast(vocab_file=str(tok_dir / "vocab.txt")).save_pretrained(
+        tok_dir)
+
+    (tmp_path / "pred.json").write_text(json_lib.dumps(
+        {"q0": "w1", "q1": "w5"}))
+    (tmp_path / "ref.json").write_text(json_lib.dumps({
+        "q0": {"reference": "w1", "question": "what?"},   # EM short-circuit
+        "q1": {"reference": "w9", "question": "which?"},  # -> BEM forward
+    }))
+    (tmp_path / "bem.json").write_text(json_lib.dumps({
+        "tokenizer": str(tok_dir),
+        "bem_config": {"bert_config": {
+            "vocab_size": 40, "hidden_size": 16, "num_hidden_layers": 1,
+            "num_attention_heads": 2, "intermediate_size": 32,
+            "max_position_embeddings": 64, "type_vocab_size": 3,
+            "add_pooler": True,
+        }, "max_length": 64},
+    }))
+    from viquae_tpu.cli import main as cli_main
+
+    cli_main(["evqa", str(tmp_path / "pred.json"), str(tmp_path / "ref.json"),
+              "--scorer", "bem", "--config", str(tmp_path / "bem.json")])
+    out = json.loads(capsys.readouterr().out)
+    assert out["n_evaluated"] == 2
+    assert 0.5 <= out["accuracy"] <= 1.0  # q0 is an EM hit regardless of BEM
+
+
 def test_cli_server_subprocess(tmp_path):
     """`viquae_tpu server` end-to-end over a real socket in a fresh
     process (the deployment shape)."""

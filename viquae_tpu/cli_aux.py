@@ -156,6 +156,16 @@ def cmd_kilt2vqa(args):
 # ---------------------------------------------------------------------------
 # wikidump / wit
 # ---------------------------------------------------------------------------
+def cmd_sentences(args):
+    """Sentence-segment a text column (ICT input; reference:
+    `loading.py sentences <dataset>` with spaCy, here the in-repo
+    sentencizer)."""
+    from viquae_tpu.data.loading import make_sentences_dataset
+
+    out = make_sentences_dataset(args.dataset, text_key=args.text_key)
+    print(json.dumps({"items": len(out)}))
+
+
 def cmd_face_box(args):
     from viquae_tpu.image.face_box import dataset_scale_face_boxes
 
@@ -314,7 +324,13 @@ def cmd_evqa(args):
         from viquae_tpu.train.run import _build_tokenizer
 
         config = load_config(args.config) if args.config else {}
-        cfg = bem.BEMConfig(**config.get("bem_config", {}))
+        bem_kwargs = dict(config.get("bem_config", {}))
+        if "bert_config" in bem_kwargs:  # nested BertConfig as a dict
+            from viquae_tpu.models import bert as bert_lib
+
+            bem_kwargs["bert"] = bert_lib.BertConfig(
+                **bem_kwargs.pop("bert_config"))
+        cfg = bem.BEMConfig(**bem_kwargs)
         tokenizer = _build_tokenizer(config["tokenizer"])
         params = bem.init(jax.random.key(config.get("seed", 0)), cfg)
         if config.get("params"):
@@ -596,6 +612,12 @@ def register_aux(sub, add_config_arg, add_config_positional):
     p.add_argument("--num-shards", type=int)
     p.add_argument("--shard-index", type=int)
     p.set_defaults(fn=cmd_kilt2vqa)
+
+    p = sub.add_parser(
+        "sentences", help="sentence-segment a text column (ICT input)")
+    p.add_argument("dataset")
+    p.add_argument("--text-key", default="text")
+    p.set_defaults(fn=cmd_sentences)
 
     p = sub.add_parser(
         "face-box", help="UNITER-style scaled face-box features")
