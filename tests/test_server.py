@@ -322,6 +322,196 @@ def test_cli_evqa_bem_scorer(tmp_path, capsys):
     assert 0.5 <= out["accuracy"] <= 1.0  # q0 is an EM hit regardless of BEM
 
 
+def test_cli_server_hybrid_config(tmp_path):
+    """`server` with a "bm25" hybrid config routes /search through
+    HybridRetrievalPipeline (dense + host BM25 + device fusion)."""
+    import argparse
+
+    from datasets import Dataset
+    from transformers import BertTokenizerFast
+
+    from viquae_tpu.cli_aux import build_server_from_config
+
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + [
+        f"w{i}" for i in range(30)
+    ]
+    tok_dir = tmp_path / "tok"
+    tok_dir.mkdir()
+    (tok_dir / "vocab.txt").write_text("\n".join(vocab))
+    BertTokenizerFast(
+        vocab_file=str(tok_dir / "vocab.txt"), do_lower_case=True
+    ).save_pretrained(tok_dir)
+    rng = np.random.default_rng(0)
+    Dataset.from_dict({
+        "embedding": rng.standard_normal((30, 16)).astype(
+            np.float32).tolist(),
+        "passage": [f"w{i} w{i + 1} w{i + 2}" for i in range(30)],
+    }).save_to_disk(str(tmp_path / "kb"))
+    config = {
+        "model": {"class_name": "DPREncoder", "bert_config": {
+            "vocab_size": 40, "hidden_size": 16, "num_hidden_layers": 1,
+            "num_attention_heads": 2, "intermediate_size": 32,
+            "max_position_embeddings": 32, "add_pooler": False,
+        }},
+        "tokenizer": str(tok_dir),
+        "row_len": 16,
+        "index": {"dataset": str(tmp_path / "kb"), "column": "embedding",
+                  "mode": "global"},
+        "bm25": {"kb": str(tmp_path / "kb"), "column": "passage",
+                 "b": 0.3, "k1": 0.5},
+        "weights": [0.7, 0.3],
+    }
+    (tmp_path / "server.json").write_text(json.dumps(config))
+    args = argparse.Namespace(
+        config=str(tmp_path / "server.json"), host="127.0.0.1", port=0,
+        k=5, m_passages=4, max_batch=4, max_wait_ms=10.0,
+    )
+    server, services = build_server_from_config(args)
+    from viquae_tpu.ir.serving import HybridRetrievalPipeline
+
+    assert isinstance(services[0].pipeline, HybridRetrievalPipeline)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    port = server.server_address[1]
+    try:
+        status, body = _post(f"http://127.0.0.1:{port}/search",
+                             {"query": "w3 w4 w5"})
+        assert status == 200
+        assert len(body["indices"]) == 5
+        # the BM25 leg makes lexically-matching passages win
+        assert 3 in body["indices"][:3]
+    finally:
+        server.shutdown()
+        thread.join(timeout=5)
+        for s in services:
+            s.close()
+
+
+def test_vqa_service_http_end_to_end(tmp_path):
+    """(question, image) -> answer over HTTP: MultiIndex retrieval with an
+    ONLINE image tower feeding the reader, base64 image payloads, parity
+    vs the direct pipeline."""
+    import base64
+    import io
+
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+    from transformers import BertTokenizerFast
+
+    from viquae_tpu.image.embedding import ImageEmbedder
+    from viquae_tpu.ir.embedding import PackedTextEmbedder
+    from viquae_tpu.ir.qa_serving import AnswerPipeline
+    from viquae_tpu.ir.server import BatchedVQAService
+    from viquae_tpu.ir.serving import MultiIndexRetrievalPipeline
+    from viquae_tpu.models import bert, dpr, qa
+    from viquae_tpu.ops import mips
+
+    vocab = (["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
+             + [f"w{i}" for i in range(60)])
+    tok_dir = tmp_path / "tok"
+    tok_dir.mkdir()
+    (tok_dir / "vocab.txt").write_text("\n".join(vocab))
+    tok = BertTokenizerFast(vocab_file=str(tok_dir / "vocab.txt"))
+
+    bcfg = bert.BertConfig(
+        vocab_size=80, hidden_size=16, num_hidden_layers=1,
+        num_attention_heads=2, intermediate_size=32,
+        max_position_embeddings=64, add_pooler=False,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    dcfg = dpr.DPRConfig(bert=bcfg)
+    d_params = dpr.init(jax.random.key(0), dcfg)
+    rcfg = qa.ReaderConfig(bert=bcfg)
+    r_params = qa.init(jax.random.key(1), rcfg)
+
+    rng = np.random.default_rng(0)
+    kb_rows = [
+        {"passage": " ".join(
+            f"w{j}" for j in rng.integers(0, 60, rng.integers(8, 16)))}
+        for _ in range(40)
+    ]
+    kb_text = rng.normal(size=(40, 16)).astype(np.float32)
+    kb_img = rng.normal(size=(40, 6)).astype(np.float32)
+
+    w_img = rng.normal(size=(3, 6)).astype(np.float32)
+    img_enc = ImageEmbedder(
+        lambda p, px: px.mean(axis=(1, 2)) @ p["w"],
+        {"w": jnp.asarray(w_img)}, save_as="e", image_size=8,
+        preprocessing="clip", batch_size=4,
+    )
+
+    emb = PackedTextEmbedder(dpr.make_packed_apply(dcfg), d_params, tok,
+                             row_len=16, batch_size=4,
+                             compute_dtype=jnp.float32)
+    retrieval = MultiIndexRetrievalPipeline(
+        emb,
+        {"dpr": mips.DenseIndex(kb_text, mode="global", dtype=jnp.float32),
+         "img": mips.DenseIndex(kb_img, mode="global", dtype=jnp.float32)},
+        {"dpr": 0.6, "img": 0.4}, text_index="dpr",
+        batch_size=4, k=2, norm="zmuv", compact_transfer=False,
+        image_encoders={"img": img_enc},
+    )
+    pipe = AnswerPipeline(retrieval, kb_rows, rcfg, r_params, tok,
+                          m_passages=2, reader_seq=32,
+                          questions_per_step=4,
+                          compute_dtype=jnp.float32)
+
+    questions = ["w1 w2 w3", "w9 w8", "w20 w21 w22"]
+    images = [
+        Image.fromarray(rng.integers(0, 255, (12, 12, 3), dtype=np.uint8),
+                        "RGB")
+        for _ in questions
+    ]
+    direct = pipe.run(list(questions),
+                      query_images={"img": list(images)})
+
+    service = BatchedVQAService(pipe, ["img"], max_batch=4,
+                                max_wait_ms=30.0)
+    server = make_http_server(vqa=service)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    port = server.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+    try:
+        responses = [None] * len(questions)
+
+        def client(i):
+            buf = io.BytesIO()
+            images[i].save(buf, format="PNG")
+            responses[i] = _post(f"{base}/answer", {
+                "question": questions[i],
+                "image_b64": base64.b64encode(buf.getvalue()).decode(),
+            })
+
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(len(questions))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for i, (status, body) in enumerate(responses):
+            assert status == 200
+            assert body["answer"] == direct[i]["answer"]
+            assert body["passage_ids"] == list(direct[i]["passage_ids"])
+
+        # a question WITHOUT an image still answers (None-masked img leg)
+        status, body = _post(f"{base}/answer", {"question": "w5 w6"})
+        assert status == 200 and body["answer"] is not None
+
+        # bad image payloads are client errors
+        status, body = _post(f"{base}/answer", {
+            "question": "w1", "image_b64": "not base64!!"})
+        assert status == 400
+        status, body = _post(f"{base}/answer", {
+            "question": "w1", "images_b64": {"nope": "x"}})
+        assert status == 400 and "unknown image index" in body["error"]
+    finally:
+        server.shutdown()
+        thread.join(timeout=5)
+        service.close()
+
+
 def test_cli_server_subprocess(tmp_path):
     """`viquae_tpu server` end-to-end over a real socket in a fresh
     process (the deployment shape)."""

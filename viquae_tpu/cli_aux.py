@@ -519,10 +519,11 @@ def cmd_interact(args):
         print(respond(question), flush=True)
 
 
-def cmd_server(args):
-    """HTTP serving over the dynamic micro-batcher: the `serve` config
-    schema gains live POST /search; adding a 'reader' block (the `answer`
-    schema) also enables POST /answer."""
+def build_server_from_config(args):
+    """Construct (http_server, services) from a serve/answer config —
+    split from cmd_server so tests can drive the built server in a
+    thread. Supports plain dense ("index"), hybrid ("bm25" block) and
+    reader ("reader" + "passages") configs."""
     from transformers import AutoTokenizer
 
     from viquae_tpu import cli as _cli
@@ -545,14 +546,21 @@ def cmd_server(args):
         fixed_rows=config.pop("fixed_rows", None),
     )
     reader_cfg = config.pop("reader", None)
-    retrieval_pipeline = FusedRetrievalPipeline(
-        embedder,
-        _cli._build_dense_index(
-            config.pop("index"),
-            default_mode="fused" if reader_cfg else "global"),
-        batch_size=args.max_batch,
-        k=args.m_passages if reader_cfg else args.k,
-    )
+    k = args.m_passages if reader_cfg else args.k
+    if "bm25" in config:
+        # hybrid sparse+dense serving (same "bm25" schema as serve/answer)
+        retrieval_pipeline = _cli._build_hybrid_pipeline(
+            config, embedder, args.max_batch, k,
+            default_mode="fused" if reader_cfg else "global")
+    else:
+        retrieval_pipeline = FusedRetrievalPipeline(
+            embedder,
+            _cli._build_dense_index(
+                config.pop("index"),
+                default_mode="fused" if reader_cfg else "global"),
+            batch_size=args.max_batch,
+            k=k,
+        )
     retrieval = answerer = None
     if reader_cfg is not None:
         from datasets import load_from_disk
@@ -574,9 +582,19 @@ def cmd_server(args):
         )
     server = make_http_server(host=args.host, port=args.port,
                               retrieval=retrieval, answerer=answerer)
+    return server, [s for s in (retrieval, answerer) if s is not None]
+
+
+def cmd_server(args):
+    """HTTP serving over the dynamic micro-batcher: the `serve` config
+    schema gains live POST /search (dense or hybrid); adding a 'reader'
+    block (the `answer` schema) enables POST /answer instead."""
+    server, services = build_server_from_config(args)
+    has_answer = any(hasattr(s, "answer") for s in services)
     print(json.dumps({
         "listening": f"http://{args.host}:{server.server_address[1]}",
-        "endpoints": (["/answer"] if answerer else ["/search"]) + ["/health"],
+        "endpoints": (["/answer"] if has_answer else ["/search"])
+        + ["/health"],
         "max_batch": args.max_batch, "max_wait_ms": args.max_wait_ms,
     }), flush=True)
     try:
@@ -585,9 +603,8 @@ def cmd_server(args):
         pass
     finally:
         server.shutdown()
-        for service in (retrieval, answerer):
-            if service is not None:
-                service.close()
+        for service in services:
+            service.close()
 
 
 # ---------------------------------------------------------------------------

@@ -202,17 +202,90 @@ class BatchedAnswerService:
         self.batcher.close()
 
 
+class BatchedVQAService:
+    """(question, raw image) -> answer: the full KVQA loop online.
+
+    Wraps an `ir.qa_serving.AnswerPipeline` whose retrieval is a
+    `MultiIndexRetrievalPipeline` with online image/face encoders
+    (`image_encoders`/`face_encoders`) — the towers run INSIDE the fused
+    per-batch programs, nothing precomputed. Items are
+    ``(question, {index_name: PIL.Image or None})``; questions without an
+    image are absent from that index's leg (None-masking, the reference's
+    search_batch_if_not_None semantics). The reference never finished this
+    path at all (meerqat/interact/system.py:42).
+    """
+
+    def __init__(self, pipeline, image_index_names: Sequence[str],
+                 max_batch: int = 64, max_wait_ms: float = 25.0):
+        self.pipeline = pipeline
+        self.image_index_names = list(image_index_names)
+        self.max_batch = max_batch
+        self.batcher = DynamicBatcher(
+            self._process, max_batch=max_batch, max_wait_ms=max_wait_ms,
+            name="vqa",
+        )
+
+    def _process(self, items: List) -> List[dict]:
+        n = len(items)
+        pad = self.max_batch - n
+        questions = [q for q, _ in items] + [""] * pad
+        query_images = {
+            name: [images.get(name) for _, images in items] + [None] * pad
+            for name in self.image_index_names
+        }
+        results = self.pipeline.run(questions, query_images=query_images)
+        return results[:n]
+
+    def answer(self, question: str, images: Optional[dict] = None,
+               timeout: Optional[float] = None) -> dict:
+        return self.batcher((question, images or {}), timeout=timeout)
+
+    def close(self):
+        self.batcher.close()
+
+
+def _decode_image_payload(payload, image_index_names):
+    """{"image_b64": ...} (routed to every image index) or
+    {"images_b64": {index_name: ...}} -> {index_name: PIL.Image}."""
+    import base64
+    import io
+
+    from PIL import Image
+
+    def decode(b64):
+        try:
+            return Image.open(
+                io.BytesIO(base64.b64decode(b64))).convert("RGB")
+        except Exception as e:  # noqa: BLE001 — client error, not a 500
+            raise ValueError(f"undecodable image payload: {e}") from e
+
+    if "images_b64" in payload:
+        named = payload["images_b64"]
+        unknown = set(named) - set(image_index_names)
+        if unknown:
+            raise ValueError(f"unknown image index names {sorted(unknown)}; "
+                             f"configured: {image_index_names}")
+        return {name: decode(b64) for name, b64 in named.items()}
+    if "image_b64" in payload:
+        image = decode(payload["image_b64"])
+        return {name: image for name in image_index_names}
+    return {}
+
+
 # ---------------------------------------------------------------------------
 # HTTP front (stdlib only)
 # ---------------------------------------------------------------------------
 def make_http_server(host: str = "127.0.0.1", port: int = 0,
-                     retrieval=None, answerer=None):
+                     retrieval=None, answerer=None, vqa=None):
     """ThreadingHTTPServer over the batched services.
 
     POST /search {"query": str}   -> {"indices": [...], "scores": [...]}
     POST /search {"queries": [..]}-> {"results": [per-query dicts]}
     POST /answer {"question": str}-> {"answer": str, ...}
     POST /answer {"questions": [..]} -> {"results": [...]}
+    POST /answer {"question": str, "image_b64": ... |
+                  "images_b64": {index: ...}} -> {"answer": str, ...}
+                  (vqa service: base64 JPEG/PNG query image(s))
     GET  /health                  -> {"ok": true, dispatch stats}
 
     Returns the server object; run `.serve_forever()` (typically in a
@@ -238,7 +311,7 @@ def make_http_server(host: str = "127.0.0.1", port: int = 0,
                 return self._reply(404, {"error": "unknown path"})
             stats = {}
             for name, service in (("search", retrieval),
-                                  ("answer", answerer)):
+                                  ("answer", answerer), ("vqa", vqa)):
                 if service is not None:
                     stats[name] = {
                         "dispatches": service.batcher.n_dispatches,
@@ -273,6 +346,20 @@ def make_http_server(host: str = "127.0.0.1", port: int = 0,
                                                           "non-empty 'query'"})
                     return self._reply(200, retrieval.search(query))
                 if self.path == "/answer":
+                    if vqa is not None:
+                        question = payload.get("question", "")
+                        if (not isinstance(question, str)
+                                or not question.strip()):
+                            return self._reply(
+                                400,
+                                {"error": "need a non-empty 'question'"})
+                        try:
+                            images = _decode_image_payload(
+                                payload, vqa.image_index_names)
+                        except ValueError as e:
+                            return self._reply(400, {"error": str(e)})
+                        return self._reply(
+                            200, vqa.answer(question, images))
                     if answerer is None:
                         return self._reply(404, {"error": "no answer "
                                                           "service"})
