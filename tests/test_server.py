@@ -512,6 +512,125 @@ def test_vqa_service_http_end_to_end(tmp_path):
         service.close()
 
 
+def test_cli_server_vqa_config(tmp_path):
+    """A fusion server config (indexes + online image/face encoders +
+    reader) builds the full pixels-in KVQA service from the CLI schema
+    and answers (question, image) posts."""
+    import argparse
+    import base64
+    import io
+
+    from datasets import Dataset
+    from PIL import Image
+    from transformers import BertTokenizerFast
+
+    from viquae_tpu.cli_aux import build_server_from_config
+
+    rng = np.random.default_rng(0)
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + [
+        f"w{i}" for i in range(30)
+    ]
+    tok_dir = tmp_path / "tok"
+    tok_dir.mkdir()
+    (tok_dir / "vocab.txt").write_text("\n".join(vocab))
+    BertTokenizerFast(
+        vocab_file=str(tok_dir / "vocab.txt"), do_lower_case=True
+    ).save_pretrained(tok_dir)
+
+    n_docs = 20
+    Dataset.from_dict({
+        "embedding": rng.standard_normal((n_docs, 16)).astype(
+            np.float32).tolist(),
+        "clip": rng.standard_normal((n_docs, 8)).astype(
+            np.float32).tolist(),
+        "face": rng.standard_normal((n_docs, 12)).astype(
+            np.float32).tolist(),
+        "passage": [f"w{i} w{i + 1} w{i + 2} w{i + 3}"
+                    for i in range(n_docs)],
+    }).save_to_disk(str(tmp_path / "kb"))
+
+    kb = str(tmp_path / "kb")
+    config = {
+        "model": {"class_name": "DPREncoder", "bert_config": {
+            "vocab_size": 40, "hidden_size": 16, "num_hidden_layers": 1,
+            "num_attention_heads": 2, "intermediate_size": 32,
+            "max_position_embeddings": 32, "add_pooler": False,
+        }},
+        "tokenizer": str(tok_dir),
+        "row_len": 16,
+        "indexes": {
+            "dpr": {"dataset": kb, "column": "embedding",
+                    "mode": "global"},
+            "clip": {"dataset": kb, "column": "clip", "mode": "global",
+                     "do_l2norm": True},
+            "face": {"dataset": kb, "column": "face", "mode": "global",
+                     "do_l2norm": True},
+        },
+        "weights": {"dpr": 0.6, "clip": 0.2, "face": 0.2},
+        "text_index": "dpr",
+        "norm": "zmuv",
+        "image_encoders": {
+            "clip": {"model": "clip-vit", "model_config": {
+                "hidden_size": 16, "num_layers": 1, "num_heads": 2,
+                "intermediate_size": 32, "image_size": 32,
+                "patch_size": 16, "projection_dim": 8,
+            }, "image_size": 32},
+        },
+        "face_encoders": {
+            "face": {"mtcnn": {"canvas": 128, "min_face_size": 40,
+                               "max_faces": 2, "k_per_scale": 8,
+                               "k_stage1": 16, "k_stage2": 8,
+                               "thresholds": [0.0, 0.0, 0.0]},
+                     "arcface": {"stage_sizes": [1, 1, 1, 1], "width": 8,
+                                 "embedding_size": 12}},
+        },
+        "reader": {"class_name": "MultiPassageBERTReader",
+                   "bert_config": {
+                       "vocab_size": 40, "hidden_size": 16,
+                       "num_hidden_layers": 1, "num_attention_heads": 2,
+                       "intermediate_size": 32,
+                       "max_position_embeddings": 64,
+                       "add_pooler": False}},
+        "passages": kb,
+        "reader_seq": 32,
+        "questions_per_step": 4,
+    }
+    (tmp_path / "vqa.json").write_text(json.dumps(config))
+    args = argparse.Namespace(
+        config=str(tmp_path / "vqa.json"), host="127.0.0.1", port=0,
+        k=5, m_passages=2, max_batch=4, max_wait_ms=15.0,
+    )
+    server, services = build_server_from_config(args)
+    from viquae_tpu.ir.server import BatchedVQAService
+
+    assert isinstance(services[0], BatchedVQAService)
+    assert services[0].image_index_names == ["clip", "face"]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    port = server.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+    try:
+        buf = io.BytesIO()
+        Image.fromarray(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8),
+                        "RGB").save(buf, format="PNG")
+        status, body = _post(f"{base}/answer", {
+            "question": "w1 w2 w3",
+            "image_b64": base64.b64encode(buf.getvalue()).decode(),
+        })
+        assert status == 200
+        assert body["answer"] is not None
+        assert len(body["passage_ids"]) == 2
+
+        # text-only question rides the same service (image legs masked)
+        status, body = _post(f"{base}/answer", {"question": "w7 w8"})
+        assert status == 200 and body["answer"] is not None
+    finally:
+        server.shutdown()
+        thread.join(timeout=5)
+        for s in services:
+            s.close()
+
+
 def test_cli_server_subprocess(tmp_path):
     """`viquae_tpu server` end-to-end over a real socket in a fresh
     process (the deployment shape)."""

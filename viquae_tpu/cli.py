@@ -446,10 +446,12 @@ def cmd_face_embed(args):
     dataset_compute_face_embedding(args.dataset, embedder)
 
 
-def cmd_embed_image(args):
-    from viquae_tpu.image.embedding import ImageEmbedder, dataset_embed_images
-
-    config = load_config(args.config)
+def build_image_tower(config):
+    """(apply_fn, params, preprocessing) from an embed-image model config
+    ({"model": clip-vit|clip|clip-RN50|imagenet-RN50, "weights": path?,
+    "model_config": {...}}). Shared by the embed-image stage and the
+    serving-side online image towers (cli_aux server configs). Mutates
+    `config` (pops the model keys), leaving stage kwargs behind."""
     model_kind = config.pop("model", "clip-vit")
     weights = config.pop("weights", None)
     import jax
@@ -513,6 +515,14 @@ def cmd_embed_image(args):
         preprocessing = "imagenet"
     else:
         raise ValueError(f"Unknown image model {model_kind!r}")
+    return apply_fn, params, preprocessing
+
+
+def cmd_embed_image(args):
+    from viquae_tpu.image.embedding import ImageEmbedder, dataset_embed_images
+
+    config = load_config(args.config)
+    apply_fn, params, preprocessing = build_image_tower(config)
     embedder = ImageEmbedder(
         apply_fn, params, preprocessing=preprocessing, **config
     )

@@ -519,11 +519,48 @@ def cmd_interact(args):
         print(respond(question), flush=True)
 
 
+def _build_face_query_encoder(config, batch_size):
+    """FaceQueryEncoder (online MTCNN -> align -> ArcFace leg) from a
+    config block: {"mtcnn": MTCNNConfig kwargs, "mtcnn_weights": facenet
+    .pt?, "arcface": ArcFaceConfig kwargs, "arcface_weights": .pt?}."""
+    import jax
+
+    from viquae_tpu.image.face_recognition import FaceQueryEncoder
+    from viquae_tpu.models import arcface, mtcnn
+
+    mtcnn_kwargs = dict(config.pop("mtcnn", {}))
+    if "thresholds" in mtcnn_kwargs:  # JSON lists are unhashable for jit
+        mtcnn_kwargs["thresholds"] = tuple(mtcnn_kwargs["thresholds"])
+    m_cfg = mtcnn.MTCNNConfig(**mtcnn_kwargs)
+    m_weights = config.pop("mtcnn_weights", None)
+    if m_weights:
+        import torch
+
+        m_params = mtcnn.params_from_facenet(
+            torch.load(m_weights, map_location="cpu"))
+    else:
+        m_params = mtcnn.init(jax.random.key(config.pop("mtcnn_seed", 0)))
+    a_cfg = arcface.ArcFaceConfig(**config.pop("arcface", {}))
+    a_weights = config.pop("arcface_weights", None)
+    if a_weights:
+        import torch
+
+        a_params = arcface.params_from_insightface(
+            torch.load(a_weights, map_location="cpu"), a_cfg)
+    else:
+        a_params = arcface.init(
+            jax.random.key(config.pop("arcface_seed", 0)), a_cfg)
+    return FaceQueryEncoder(m_params, a_params, mtcnn_cfg=m_cfg,
+                            arcface_cfg=a_cfg, batch_size=batch_size)
+
+
 def build_server_from_config(args):
     """Construct (http_server, services) from a serve/answer config —
     split from cmd_server so tests can drive the built server in a
-    thread. Supports plain dense ("index"), hybrid ("bm25" block) and
-    reader ("reader" + "passages") configs."""
+    thread. Supports plain dense ("index"), hybrid ("bm25" block),
+    multi-index fusion with online towers ("indexes" +
+    image_encoders/face_encoders -> the VQA /answer endpoint) and reader
+    ("reader" + "passages") configs."""
     from transformers import AutoTokenizer
 
     from viquae_tpu import cli as _cli
@@ -532,6 +569,7 @@ def build_server_from_config(args):
     from viquae_tpu.ir.server import (
         BatchedAnswerService,
         BatchedRetrievalService,
+        BatchedVQAService,
         make_http_server,
     )
     from viquae_tpu.ir.serving import FusedRetrievalPipeline
@@ -547,11 +585,58 @@ def build_server_from_config(args):
     )
     reader_cfg = config.pop("reader", None)
     k = args.m_passages if reader_cfg else args.k
+    image_encoder_names = []
     if "bm25" in config:
         # hybrid sparse+dense serving (same "bm25" schema as serve/answer)
         retrieval_pipeline = _cli._build_hybrid_pipeline(
             config, embedder, args.max_batch, k,
             default_mode="fused" if reader_cfg else "global")
+    elif "indexes" in config:
+        # multi-index fusion with ONLINE towers (the pixels-in KVQA loop):
+        # {"indexes": {...}, "weights": {...}, "text_index": ...,
+        #  "image_encoders": {index: embed-image model config},
+        #  "face_encoders": {index: {"mtcnn": cfg, "mtcnn_weights": pt?,
+        #                            "arcface": cfg, "arcface_weights": pt?}},
+        #  "reader": {...}, "passages": ...}. Every live request carries its
+        # own pixels, so non-text legs need an online encoder + a reader
+        # must consume the fusion (the /answer VQA endpoint).
+        if reader_cfg is None:
+            raise SystemExit(
+                "a fusion server config needs a 'reader' block: non-text "
+                "legs are fed by per-request images (POST /answer with "
+                "image_b64), there is no precomputed-feature path online")
+        from viquae_tpu.image.embedding import ImageEmbedder
+        from viquae_tpu.ir.serving import MultiIndexRetrievalPipeline
+
+        indexes = {n: _cli._build_dense_index(c, default_mode="global")
+                   for n, c in config.pop("indexes").items()}
+        image_encoders = {}
+        for name, icfg in config.pop("image_encoders", {}).items():
+            icfg = dict(icfg)
+            apply_fn, params, prep = _cli.build_image_tower(icfg)
+            image_encoders[name] = ImageEmbedder(
+                apply_fn, params, save_as=name, preprocessing=prep,
+                batch_size=args.max_batch, **icfg)
+        face_encoders = {
+            name: _build_face_query_encoder(dict(fcfg), args.max_batch)
+            for name, fcfg in config.pop("face_encoders", {}).items()
+        }
+        missing = (set(indexes) - {config.get("text_index")}
+                   - set(image_encoders) - set(face_encoders))
+        if missing:
+            raise SystemExit(
+                f"fusion server: non-text indexes {sorted(missing)} have "
+                "no online encoder (add image_encoders/face_encoders)")
+        image_encoder_names = sorted(set(image_encoders)
+                                     | set(face_encoders))
+        retrieval_pipeline = MultiIndexRetrievalPipeline(
+            embedder, indexes, config.pop("weights"),
+            text_index=config.pop("text_index"),
+            batch_size=args.max_batch, k=k,
+            norm=config.pop("norm", "gzmuv"),
+            image_encoders=image_encoders or None,
+            face_encoders=face_encoders or None,
+        )
     else:
         retrieval_pipeline = FusedRetrievalPipeline(
             embedder,
@@ -561,7 +646,7 @@ def build_server_from_config(args):
             batch_size=args.max_batch,
             k=k,
         )
-    retrieval = answerer = None
+    retrieval = answerer = vqa = None
     if reader_cfg is not None:
         from datasets import load_from_disk
 
@@ -569,20 +654,29 @@ def build_server_from_config(args):
 
         reader = get_pretrained(**reader_cfg)
         kb = load_from_disk(config.pop("passages"))
-        answerer = BatchedAnswerService(
-            AnswerPipeline(retrieval_pipeline, kb, reader.cfg,
-                           reader.params, tokenizer,
-                           m_passages=args.m_passages, **config),
-            max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
-        )
+        pipeline = AnswerPipeline(retrieval_pipeline, kb, reader.cfg,
+                                  reader.params, tokenizer,
+                                  m_passages=args.m_passages, **config)
+        if image_encoder_names:
+            vqa = BatchedVQAService(
+                pipeline, image_encoder_names,
+                max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+            )
+        else:
+            answerer = BatchedAnswerService(
+                pipeline, max_batch=args.max_batch,
+                max_wait_ms=args.max_wait_ms,
+            )
     else:
         retrieval = BatchedRetrievalService(
             retrieval_pipeline, max_batch=args.max_batch,
             max_wait_ms=args.max_wait_ms,
         )
     server = make_http_server(host=args.host, port=args.port,
-                              retrieval=retrieval, answerer=answerer)
-    return server, [s for s in (retrieval, answerer) if s is not None]
+                              retrieval=retrieval, answerer=answerer,
+                              vqa=vqa)
+    return server, [s for s in (retrieval, answerer, vqa)
+                    if s is not None]
 
 
 def cmd_server(args):
