@@ -62,6 +62,31 @@ def test_batcher_propagates_process_errors():
     b.close()
 
 
+def test_batcher_max_inflight_overlaps_batches():
+    """max_inflight=2 runs two micro-batches concurrently (cross-batch
+    pipelining); results still land on the right futures."""
+    active = []
+    peak = []
+    lock = threading.Lock()
+
+    def process(items):
+        with lock:
+            active.append(1)
+            peak.append(len(active))
+        time.sleep(0.05)
+        with lock:
+            active.pop()
+        return [x * 10 for x in items]
+
+    b = DynamicBatcher(process, max_batch=4, max_wait_ms=1.0,
+                       max_inflight=2)
+    futures = [b.submit(i) for i in range(32)]
+    results = [f.result(timeout=10) for f in futures]
+    b.close()
+    assert results == [i * 10 for i in range(32)]
+    assert max(peak) == 2  # genuinely overlapped, and bounded
+
+
 def test_batcher_close_drains_pending():
     done = []
 

@@ -16,6 +16,6 @@ stage kernels, Pallas kernels on the hot paths (MIPS scoring, image
 preprocessing), bf16 matmuls with fp32 accumulation.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
 
 from viquae_tpu.core import mesh as mesh  # noqa: F401

@@ -661,16 +661,19 @@ def build_server_from_config(args):
             vqa = BatchedVQAService(
                 pipeline, image_encoder_names,
                 max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+                max_inflight=getattr(args, "max_inflight", 1),
             )
         else:
             answerer = BatchedAnswerService(
                 pipeline, max_batch=args.max_batch,
                 max_wait_ms=args.max_wait_ms,
+                max_inflight=getattr(args, "max_inflight", 1),
             )
     else:
         retrieval = BatchedRetrievalService(
             retrieval_pipeline, max_batch=args.max_batch,
             max_wait_ms=args.max_wait_ms,
+            max_inflight=getattr(args, "max_inflight", 1),
         )
     server = make_http_server(host=args.host, port=args.port,
                               retrieval=retrieval, answerer=answerer,
@@ -826,6 +829,8 @@ def register_aux(sub, add_config_arg, add_config_positional):
     p.add_argument("--m-passages", type=int, default=24)
     p.add_argument("--max-batch", type=int, default=64)
     p.add_argument("--max-wait-ms", type=float, default=10.0)
+    p.add_argument("--max-inflight", type=int, default=2,
+                   help="concurrent micro-batches (cross-batch pipelining)")
     p.set_defaults(fn=cmd_server)
 
     p = sub.add_parser(

@@ -47,18 +47,28 @@ class DynamicBatcher:
 
     def __init__(self, process: Callable[[List], List],
                  max_batch: int = 64, max_wait_ms: float = 10.0,
-                 name: str = "batcher"):
+                 name: str = "batcher", max_inflight: int = 1):
         if max_batch < 1:
             raise ValueError(f"max_batch must be >= 1, got {max_batch}")
+        if max_inflight < 1:
+            raise ValueError(
+                f"max_inflight must be >= 1, got {max_inflight}")
         self.process = process
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1e3
         self.n_dispatches = 0
         self.n_items = 0
         self._queue: queue.Queue = queue.Queue()
+        # >1 overlaps micro-batches: while batch n's device work drains,
+        # batch n+1 tokenizes/packs/dispatches — the cross-batch pipelining
+        # a single pipeline.run() gets internally. process() must be
+        # re-entrant (the jitted pipelines are).
+        self._inflight = threading.Semaphore(max_inflight)
+        self._stats_lock = threading.Lock()
         self._thread = threading.Thread(
             target=self._loop, daemon=True, name=f"viquae-{name}")
         self._closed = False
+        self._workers: List[threading.Thread] = []
         self._thread.start()
 
     def submit(self, item) -> Future:
@@ -78,6 +88,8 @@ class DynamicBatcher:
             self._closed = True
             self._queue.put(_SHUTDOWN)
             self._thread.join()
+            for worker in list(self._workers):
+                worker.join()
 
     def _collect(self) -> Optional[List]:
         """Block for the first item, then batch up to max_batch or until
@@ -102,13 +114,10 @@ class DynamicBatcher:
             batch.append(item)
         return batch
 
-    def _loop(self):
-        while True:
-            batch = self._collect()
-            if batch is None:
-                return
-            items = [item for item, _ in batch]
-            futures = [future for _, future in batch]
+    def _run_batch(self, batch):
+        items = [item for item, _ in batch]
+        futures = [future for _, future in batch]
+        try:
             try:
                 results = self.process(items)
                 if len(results) != len(items):
@@ -119,11 +128,28 @@ class DynamicBatcher:
             except BaseException as e:  # noqa: BLE001 — deliver to callers
                 for future in futures:
                     future.set_exception(e)
-                continue
-            self.n_dispatches += 1
-            self.n_items += len(items)
+                return
+            with self._stats_lock:
+                self.n_dispatches += 1
+                self.n_items += len(items)
             for future, result in zip(futures, results):
                 future.set_result(result)
+        finally:
+            self._inflight.release()
+
+    def _loop(self):
+        while True:
+            batch = self._collect()
+            if batch is None:
+                return
+            self._inflight.acquire()
+            worker = threading.Thread(
+                target=self._run_batch, args=(batch,), daemon=True,
+                name=f"{self._thread.name}-run")
+            self._workers.append(worker)
+            self._workers = [w for w in self._workers if w.is_alive()
+                             or w is worker]
+            worker.start()
 
 
 def _pad_queries(queries: Sequence[str], max_batch: int) -> List[str]:
@@ -141,12 +167,12 @@ class BatchedRetrievalService:
     """
 
     def __init__(self, pipeline, max_batch: int = 64,
-                 max_wait_ms: float = 10.0):
+                 max_wait_ms: float = 10.0, max_inflight: int = 1):
         self.pipeline = pipeline
         self.max_batch = max_batch
         self.batcher = DynamicBatcher(
             self._process, max_batch=max_batch, max_wait_ms=max_wait_ms,
-            name="retrieval",
+            name="retrieval", max_inflight=max_inflight,
         )
 
     def _process(self, queries: List[str]) -> List[dict]:
@@ -177,12 +203,12 @@ class BatchedAnswerService:
     """DynamicBatcher over ir.qa_serving.AnswerPipeline: question -> answer."""
 
     def __init__(self, pipeline, max_batch: int = 64,
-                 max_wait_ms: float = 25.0):
+                 max_wait_ms: float = 25.0, max_inflight: int = 1):
         self.pipeline = pipeline
         self.max_batch = max_batch
         self.batcher = DynamicBatcher(
             self._process, max_batch=max_batch, max_wait_ms=max_wait_ms,
-            name="answer",
+            name="answer", max_inflight=max_inflight,
         )
 
     def _process(self, questions: List[str]) -> List[dict]:
@@ -216,13 +242,14 @@ class BatchedVQAService:
     """
 
     def __init__(self, pipeline, image_index_names: Sequence[str],
-                 max_batch: int = 64, max_wait_ms: float = 25.0):
+                 max_batch: int = 64, max_wait_ms: float = 25.0,
+                 max_inflight: int = 1):
         self.pipeline = pipeline
         self.image_index_names = list(image_index_names)
         self.max_batch = max_batch
         self.batcher = DynamicBatcher(
             self._process, max_batch=max_batch, max_wait_ms=max_wait_ms,
-            name="vqa",
+            name="vqa", max_inflight=max_inflight,
         )
 
     def _process(self, items: List) -> List[dict]:
