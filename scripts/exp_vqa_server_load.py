@@ -56,11 +56,21 @@ def main():
         mtcnn, qa
     from viquae_tpu.ops import mips
 
-    BATCH, M = 256, 24
+    # max_inflight=2 doubles per-program scratch HBM (each in-flight
+    # 3-index program materializes its own score buffers): batch 256 x
+    # inflight 2 OOMed on 2026-08-18's ~6-7GB-free shared chip. 128 x 2
+    # carries the same total throughput with half the scratch.
+    BATCH, M = 128, 24
     n_kb, n_face_kb = 1_500_000, 506_237
     dim_t, dim_i, dim_f = 768, 512, 512
     key = jax.random.key(0)
     rng = np.random.default_rng(0)
+
+    t_start = time.perf_counter()
+
+    def mark(stage):
+        print(f"[{time.perf_counter() - t_start:7.1f}s] {stage}",
+              file=sys.stderr, flush=True)
 
     with tempfile.TemporaryDirectory() as td:
         vocab = (["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
@@ -70,6 +80,7 @@ def main():
             f.write("\n".join(vocab))
         tok = BertTokenizerFast(vocab_file=vpath, do_lower_case=True)
 
+    mark("tokenizer built")
     dcfg = dpr.DPRConfig(bert=bert.BertConfig(
         vocab_size=len(vocab) + 12, add_pooler=False))
     to16 = lambda t: jax.tree_util.tree_map(  # noqa: E731
@@ -78,6 +89,7 @@ def main():
     emb = PackedTextEmbedder(dpr.make_packed_apply(dcfg), d_params, tok,
                              row_len=64, batch_size=BATCH)
 
+    mark("dpr params + embedder")
     vcfg = clip_lib.CLIPVisionConfig()
     clip_enc = ImageEmbedder(
         lambda p, x: clip_lib.vit_apply(
@@ -91,25 +103,44 @@ def main():
                                     thresholds=(0.5, 0.5, 0.5)),
         batch_size=64)
 
-    def kbmat(seed, n, d):
-        return (jax.random.normal(jax.random.fold_in(key, seed), (n, d),
-                                  jnp.bfloat16) / np.sqrt(d))
+    mark("towers built")
+
+    def make_index(seed, n, d, mode, l2norm=False):
+        # keep the KB device-resident: DenseIndex(vectors) would round-trip
+        # the device-generated matrix through host numpy — 4.3GB over the
+        # ~13 MB/s tunnel was 20+ min of setup. Build a 1-row shell and
+        # swap the matrix in (the serve_bench.py pattern).
+        n_pad = n + ((-n) % 8)
+        mat = (jax.random.normal(jax.random.fold_in(key, seed), (n_pad, d),
+                                 jnp.bfloat16) / np.sqrt(d))
+        if l2norm:
+            mat = mat / jnp.linalg.norm(
+                mat.astype(jnp.float32), axis=1, keepdims=True
+            ).astype(mat.dtype)
+        # the shell carries do_l2norm so QUERY features are normalized at
+        # search time (the KB side is normalized on device above)
+        idx = mips.DenseIndex(np.zeros((1, d), np.float32), mode=mode,
+                              do_l2norm=l2norm)
+        idx.matrix, idx.n, idx.dtype = mat, n, jnp.bfloat16
+        sync(mat)
+        return idx
+
+    def sync(x):
+        return np.asarray(jax.tree_util.tree_leaves(x)[0].ravel()[:1])
 
     indexes = {
-        "dpr": mips.DenseIndex(kbmat(11, n_kb, dim_t), mode="global",
-                               dtype=jnp.bfloat16),
-        "clip": mips.DenseIndex(kbmat(12, n_kb, dim_i), do_l2norm=True,
-                                mode="approx", dtype=jnp.bfloat16),
-        "face": mips.DenseIndex(kbmat(13, n_face_kb, dim_f),
-                                do_l2norm=True, mode="approx",
-                                dtype=jnp.bfloat16),
+        "dpr": make_index(11, n_kb, dim_t, "global"),
+        "clip": make_index(12, n_kb, dim_i, "approx", l2norm=True),
+        "face": make_index(13, n_face_kb, dim_f, "approx", l2norm=True),
     }
     retrieval = MultiIndexRetrievalPipeline(
         emb, indexes, {"dpr": 0.6, "clip": 0.2, "face": 0.2},
         text_index="dpr", batch_size=BATCH, k=M,
         image_encoders={"clip": clip_enc}, face_encoders={"face": face_enc})
 
+    mark("indexes + retrieval built")
     kb_tokens = rng.integers(5, 20_000, (n_kb, 100)).astype(np.int32)
+    mark("kb tokens generated")
     rcfg = qa.ReaderConfig(bert=bert.BertConfig(
         vocab_size=len(vocab) + 12, add_pooler=False))
     r_params = to16(qa.init(jax.random.fold_in(key, 5), rcfg))
@@ -125,17 +156,27 @@ def main():
             rng.integers(0, 255, (256, 256, 3), dtype=np.uint8))
         return q, {"clip": img, "face": img}
 
-    service = BatchedVQAService(pipe, ["clip", "face"], max_batch=BATCH,
-                                max_wait_ms=20.0, max_inflight=2)
-    t0 = time.perf_counter()
-    q, imgs = make_item()
-    service.answer(q, imgs, timeout=1800)
-    print(f"warmup (compile) {time.perf_counter() - t0:.1f}s", flush=True)
-    q, imgs = make_item()
-    service.answer(q, imgs, timeout=600)
+    phase = os.environ.get("VQA_PHASE", "both")  # service|interactive|both
 
+    if phase == "interactive":
+        service = None
+    else:
+        service = BatchedVQAService(pipe, ["clip", "face"],
+                                    max_batch=BATCH, max_wait_ms=20.0,
+                                    max_inflight=2)
     results = {}
-    for concurrency, per_client in ((1, 4), (64, 3), (256, 3)):
+    if service is None:
+        levels = ()
+    else:
+        t0 = time.perf_counter()
+        q, imgs = make_item()
+        service.answer(q, imgs, timeout=1800)
+        print(f"warmup (compile) {time.perf_counter() - t0:.1f}s",
+              flush=True)
+        q, imgs = make_item()
+        service.answer(q, imgs, timeout=600)
+        levels = ((1, 4), (64, 3), (256, 3))
+    for concurrency, per_client in levels:
         latencies = []
         lock = threading.Lock()
 
@@ -165,8 +206,56 @@ def main():
                "answers_per_s": round(len(arr) / wall, 1)}
         results[concurrency] = row
         print(json.dumps(row), flush=True)
-    service.close()
-    print(json.dumps({"summary": results}, indent=1))
+    if service is not None:
+        service.close()
+    if phase == "service":
+        print(json.dumps({"summary": results}, indent=1))
+        return
+
+    # ---- interactive pixels-in latency: batch-1 programs pinned to
+    # small shapes (the "one user asks about one image" number, the
+    # multimodal counterpart of exp_answer_latency's 112.6 ms text QA) ----
+    mark("service phase done; building interactive batch-1 pipeline")
+    emb1 = PackedTextEmbedder(dpr.make_packed_apply(dcfg), d_params, tok,
+                              row_len=64, batch_size=1, fixed_rows=8)
+    clip1 = ImageEmbedder(
+        lambda p, x: clip_lib.vit_apply(
+            p, vcfg, x, compute_dtype=jnp.bfloat16)["image_embeds"],
+        clip_enc.params, save_as="clip", batch_size=1,
+        compute_dtype=jnp.bfloat16)
+    face1 = FaceQueryEncoder(
+        face_enc.mtcnn_params,
+        face_enc.embedder.params,
+        mtcnn_cfg=face_enc.mtcnn_cfg, batch_size=1)
+    retrieval1 = MultiIndexRetrievalPipeline(
+        emb1, indexes, {"dpr": 0.6, "clip": 0.2, "face": 0.2},
+        text_index="dpr", batch_size=1, k=M,
+        image_encoders={"clip": clip1}, face_encoders={"face": face1})
+    pipe1 = AnswerPipeline(
+        retrieval1, TokenKB(kb_tokens), rcfg, r_params, tok,
+        m_passages=M, reader_seq=160, questions_per_step=1,
+        passage_tokens_key="passage_tokens", packed_reader=True,
+        packed_rows=32, compute_dtype=jnp.bfloat16)
+    q, imgs = make_item()
+    t0 = time.perf_counter()
+    pipe1.run([q], query_images={k: [v] for k, v in imgs.items()})
+    mark(f"interactive compile {time.perf_counter() - t0:.1f}s")
+    lat = []
+    for _ in range(12):
+        q, imgs = make_item()
+        t0 = time.perf_counter()
+        out = pipe1.run([q], query_images={k: [v] for k, v in imgs.items()})
+        lat.append((time.perf_counter() - t0) * 1e3)
+        assert out[0]["answer"] is not None
+    lat = np.sort(lat)
+    interactive = {
+        "p50_ms": round(float(np.percentile(lat, 50)), 1),
+        "min_ms": round(float(lat[0]), 1),
+        "p99_ms": round(float(np.percentile(lat, 99)), 1),
+    }
+    print(json.dumps({"interactive_single_vqa": interactive}), flush=True)
+    print(json.dumps({"summary": results,
+                      "interactive_single_vqa": interactive}, indent=1))
 
 
 if __name__ == "__main__":
