@@ -343,6 +343,14 @@ def main():
     row_len = 64
     k = 100
     q_pad = 1280  # CLS slots padded to an MXU-friendly count
+    # degraded half-batch protocol (attempt 3): free HBM on this SHARED
+    # chip fluctuates (observed 2026-08-18: 8GB single allocs failing);
+    # when two full-batch attempts OOM, halving the query batch halves
+    # the 3.8GB score buffer and every downstream serving batch — a lower
+    # but honest number beats no BENCH at all
+    degraded = os.environ.get("VIQUAE_BENCH_HALF") == "1"
+    if degraded:
+        n_queries, q_pad = 628, 640
 
     key = jax.random.key(0)
     kb = jax.random.normal(jax.random.fold_in(key, 1), (n_kb, dim), jnp.bfloat16)
@@ -361,6 +369,8 @@ def main():
     # realistic question lengths (see module docstring); fixed seed keeps the
     # packed canvas shape stable across runs -> compile-cache hits
     rng = np.random.default_rng(0)
+    # n_queries=1257 always draws the same lengths for the same seed; the
+    # degraded protocol takes a prefix of the same distribution
     lengths = np.clip(
         np.round(rng.lognormal(np.log(18.0), 0.35, n_queries)), 8, row_len
     ).astype(int)
@@ -686,6 +696,10 @@ def main():
             "kb_rows": n_kb,
             "dim": dim,
             "k": k,
+            **({"degraded_half_batch":
+                f"{n_queries} queries / {q_pad}-slot canvas (two "
+                "full-batch attempts OOMed; shared-chip HBM floor)"}
+               if degraded else {}),
             "batch_ms": round(dt * 1e3, 2),
             "compile_s": round(compile_s, 1),
             "encoder": "dpr-bert-base bf16, packed canvas "
@@ -756,12 +770,25 @@ if __name__ == "__main__":
         # PJRT client re-initializes, and the watchdog budget re-arms —
         # an in-process retry held attempt 1's kb/kbt alive through the
         # traceback and re-allocated on a near-full chip.
-        if os.environ.get("VIQUAE_BENCH_RETRY") == "1":
+        attempt = os.environ.get("VIQUAE_BENCH_RETRY", "0")
+        if attempt == "2" or (
+            attempt == "1"
+            and "RESOURCE_EXHAUSTED" not in repr(e)
+        ):
             raise
-        print(f"bench attempt 1 failed ({e!r}); retrying in a fresh "
-              f"process", file=sys.stderr)
+        if attempt == "1":
+            # two full-batch attempts failed on HBM: final attempt runs
+            # the half-batch protocol (halves the score buffer + every
+            # serving batch) so the driver still records a number
+            print(f"bench attempt 2 failed on HBM ({e!r}); final attempt "
+                  "runs the degraded half-batch protocol", file=sys.stderr)
+            env = dict(os.environ, VIQUAE_BENCH_RETRY="2",
+                       VIQUAE_BENCH_HALF="1")
+        else:
+            print(f"bench attempt 1 failed ({e!r}); retrying in a fresh "
+                  f"process", file=sys.stderr)
+            env = dict(os.environ, VIQUAE_BENCH_RETRY="1")
         sys.stderr.flush()
-        env = dict(os.environ, VIQUAE_BENCH_RETRY="1")
         os.execve(sys.executable,
                   [sys.executable, os.path.abspath(__file__)], env)
     timer.cancel()

@@ -8,6 +8,30 @@ import pytest
 from viquae_tpu.cli import main as cli_main
 
 
+ALL_SUBCOMMANDS = [
+    # cli.py
+    "passages", "mapping", "relevant", "embed", "search", "serve",
+    "answer", "fuse", "hp", "faces", "face-embed", "embed-image",
+    "resize", "stats", "train",
+    # cli_aux.py
+    "kilt2vqa", "sentences", "face-box", "wikidump", "wit", "labelstudio",
+    "mscelebs", "evqa", "infoseek", "html", "plot", "wtl-filter",
+    "save-ptm", "server", "interact",
+]
+
+
+def test_every_subcommand_registered():
+    """--help must parse for every documented subcommand (a registration
+    or argparse-conflict regression fails here, not in a user's shell)."""
+    for cmd in ALL_SUBCOMMANDS:
+        with pytest.raises(SystemExit) as exc:
+            cli_main([cmd, "--help"])
+        assert exc.value.code == 0, cmd
+    # and the total count matches the documented surface
+    with pytest.raises(SystemExit):
+        cli_main(["--help"])
+
+
 # ---------------------------------------------------------------------------
 # kilt2vqa chain: ner -> ned -> count-entities -> mentions -> vq -> tasks
 # ---------------------------------------------------------------------------
