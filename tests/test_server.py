@@ -264,6 +264,8 @@ def test_http_server_end_to_end(retrieval_pipeline):
         assert _post(f"{base}/search", {})[0] == 400
         assert _post(f"{base}/search", {"queries": []})[0] == 400
         assert _post(f"{base}/search", {"queries": ["ok", ""]})[0] == 400
+        assert _post(f"{base}/search", [1, 2, 3])[0] == 400  # non-dict body
+        assert _post(f"{base}/search", "queries")[0] == 400
         assert _post(f"{base}/answer", {"question": "x"})[0] == 404
         assert _post(f"{base}/nope", {})[0] == 404
     finally:
@@ -523,6 +525,12 @@ def test_vqa_service_http_end_to_end(tmp_path):
         # a question WITHOUT an image still answers (None-masked img leg)
         status, body = _post(f"{base}/answer", {"question": "w5 w6"})
         assert status == 200 and body["answer"] is not None
+
+        # the text-only batch form works on a fusion server too
+        status, body = _post(f"{base}/answer",
+                             {"questions": ["w5 w6", "w9 w8"]})
+        assert status == 200 and len(body["results"]) == 2
+        assert all(r["answer"] is not None for r in body["results"])
 
         # bad image payloads are client errors
         status, body = _post(f"{base}/answer", {

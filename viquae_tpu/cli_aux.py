@@ -245,10 +245,17 @@ def cmd_labelstudio(args):
         Path(args.output).write_text(json.dumps(merged, indent=1))
         print(json.dumps({"tasks": len(merged)}))
     elif args.subcommand == "agreement":
-        tasks = labelstudio.load_completions(args.paths[0])
+        # multiple exports merge first (agreement needs the per-task union
+        # of annotations; reading only paths[0] would silently compute it
+        # over a fraction of the annotators)
+        tasks = (labelstudio.merge_completions(args.paths)
+                 if len(args.paths) > 1
+                 else labelstudio.load_completions(args.paths[0]))
         print(json.dumps(labelstudio.annotator_agreement(tasks)))
     elif args.subcommand == "assign":
-        tasks = labelstudio.load_completions(args.paths[0])
+        tasks = (labelstudio.merge_completions(args.paths)
+                 if len(args.paths) > 1
+                 else labelstudio.load_completions(args.paths[0]))
         assignments = labelstudio.assign_annotations(
             tasks, args.n_annotators, overlap=args.overlap
         )
@@ -261,7 +268,9 @@ def cmd_labelstudio(args):
             "tasks_each": [len(c) for c in assignments],
         }))
     else:  # vqa: annotated tasks -> final (question, answer, image) triples
-        tasks = labelstudio.load_completions(args.paths[0])
+        tasks = (labelstudio.merge_completions(args.paths)
+                 if len(args.paths) > 1
+                 else labelstudio.load_completions(args.paths[0]))
         vqa = [labelstudio.retrieve_vqa(t) for t in tasks]
         vqa = [v for v in vqa if v is not None and not v["discard"]]
         Path(args.output).write_text(json.dumps(vqa, indent=1))
@@ -363,6 +372,11 @@ def cmd_infoseek(args):
         )
     else:
         splits = args.split or [Path(p).stem for p in args.predictions]
+        if len(splits) != len(args.predictions):
+            raise SystemExit(
+                f"--split names {len(splits)} splits for "
+                f"{len(args.predictions)} prediction files — zip would "
+                "silently drop files")
         out = infoseek.evaluate_infoseek_full(
             {s: _read_jsonl(p) for s, p in zip(splits, args.predictions)},
             qid2example,
@@ -394,6 +408,9 @@ def cmd_html(args):
 def cmd_plot(args):
     from viquae_tpu.viz.projection import dataset_plot
 
+    # without --output the Agg backend renders nothing and the figure is
+    # never saved — a silent no-op that used to print {"saved": null}
+    _require(args.output, "--output", "plot")
     kwargs = load_config(args.config) if args.config else {}
     dataset_plot(
         args.dataset, args.column, label_column=args.labels,
@@ -463,6 +480,9 @@ def cmd_interact(args):
     embedder = PackedTextEmbedder(
         dpr_lib.make_packed_apply(model.cfg), model.params, tokenizer,
         row_len=config.pop("row_len", 64), batch_size=args.batch,
+        # server configs pin the canvas; honor (and consume) the key here
+        # too so the same config file drives both commands
+        fixed_rows=config.pop("fixed_rows", None),
     )
     reader_cfg = config.pop("reader", None)
     if reader_cfg is not None:

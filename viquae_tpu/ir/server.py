@@ -28,6 +28,7 @@ import queue
 import threading
 import time
 from concurrent.futures import Future
+from concurrent.futures import TimeoutError as FuturesTimeoutError
 from typing import Callable, List, Optional, Sequence
 
 import numpy as np
@@ -65,6 +66,7 @@ class DynamicBatcher:
         # re-entrant (the jitted pipelines are).
         self._inflight = threading.Semaphore(max_inflight)
         self._stats_lock = threading.Lock()
+        self._close_lock = threading.Lock()
         self._thread = threading.Thread(
             target=self._loop, daemon=True, name=f"viquae-{name}")
         self._closed = False
@@ -72,10 +74,14 @@ class DynamicBatcher:
         self._thread.start()
 
     def submit(self, item) -> Future:
-        if self._closed:
-            raise RuntimeError("batcher is closed")
         future: Future = Future()
-        self._queue.put((item, future))
+        # the lock closes the check-then-enqueue race with close(): without
+        # it an item could land BEHIND the shutdown sentinel and its future
+        # would never resolve
+        with self._close_lock:
+            if self._closed:
+                raise RuntimeError("batcher is closed")
+            self._queue.put((item, future))
         return future
 
     def __call__(self, item, timeout: Optional[float] = None):
@@ -84,12 +90,14 @@ class DynamicBatcher:
 
     def close(self):
         """Drain pending work, then stop the dispatcher thread."""
-        if not self._closed:
+        with self._close_lock:
+            if self._closed:
+                return
             self._closed = True
             self._queue.put(_SHUTDOWN)
-            self._thread.join()
-            for worker in list(self._workers):
-                worker.join()
+        self._thread.join()
+        for worker in list(self._workers):
+            worker.join()
 
     def _collect(self) -> Optional[List]:
         """Block for the first item, then batch up to max_batch or until
@@ -303,7 +311,8 @@ def _decode_image_payload(payload, image_index_names):
 # HTTP front (stdlib only)
 # ---------------------------------------------------------------------------
 def make_http_server(host: str = "127.0.0.1", port: int = 0,
-                     retrieval=None, answerer=None, vqa=None):
+                     retrieval=None, answerer=None, vqa=None,
+                     request_timeout_s: float = 600.0):
     """ThreadingHTTPServer over the batched services.
 
     POST /search {"query": str}   -> {"indices": [...], "scores": [...]}
@@ -352,6 +361,12 @@ def make_http_server(host: str = "127.0.0.1", port: int = 0,
                 payload = json.loads(self.rfile.read(length) or b"{}")
             except (ValueError, json.JSONDecodeError):
                 return self._reply(400, {"error": "invalid JSON body"})
+            if not isinstance(payload, dict):
+                # a JSON list/string body would otherwise surface as a
+                # confusing 500 (substring 'in' checks, .get attribute
+                # errors) — it is a client error
+                return self._reply(400, {"error": "body must be a JSON "
+                                                  "object"})
             try:
                 if self.path == "/search":
                     if retrieval is None:
@@ -366,14 +381,35 @@ def make_http_server(host: str = "127.0.0.1", port: int = 0,
                                 "error": "'queries' must be a non-empty "
                                          "list of non-empty strings"})
                         return self._reply(
-                            200, {"results": retrieval.search_many(queries)})
+                            200, {"results": retrieval.search_many(
+                                queries, timeout=request_timeout_s)})
                     query = payload.get("query", "")
                     if not isinstance(query, str) or not query.strip():
                         return self._reply(400, {"error": "need a "
                                                           "non-empty 'query'"})
-                    return self._reply(200, retrieval.search(query))
+                    return self._reply(200, retrieval.search(
+                        query, timeout=request_timeout_s))
                 if self.path == "/answer":
                     if vqa is not None:
+                        if "questions" in payload:
+                            # text-only batch form works on a fusion
+                            # server too (image legs None-masked)
+                            questions = payload["questions"]
+                            if (not isinstance(questions, list)
+                                    or not questions
+                                    or not all(isinstance(q, str)
+                                               and q.strip()
+                                               for q in questions)):
+                                return self._reply(400, {
+                                    "error": "'questions' must be a "
+                                             "non-empty list of non-empty "
+                                             "strings"})
+                            futures = [vqa.batcher.submit((q, {}))
+                                       for q in questions]
+                            return self._reply(200, {"results": [
+                                f.result(timeout=request_timeout_s)
+                                for f in futures
+                            ]})
                         question = payload.get("question", "")
                         if (not isinstance(question, str)
                                 or not question.strip()):
@@ -386,7 +422,8 @@ def make_http_server(host: str = "127.0.0.1", port: int = 0,
                         except ValueError as e:
                             return self._reply(400, {"error": str(e)})
                         return self._reply(
-                            200, vqa.answer(question, images))
+                            200, vqa.answer(question, images,
+                                            timeout=request_timeout_s))
                     if answerer is None:
                         return self._reply(404, {"error": "no answer "
                                                           "service"})
@@ -399,13 +436,21 @@ def make_http_server(host: str = "127.0.0.1", port: int = 0,
                                 "error": "'questions' must be a non-empty "
                                          "list of non-empty strings"})
                         return self._reply(
-                            200, {"results": answerer.answer_many(questions)})
+                            200, {"results": answerer.answer_many(
+                                questions, timeout=request_timeout_s)})
                     question = payload.get("question", "")
                     if not isinstance(question, str) or not question.strip():
                         return self._reply(
                             400, {"error": "need a non-empty 'question'"})
-                    return self._reply(200, answerer.answer(question))
+                    return self._reply(200, answerer.answer(
+                        question, timeout=request_timeout_s))
                 return self._reply(404, {"error": "unknown path"})
+            except FuturesTimeoutError:
+                # a hung device dispatch (the tunnel CAN hang a dispatch
+                # indefinitely) must surface as a gateway timeout, not
+                # wedge every request thread forever
+                return self._reply(504, {
+                    "error": f"request exceeded {request_timeout_s:.0f}s"})
             except Exception as e:  # noqa: BLE001 — report, don't kill the server
                 return self._reply(500, {"error": repr(e)})
 
