@@ -671,3 +671,35 @@ def test_streaming_index_add(devices):
         queries, np.concatenate([base, extra]), 30)
     np.testing.assert_array_equal(i, ref_i)
     np.testing.assert_allclose(s, ref_s, rtol=2e-5, atol=2e-5)
+
+
+def test_streaming_index_empty_and_step_cache(devices):
+    """Empty index returns sentinel rows (start-empty-then-add flow); the
+    jitted merge step is built ONCE per instance (a per-call closure
+    retraced every search)."""
+    d = 16
+    idx = mips.StreamingDenseIndex(
+        np.zeros((0, d), np.float32), chunk_rows=256, dtype=jnp.float32)
+    queries = np.random.default_rng(0).standard_normal((3, d)).astype(
+        np.float32)
+    s, i = idx.search_batch(queries, k=5)
+    assert s.shape == (3, 5) and (s == mips.NEG_INF).all()
+    assert (i == mips.INT32_MAX).all()
+    assert idx._get_step() is idx._get_step()
+
+    idx.add(np.eye(d, dtype=np.float32)[:4] * 3.0)
+    s, i = idx.search_batch(queries, k=2)
+    assert (i != mips.INT32_MAX).all()  # added rows searchable
+
+
+def test_dense_index_rows_128_aligned(devices):
+    """Non-fused DenseIndex matrices are stored 128-row aligned so
+    topk_global's in-jit pad (a full-KB device copy otherwise) is a
+    no-op."""
+    rng = np.random.default_rng(3)
+    kb = rng.standard_normal((333, 16)).astype(np.float32)
+    for mode in ("global", "approx", "fast"):
+        index = mips.DenseIndex(kb, mode=mode, dtype=jnp.float32)
+        assert index.matrix.shape[0] % 128 == 0, mode
+        s, i = index.search_batch(kb[:4], k=3)
+        assert (np.asarray(i)[:, 0] == np.arange(4)).all()  # self-hit

@@ -290,14 +290,23 @@ class FusedRetrievalPipeline(RetrievalPipeline):
 
     def run_arrays(self, queries: List[str]
                    ) -> Tuple[np.ndarray, np.ndarray]:
+        return self._drain_arrays(self._canvas_stream(queries),
+                                  len(queries))
+
+    def _drain_arrays(self, canvas_stream, n
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+        """Shared drain of a (start, n_real, scores16, idx) stream into
+        host arrays: async copies start at dispatch, the lagged drain
+        overlaps batch i's host formatting with batch i+1's compute. One
+        implementation for all pipelines (the fused/multi-index copies of
+        this loop had already started to drift)."""
         import ml_dtypes
 
-        n = len(queries)
         scores_out = np.empty((n, self.k), np.float32)
         idx_out = np.empty((n, self.k), np.int64)
 
         def stream():
-            for start, n_real, scores16, idx in self._canvas_stream(queries):
+            for start, n_real, scores16, idx in canvas_stream:
                 for arr in (scores16, idx):
                     if hasattr(arr, "copy_to_host_async"):
                         arr.copy_to_host_async()
@@ -556,34 +565,13 @@ class MultiIndexRetrievalPipeline(FusedRetrievalPipeline):
                     f"{n} queries")
 
     def run_arrays(self, queries, query_features=None, query_images=None):
-        import ml_dtypes
-
         query_features = query_features or {}
         query_images = query_images or {}
         self._validate_inputs(queries, query_features, query_images)
-        n = len(queries)
-        scores_out = np.empty((n, self.k), np.float32)
-        idx_out = np.empty((n, self.k), np.int64)
-
-        def stream():
-            for item in self._canvas_stream(queries, query_features,
-                                            query_images):
-                for arr in item[2:]:
-                    if hasattr(arr, "copy_to_host_async"):
-                        arr.copy_to_host_async()
-                yield item
-
-        def drain_one(item):
-            start, n_real, scores16, idx = item
-            with self.timer.stage("drain_to_host"):
-                scores_out[start: start + n_real] = (
-                    np.asarray(scores16)[:n_real]
-                    .view(ml_dtypes.bfloat16).astype(np.float32)
-                )
-                idx_out[start: start + n_real] = np.asarray(idx)[:n_real]
-
-        self._drain_lagged(stream(), drain_one)
-        return scores_out, idx_out
+        return self._drain_arrays(
+            self._canvas_stream(queries, query_features, query_images),
+            len(queries),
+        )
 
     def run(self, query_ids, queries, query_features=None,
             query_images=None):

@@ -443,8 +443,11 @@ class DenseIndex:
         n_dev = self.mesh_ctx.kb_size
         # pad rows so the matrix shards evenly; search masks the padding.
         # fused mode additionally needs each shard tile-aligned for the
-        # Pallas grid
-        block = n_dev * (512 if mode == "fused" else 8)
+        # Pallas grid. Non-fused modes align to _SEG (128): topk_global
+        # pads unaligned KBs to a 128-multiple INSIDE the jit — a full-KB
+        # device copy (~2.3GB at 1.5Mx768 bf16) on every dispatch if the
+        # stored matrix isn't already aligned
+        block = n_dev * (512 if mode == "fused" else _SEG)
         n_pad = meshlib.pad_to_multiple(self.n, block)
         mat = np.zeros((n_pad, self.d), dtype=np.float32)
         mat[: self.n] = vectors
@@ -482,45 +485,55 @@ class DenseIndex:
             q = jnp.asarray(np.asarray(queries), dtype=jnp.float32)
         if self.do_l2norm:
             q = l2_normalize(q)
-        k = min(k, self.n)
+        # snapshot the COUNT before the MATRIX (the documented live-add
+        # ordering: add() binds the matrix first and the count last, so
+        # count-then-matrix can only lag — matrix-then-count could mask
+        # old-matrix alignment padding as valid rows that score 0.0)
+        n = self.n
+        matrix = self.matrix
+        k = min(k, n)
         if self.mode == "fused":
+            # the Pallas kernel is bf16-only: cast queries like the
+            # serving entry point (ir/serving._device_search) does, so
+            # both entry points score identically
+            q = q.astype(self.dtype)
             if self.mesh_ctx.kb_size > 1:
                 scores, idx = topk_sharded(
-                    q, self.matrix, k, mesh_ctx=self.mesh_ctx,
-                    valid_rows=self.n, compute_dtype=self.dtype,
+                    q, matrix, k, mesh_ctx=self.mesh_ctx,
+                    valid_rows=n, compute_dtype=self.dtype,
                     mode="fused",
                 )
             else:
                 from viquae_tpu.ops import mips_pallas
 
                 scores, idx = mips_pallas.topk_fused(
-                    q, self.matrix, k, valid_rows=jnp.int32(self.n)
+                    q, matrix, k, valid_rows=jnp.int32(n)
                 )
         elif self.mesh_ctx.kb_size > 1:
             scores, idx = topk_sharded(
-                q, self.matrix, k, mesh_ctx=self.mesh_ctx,
-                chunk_size=self.chunk_size, valid_rows=self.n,
+                q, matrix, k, mesh_ctx=self.mesh_ctx,
+                chunk_size=self.chunk_size, valid_rows=n,
                 compute_dtype=self.dtype, mode=self.mode,
                 recall_target=self.approx_recall_target,
             )
         elif self.mode in ("global", "approx") or (
             self.mode == "fast"
-            and q.shape[0] * self.matrix.shape[0]
+            and q.shape[0] * matrix.shape[0]
             * (4 if self.dtype == jnp.float32 else 2) <= 4 * 2 ** 30
         ):
             # single-pass global selection: 2x the chunked path when the
             # (Q, N) bf16 score matrix fits comfortably in HBM; "approx"
             # additionally swaps exact selection for lax.approx_max_k
             scores, idx = topk_global(
-                q, self.matrix, k, valid_rows=jnp.int32(self.n),
+                q, matrix, k, valid_rows=jnp.int32(n),
                 compute_dtype=self.dtype,
                 mode="approx" if self.mode == "approx" else "exact",
                 recall_target=self.approx_recall_target,
             )
         else:
             scores, idx = topk_single(
-                q, self.matrix, k, chunk_size=self.chunk_size,
-                valid_rows=jnp.int32(self.n), compute_dtype=self.dtype,
+                q, matrix, k, chunk_size=self.chunk_size,
+                valid_rows=jnp.int32(n), compute_dtype=self.dtype,
                 mode=self.mode,
             )
         if not sync:
@@ -557,7 +570,7 @@ class DenseIndex:
         if new_n > n_pad_cur:
             # extend with zero padding to the next aligned size first
             n_dev = self.mesh_ctx.kb_size
-            block = n_dev * (512 if fused else 8)
+            block = n_dev * (512 if fused else _SEG)
             n_pad_new = meshlib.pad_to_multiple(new_n, block)
             if fused:
                 pad = jnp.zeros((self.d, n_pad_new - n_pad_cur), self.dtype)
@@ -704,7 +717,15 @@ class StreamingDenseIndex:
             self._chunks[ci][off] = vectors[row]
         self.n = pos + len(vectors)
 
-    def _build_step(self, k: int):
+    def _get_step(self):
+        """ONE jitted merge step per index instance: jit caches key on the
+        function object, so building a fresh closure per search_batch call
+        (the old shape) retraced — and cold-recompiled — every batch."""
+        if getattr(self, "_step", None) is None:
+            self._step = self._build_step()
+        return self._step
+
+    def _build_step(self):
         import functools
 
         @functools.partial(jax.jit, static_argnames=("k",))
@@ -740,20 +761,32 @@ class StreamingDenseIndex:
         if self.do_l2norm:
             q = l2_normalize(q)
         q = q.astype(self.dtype)
-        k_eff = min(k, self.n)
-        step = self._build_step(k_eff)
         q_count = q.shape[0]
+        # snapshot the count ONCE: each chunk's valid width derives from
+        # the same n as the chunk list length, so a concurrent add() can
+        # only lag a batch — per-iteration self.n reads could count rows
+        # appended AFTER a chunk's upload as valid zeros in the old copy
+        n = self.n
+        if n == 0:
+            empty_s = np.full((q_count, k), NEG_INF, np.float32)
+            empty_i = np.full((q_count, k), INT32_MAX, np.int32)
+            if not sync:
+                return jnp.asarray(empty_s), jnp.asarray(empty_i)
+            return empty_s, empty_i
+        k_eff = min(k, n)
+        step = self._get_step()
+        n_chunks = (n + self.chunk_rows - 1) // self.chunk_rows
         carry_s = jnp.full((q_count, k_eff), NEG_INF, jnp.float32)
         carry_i = jnp.full((q_count, k_eff), INT32_MAX, jnp.int32)
         # double-buffered streaming: the NEXT chunk's device_put is issued
         # before the CURRENT chunk's compute dispatch
         dev = jax.device_put(self._chunks[0])
-        for ci in range(len(self._chunks)):
+        for ci in range(n_chunks):
             nxt = (jax.device_put(self._chunks[ci + 1])
-                   if ci + 1 < len(self._chunks) else None)
+                   if ci + 1 < n_chunks else None)
             base = jnp.int32(ci * self.chunk_rows)
             valid = jnp.int32(
-                min(self.chunk_rows, self.n - ci * self.chunk_rows))
+                min(self.chunk_rows, n - ci * self.chunk_rows))
             carry_s, carry_i = step(q, dev, carry_s, carry_i, base, valid,
                                     k=k_eff)
             dev = nxt
