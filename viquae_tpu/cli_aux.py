@@ -16,6 +16,7 @@ surfaces `viquae_tpu/cli.py` did not yet expose):
   plot       <- meerqat.viz.umap (projection scatter; matplotlib here)
   wtl-filter <- meerqat.viz.wtl_filter
   save-ptm   <- meerqat.train.save_ptm
+  sentences  <- meerqat.data.loading sentences
   face-box   <- meerqat.image.face_box
   interact   <- meerqat.interact.system (REPL over the serving pipelines)
   server     -> beyond reference: HTTP serving with dynamic micro-batching

@@ -166,6 +166,12 @@ def step_indexed_batches(dataset, collate_fn, batch_size: int, seed: int = 42,
             ).permutation(n)
         idx = perm_cache[epoch][slot * batch_size: (slot + 1) * batch_size]
         if len(idx) < batch_size:  # short tail / dataset smaller than batch
+            if n < batch_size:
+                warnings.warn(
+                    f"batch_size {batch_size} > dataset size {n}: examples "
+                    "repeat WITHIN a batch — in-batch contrastive losses "
+                    "get contradictory targets (a twin's positive is the "
+                    "other twin's negative with identical embeddings)")
             reps = -(-(batch_size - len(idx)) // n)
             filler = np.tile(perm_cache[epoch], reps)[: batch_size - len(idx)]
             idx = np.concatenate([idx, filler])
@@ -228,7 +234,7 @@ class QADataModule:
                     for vals in zip(*(batch[k] for k in keys))]
         return [self.kb[int(i)] for i in indices]
 
-    def _row_budget(self, rows: int) -> int:
+    def _row_budget(self, rows: int, role: str = "default") -> int:
         """Sticky canvas row budget: a monotone running max of the natural
         (pad_rows_to-rounded) row counts. Later batches pad up to it, so
         the jitted train step compiles once per max-increase (expected
@@ -236,11 +242,18 @@ class QADataModule:
         increment the token totals happen to cross — compiles cost
         minutes over the tunneled TPU. No headroom factor: a constant
         +8% would tax EVERY batch with padding compute to save at most a
-        couple of compiles."""
-        pinned = getattr(self, "_rows_pinned", 0)
-        if rows > pinned:
-            self._rows_pinned = pinned = rows
-        return pinned
+        couple of compiles.
+
+        `role` keys the pin PER CANVAS: a biencoder/ICT collator packs a
+        question canvas AND a ~M-times-larger context canvas — one shared
+        pin padded every question canvas up to the context row count
+        (~25x the question tower's FLOPs, silently)."""
+        pins = getattr(self, "_rows_pinned", None)
+        if pins is None:
+            pins = self._rows_pinned = {}
+        if rows > pins.get(role, 0):
+            pins[role] = rows
+        return pins[role]
 
     def add_image_features(self, passages: List[dict]) -> List[dict]:
         """Join per-article image features from image_kb via passage['index']
@@ -295,7 +308,7 @@ class QADataModule:
         return [p[self.kb_input_key] if isinstance(p, dict) else p
                 for p in passages]
 
-    def _pack_inputs(self, inputs: dict) -> dict:
+    def _pack_inputs(self, inputs: dict, role: str = "default") -> dict:
         """Shared packing seam for collators with packed=True (biencoder +
         ICT): text-only inputs pack directly; multimodal inputs pack with
         T_vis reserved visual-token slots per sample (ECA) or text alone
@@ -316,12 +329,13 @@ class QADataModule:
                     **pack_mm_text_inputs(
                         inputs, self.max_length + t_vis,
                         exclusive, needs_vis=mm_needs_vis,
-                        row_budget=self._row_budget,
+                        row_budget=lambda r: self._row_budget(r, role),
                     ),
                 },
             }
-        return {**inputs, **pack_text_inputs(inputs, self.max_length,
-                                             row_budget=self._row_budget)}
+        return {**inputs, **pack_text_inputs(
+            inputs, self.max_length,
+            row_budget=lambda r: self._row_budget(r, role))}
 
 
 def pack_text_inputs(inputs: Dict[str, np.ndarray], row_len: int,
@@ -538,16 +552,16 @@ class BiEncoderCollator(QADataModule):
             context_inputs, all_passages
         )
         if self.packed:
-            question_inputs = self._pack(question_inputs)
-            context_inputs = self._pack(context_inputs)
+            question_inputs = self._pack(question_inputs, role="question")
+            context_inputs = self._pack(context_inputs, role="context")
         return {
             "question_inputs": question_inputs,
             "context_inputs": context_inputs,
             "labels": np.asarray(labels, np.int32),
         }
 
-    def _pack(self, inputs: dict) -> dict:
-        return self._pack_inputs(inputs)
+    def _pack(self, inputs: dict, role: str = "default") -> dict:
+        return self._pack_inputs(inputs, role=role)
 
 
 class JointBiEncoderAndClipCollator(BiEncoderCollator):
@@ -565,8 +579,11 @@ class JointBiEncoderAndClipCollator(BiEncoderCollator):
         # by re-running passage selection deterministically is fragile;
         # instead extract from the raw text we just used
         texts = self._last_passage_texts
+        # split on ' [SEP] ' exactly (the reference's join form): find()-1
+        # sliced a stray character when the separator wasn't preceded by
+        # one space, and swallowed the whole body for an empty title
         titles = [
-            t[: t.find("[SEP]") - 1] if "[SEP]" in t else "" for t in texts
+            t.split(" [SEP] ", 1)[0] if " [SEP] " in t else "" for t in texts
         ]
         enc = self.cm_tokenizer(
             titles, padding="max_length", truncation=True,
@@ -745,7 +762,11 @@ class ReaderCollator(QADataModule):
                 lower = getattr(self.tokenizer, "do_lower_case", False)
                 if lower:
                     original_answer = original_answer.lower()
-                    answer = list({a.lower() for a in answer} - {original_answer})
+                    # sorted: set iteration order varies per interpreter
+                    # run, and slot filling stops at max_n_answers — an
+                    # unordered dedup made labeled spans non-reproducible
+                    answer = sorted(
+                        {a.lower() for a in answer} - {original_answer})
                 answer = [original_answer] + answer
             token_lists = self.tokenizer(
                 answer, add_special_tokens=False,
@@ -818,6 +839,8 @@ def map_run(run, mapping: Dict[str, list], k: int = 100):
         for doc_id, score in results.items():
             for i in mapping[doc_id]:
                 new_results[str(i)] = score
+                if len(new_results) >= k:
+                    break
             if len(new_results) >= k:
                 break
         new_run[q_id] = new_results
@@ -870,10 +893,24 @@ class ReRankerCollator(QADataModule):
                 rel, irr = self.get_training_passages(item)
                 passage = list(rel) + list(irr)
                 label = 0 if rel else IGNORE_INDEX
+            elif self.run is None:
+                # same fallback as ReaderCollator.get_eval_passages: the
+                # search columns ARE the eval retrieval when no run file
+                # is given (silently yielding all-padding batches here
+                # produced plausible metrics over empty passages)
+                indices = [int(d) for d in
+                           item[self.search_key + "_indices"][: self.M]]
+                passage = self._select_kb(indices)
+                rel_set = set(
+                    item.get(self.search_key + "_provenance_indices", [])
+                )
+                label = next(
+                    (k for k, idx in enumerate(indices) if idx in rel_set),
+                    IGNORE_INDEX,
+                )
             else:
                 results = (
-                    self.run[item["id"]]
-                    if (self.run and item["id"] in self.run) else {}
+                    self.run[item["id"]] if item["id"] in self.run else {}
                 )
                 indices = [int(d) for d in list(results.keys())[: self.M]]
                 passage = self._select_kb(indices)
@@ -993,6 +1030,12 @@ class ICTCollator(QADataModule):
             targets,
         )
         n_hard = self.M - 1
+        if 0 < len(items) <= n_hard:
+            raise ValueError(
+                f"ICT rolling hard negatives need len(items) > M-1 "
+                f"({n_hard}), got {len(items)}: np.roll wraps to the "
+                "identity at shift=len(items), pairing a question with its "
+                "OWN features as a 'negative'")
         if n_hard > 0 and not self.image_formatter.precomputed:
             # reference parity (train/data.py:1197-1199): rolling-image
             # hard negatives NEED precomputed features; silently training
@@ -1026,8 +1069,10 @@ class ICTCollator(QADataModule):
         if self.packed:
             # same packing seam as BiEncoderCollator._pack (one shared
             # helper: the row-budget and exclusivity rules must not drift)
-            question_inputs = self._pack_inputs(question_inputs)
-            context_inputs = self._pack_inputs(context_inputs)
+            question_inputs = self._pack_inputs(question_inputs,
+                                                role="question")
+            context_inputs = self._pack_inputs(context_inputs,
+                                               role="context")
         return {
             "question_inputs": question_inputs,
             "context_inputs": context_inputs,

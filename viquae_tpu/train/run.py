@@ -182,9 +182,13 @@ def run_from_config(config_path, subcommand: str = "fit") -> dict:
     tx = optim.make_optimizer(params, **opt_cfg)
     trainer_cfg = TrainerConfig(seed=seed, **config.get("trainer", {}))
     collate_fn = collator.collate_fn
-    if trainer_cfg.grad_accum > 1 and getattr(collator, "packed", False):
-        # packed canvases cannot be sliced; pack each microbatch into its
-        # own canvas instead (data.microbatch_collate) and scan them
+    if trainer_cfg.grad_accum > 1:
+        # ALWAYS collate per-microbatch (data.microbatch_collate), packed
+        # or not: packed canvases cannot be sliced (pointers go global),
+        # and contrastive collators emit in-batch `labels` that index the
+        # FULL batch's context rows — reshape-slicing those in the trainer
+        # would silently train microbatches j>=1 against the wrong
+        # positives. Per-microbatch collation keeps labels local.
         import dataclasses as _dc
 
         from viquae_tpu.train.data import microbatch_collate

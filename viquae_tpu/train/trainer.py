@@ -176,6 +176,22 @@ class Trainer:
                             "the collator with data.microbatch_collate and "
                             "set TrainerConfig(microbatched=True)."
                         )
+                    if any(k.split("/")[-1] == "labels" for k in flat_keys):
+                        # in-batch-contrastive labels index the FULL
+                        # batch's rows (biencoder: context row i; CLIP:
+                        # arange(N)); a reshape slice keeps the global
+                        # values while each microbatch's similarity matrix
+                        # is LOCAL — microbatches j>=1 would train against
+                        # the wrong positives, silently
+                        raise ValueError(
+                            "grad_accum > 1 cannot reshape-split batches "
+                            "with in-batch `labels` (their values index "
+                            "the full batch). Collate per-microbatch: wrap "
+                            "the collator with data.microbatch_collate and "
+                            "set TrainerConfig(microbatched=True) — "
+                            "train.run.run_from_config does this "
+                            "automatically."
+                        )
 
                     def to_micro(x):
                         if x.shape[0] % accum:
@@ -248,7 +264,12 @@ class Trainer:
         micro = self.cfg.microbatched and self.cfg.grad_accum > 1
 
         def put(key, v):
-            arr = jnp.asarray(v)
+            # keep host arrays on host until device_put: jnp.asarray would
+            # land the FULL array on the default device first and then
+            # reshard device-to-device — twice the transfer per step on
+            # the link that already serializes copies with compute
+            arr = v if isinstance(v, (np.ndarray, jax.Array)) \
+                else np.asarray(v)
             spec = self._batch_sharding.get(key)
             if spec is not None:
                 sharding = ctx.sharding(*spec)
