@@ -189,3 +189,26 @@ def test_compare_rejects_duplicate_run_names():
             Run({"q1": {"dX": 1.0}}, name="bm25")]
     with _pytest.raises(ValueError, match="duplicate run names"):
         compare(qrels, runs, metrics=["mrr@10"])
+
+
+def test_cutoffless_precision_uses_per_query_depth():
+    """Cutoff-less precision/f1 divide by each query's OWN retrieved count
+    (ranx semantics) — the padded global max under-scored ragged runs."""
+    qrels = Qrels({"q1": {"d0": 1, "d1": 1}, "q2": {"e0": 1, "e1": 1}})
+    run = Run({
+        # q1 retrieved 10 docs (2 relevant), q2 retrieved 2 (2 relevant)
+        "q1": {f"d{i}": 10.0 - i for i in range(10)},
+        "q2": {"e0": 2.0, "e1": 1.0},
+    })
+    out = evaluate(qrels, run, ["precision", "f1"])
+    # q1: 2/10, q2: 2/2 -> mean 0.6 (global-max depth gave (0.2+0.2)/2)
+    assert out["precision"] == pytest.approx((2 / 10 + 2 / 2) / 2)
+    r_q1, r_q2 = 1.0, 1.0
+    p_q1, p_q2 = 0.2, 1.0
+    f1 = (2 * p_q1 * r_q1 / (p_q1 + r_q1) + 2 * p_q2 * r_q2 / (p_q2 + r_q2)) / 2
+    assert out["f1"] == pytest.approx(f1)
+    # @k metrics are unchanged by the fix (q1's top-2 are d0,d1 — both
+    # relevant — so precision@2 is 1.0 for both queries)
+    assert evaluate(qrels, run, "precision@2") == pytest.approx(1.0)
+    assert evaluate(qrels, run, "precision@4") == pytest.approx(
+        (2 / 4 + 2 / 4) / 2)

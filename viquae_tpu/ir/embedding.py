@@ -134,6 +134,15 @@ class TextEmbedder:
         return batch
 
     def embed_texts(self, texts):
+        if len(texts) == 0:
+            # np.concatenate([]) raises on an empty dataset.map batch;
+            # probe the tower once for the output width (same guard as
+            # PackedColumnEmbedder)
+            probe = self.embed_texts([""])
+            width = (np.asarray(probe[0]).shape[-1] if self.layers
+                     else np.asarray(probe).shape[-1])
+            empty = np.zeros((0, width), np.float32)
+            return [empty] * len(self.layers) if self.layers else empty
         chunks = []
         for start in range(0, len(texts), self.batch_size):
             sub = texts[start: start + self.batch_size]
@@ -348,10 +357,34 @@ class MMEmbedder:
 
             self._forward_packed = forward_packed
 
+    def _row_budget(self, rows: int) -> int:
+        """Sticky monotone canvas row budget (one compiled shape per
+        running max — the QADataModule._row_budget rule)."""
+        pinned = getattr(self, "_rows_pinned", 0)
+        if rows > pinned:
+            self._rows_pinned = pinned = rows
+        return pinned
+
     def __call__(self, batch: dict) -> dict:
         items = [
             {k: batch[k][i] for k in batch} for i in range(len(batch[self.key]))
         ]
+        if len(items) == 0:
+            # empty dataset.map batch: np.concatenate([]) raises; probe
+            # the encoder ONCE with a padding-only item for the width
+            # (same guard as PackedColumnEmbedder/TextEmbedder). The kb
+            # join is bypassed for the probe — a padding item has no
+            # article index to join on (missing features embed as zeros)
+            if not hasattr(self, "_dim"):
+                kb_saved, self.kb = self.kb, None
+                try:
+                    probe = self({self.key: [""]})
+                finally:
+                    self.kb = kb_saved
+                self._dim = int(
+                    np.asarray(probe[self.save_as]).shape[-1])
+            batch[self.save_as] = np.zeros((0, self._dim), np.float32)
+            return batch
         if self.kb is not None and self.kb_features:
             joined = map_passage_to_kb(batch, self.kb, self.kb_features)
             for i, item in enumerate(items):
@@ -394,6 +427,11 @@ class MMEmbedder:
                     mm_inputs, self.max_length + t_vis,
                     self.packed_bundle.cfg.face_and_image_are_exclusive,
                     needs_vis=self._needs_vis,
+                    # sticky monotone row budget: without it every 8-row
+                    # token-total boundary a batch crosses is a fresh
+                    # canvas shape — a fresh minutes-long compile over the
+                    # tunnel (the QADataModule._row_budget rule)
+                    row_budget=self._row_budget,
                 )
                 canvas = [
                     c["canvas_input_ids"], c["canvas_segment_ids"],
@@ -473,13 +511,25 @@ def dataset_embed(dataset_path, embedder, output_path=None,
 
 def save_in_place(dataset, path):
     """Overwrite a dataset with itself: Arrow forbids writing onto the
-    memory-mapped source dir, so write next to it and atomically swap."""
+    memory-mapped source dir, so write next to it and swap.
+
+    Crash recovery: a leftover `.tmp_old` from a prior crash means the
+    previous swap didn't finish — the original data may live ONLY there,
+    so restore it before proceeding; a leftover `.tmp_save` is a partial
+    write and is discarded."""
     import shutil
 
     path = Path(path)
     tmp = path.with_name(path.name + ".tmp_save")
-    dataset.save_to_disk(str(tmp))
     old = path.with_name(path.name + ".tmp_old")
+    if old.exists():
+        if not path.exists():
+            old.rename(path)  # crashed mid-swap: .tmp_old IS the data
+        else:
+            shutil.rmtree(old)
+    if tmp.exists():
+        shutil.rmtree(tmp)  # partial write from a prior crash
+    dataset.save_to_disk(str(tmp))
     path.rename(old)
     tmp.rename(path)
     shutil.rmtree(old)

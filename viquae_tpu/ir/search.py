@@ -140,6 +140,15 @@ class KnowledgeBase:
                 # (KBs beyond HBM; ops.mips.StreamingDenseIndex)
                 streaming = index_kwargs.pop("streaming", False)
                 if streaming:
+                    if load_path or save_path:
+                        # silently ignoring these re-chunked the multi-GB
+                        # column from scratch every run while the config
+                        # claimed persistence
+                        raise ValueError(
+                            "streaming indexes are rebuilt from the host "
+                            "column each run and do not support "
+                            "load_path/save_path — drop those keys or use "
+                            "a device DenseIndex")
                     vectors = np.asarray(self.dataset[column], dtype=np.float32)
                     index_kwargs.pop("mode", None)  # single streamed engine
                     backend = mips.StreamingDenseIndex(
@@ -336,7 +345,16 @@ class Searcher:
                     for score, i in zip(scores, indices):
                         penalty = 0.0
                         if kb.index_mapping is not None:
-                            for j in kb.index_mapping.get(int(i), []):
+                            if int(i) not in kb.index_mapping:
+                                # the reference fails loudly on an unmapped
+                                # retrieved id (kb.index_mapping[i]); a
+                                # .get() default silently shortened runs
+                                # when the mapping was stale vs the KB
+                                raise KeyError(
+                                    f"retrieved id {int(i)} missing from "
+                                    f"index_mapping of {index_name!r} — "
+                                    "stale mapping for this KB snapshot?")
+                            for j in kb.index_mapping[int(i)]:
                                 j = str(j)
                                 if kb.many2one is None:
                                     run_q[j] = score - penalty

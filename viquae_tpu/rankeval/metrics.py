@@ -58,19 +58,24 @@ def relevance_matrix(qrels: Qrels, run: Run, k: int,
 
 
 def _scores_from_rel(name: str, rel: np.ndarray, n_rel: np.ndarray, k: int,
-                     ideal: Optional[np.ndarray] = None) -> np.ndarray:
+                     ideal: Optional[np.ndarray] = None,
+                     k_vec: Optional[np.ndarray] = None) -> np.ndarray:
     binary = (rel > 0).astype(np.float64)
     hits = binary.sum(axis=1)
+    # cutoff-less metrics divide by each query's OWN retrieved count
+    # (ranx semantics) — the padded-matrix width is a global max that
+    # under-scores every query with a shorter (ragged) run
+    denom = k if k_vec is None else np.maximum(k_vec, 1)
     if name in ("hits",):
         return hits
     if name in ("hit_rate", "success"):
         return (hits > 0).astype(np.float64)
     if name in ("precision", "p"):
-        return hits / k
+        return hits / denom
     if name in ("recall", "r"):
         return np.where(n_rel > 0, hits / np.maximum(n_rel, 1), 0.0)
     if name == "f1":
-        p = hits / k
+        p = hits / denom
         r = np.where(n_rel > 0, hits / np.maximum(n_rel, 1), 0.0)
         return np.where(p + r > 0, 2 * p * r / np.maximum(p + r, 1e-12), 0.0)
     ranks = np.arange(1, rel.shape[1] + 1, dtype=np.float64)
@@ -99,10 +104,15 @@ def _scores_from_rel(name: str, rel: np.ndarray, n_rel: np.ndarray, k: int,
 def per_query_scores(qrels: Qrels, run: Run, metric: str,
                      q_ids: Optional[Sequence[str]] = None) -> np.ndarray:
     name, k = parse_metric(metric)
+    k_vec = None
     if k is None:
         k = max((len(r) for r in run.values()), default=0) or 1
+        ids = list(qrels.keys()) if q_ids is None else q_ids
+        run_d = run.to_dict()
+        k_vec = np.asarray(
+            [len(run_d.get(str(q), {})) for q in ids], np.float64)
     rel, n_rel, ideal = relevance_matrix(qrels, run, k, q_ids=q_ids)
-    return _scores_from_rel(name, rel, n_rel, k, ideal=ideal)
+    return _scores_from_rel(name, rel, n_rel, k, ideal=ideal, k_vec=k_vec)
 
 
 def evaluate(
