@@ -208,3 +208,44 @@ def test_search_batch_n_threads_kwarg():
     for q in range(len(queries)):
         np.testing.assert_array_equal(
             np.asarray(s_a[q], np.float32), np.asarray(s_b[q], np.float32))
+
+
+def test_term_ub_with_trailing_empty_terms():
+    """The MaxScore upper bound must cover EVERY posting of the last
+    non-empty term even when higher term ids have empty postings —
+    reduceat with clipped starts chopped the last posting (an
+    UNDERestimated bound = rank-unsafe pruning)."""
+    from viquae_tpu.ops.bm25 import BM25Index
+
+    # doc0="a b", doc1="a b b b" and an unused vocab entry 'zzz' appended
+    # manually: build() only creates used terms, so craft the CSR directly
+    idx = BM25Index.build(["a b", "a b b b"])
+    vocab = dict(idx.vocab)
+    vocab["zzz"] = len(vocab)
+    vocab["zzz2"] = len(vocab)
+    import numpy as np
+
+    offsets = np.concatenate([idx.offsets,
+                              [idx.offsets[-1], idx.offsets[-1]]])
+    idx2 = BM25Index(vocab, offsets, idx.docs, idx.tfs, idx.doc_len,
+                     idx.n_docs, idx.k1, idx.b)
+    ub, ub2 = idx.term_ub, idx2.term_ub[: len(idx.term_ub)]
+    np.testing.assert_allclose(ub2, ub, rtol=1e-6)
+    assert (idx2.term_ub[len(idx.term_ub):] == 0).all()
+    # the bound is genuinely an upper bound per term: 'b' has tf=3 in doc1
+    b_tid = idx.vocab["b"]
+    contrib_max = max(
+        tf / (tf + idx.norm[d])
+        for d, tf in zip(idx.docs[idx.offsets[b_tid]:idx.offsets[b_tid+1]],
+                         idx.tfs[idx.offsets[b_tid]:idx.offsets[b_tid+1]])
+    )
+    assert idx.term_ub[b_tid] == np.float32(idx.idf[b_tid] * contrib_max)
+
+
+def test_empty_index_search():
+    from viquae_tpu.ops.bm25 import BM25Index
+
+    idx = BM25Index.build([])
+    assert idx.search("anything", k=5) == ([], [])
+    s, i = idx.search_batch(["a", "b"], k=3)
+    assert s == [[], []] and i == [[], []]

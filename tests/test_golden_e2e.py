@@ -159,7 +159,7 @@ def test_full_pipeline(tokenizer, tmp_path, devices):
         )
     assert report.scores["bm25"]["mrr@100"] > 0.9
     assert report.scores["dpr"]["mrr@100"] > 0.5  # trained dense retrieval
-    assert (tmp_path / "runs" / "zmuv_wsum_best_params.yaml").exists()
+    assert (tmp_path / "runs" / "zmuv_wsum_best_params.json").exists()
 
     # ---- 7. reader: train briefly, then test with artifacts ------------
     rcfg = qa.ReaderConfig(bert=tiny.bert)

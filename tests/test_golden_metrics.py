@@ -151,13 +151,12 @@ def _run_pipeline(tokenizer, tmp_path):
                 metrics[f"ir/{name}/{m}"] = round(float(v), DECIMALS)
 
         # fused run with the FITTED weights: pins the fusion math +
-        # weight grid search end to end
-        import yaml
-
+        # weight grid search end to end (fit writes JSON — the file
+        # `fuse test --best_params` consumes)
         from viquae_tpu.rankeval import default_minimum, evaluate, fuse
 
-        best = yaml.safe_load(
-            (tmp_path / "runs" / "zmuv_wsum_best_params.yaml").read_text())
+        best = json.loads(
+            (tmp_path / "runs" / "zmuv_wsum_best_params.json").read_text())
         fused_run = fuse(default_minimum(list(runs.values())),
                          norm="zmuv", method="wsum", params=best)
         for m, v in evaluate(qrels, fused_run,

@@ -84,9 +84,13 @@ class Fusion:
                 all_best[(norm, method)] = best_params
                 if self.output is not None:
                     with open(
-                        self.output / f"{norm}_{method}_best_params.yaml", "w"
+                        self.output / f"{norm}_{method}_best_params.json",
+                        "w"
                     ) as f:
-                        yaml.dump(json.loads(json.dumps(best_params)), f)
+                        # JSON, because `fuse test --best_params` (cli.py)
+                        # loads this file with json.loads — the fit->test
+                        # round-trip crashed on the previous yaml.dump
+                        json.dump(best_params, f, indent=1)
         return all_best
 
     @staticmethod

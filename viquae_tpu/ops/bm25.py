@@ -72,10 +72,17 @@ class BM25Index:
                 self._term_ub_cache = np.zeros(n_terms, np.float32)
                 return self._term_ub_cache
             contrib = self.tfs / (self.tfs + self.norm[self.docs])
-            starts = np.minimum(self.offsets[:-1], len(contrib) - 1)
-            ub = np.maximum.reduceat(contrib, starts)
-            empty = np.diff(self.offsets) == 0
-            ub[empty] = 0.0  # reduceat yields a neighbor's value there
+            # reduceat ONLY over non-empty terms: clipping empty trailing
+            # terms' starts to nnz-1 used to terminate the last non-empty
+            # term's segment one posting early — an UNDERestimated upper
+            # bound, i.e. rank-UNSAFE pruning (verified: postings
+            # [.1,.2|.3,.9] with two trailing empty terms bounded term 1
+            # at 0.3 instead of 0.9). Empty terms' bounds are 0.
+            nonempty = np.diff(self.offsets) > 0
+            ub = np.zeros(len(self.offsets) - 1, contrib.dtype)
+            if nonempty.any():
+                ub[nonempty] = np.maximum.reduceat(
+                    contrib, self.offsets[:-1][nonempty])
             self._term_ub_cache = (self.idf * ub).astype(np.float32)
         return self._term_ub_cache
 
@@ -140,6 +147,8 @@ class BM25Index:
             contrib = self.idf[tid] * qtf * tf / (tf + self.norm[docs])
             scores[docs] += contrib
         k = min(k, self.n_docs)
+        if k == 0:  # empty index: np.partition(kth=-1) would raise
+            return [], []
         # exact tie order (ascending doc id — the framework contract, and
         # what the C++ scorer enforces): select every doc scoring >= the
         # k-th value so boundary ties are all present, then stable-sort
@@ -303,7 +312,8 @@ def synth_zipf_index(n_docs: int, vocab_size: int = 400_000,
     tokens = (rng.zipf(zipf_a, total).astype(np.int64) - 1) % vocab_size
     doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), doc_len)
     key = doc_of * vocab_size + tokens
-    key.sort(kind="stable")
+    # (no pre-sort: np.unique sorts its own copy; a 150M-key stable sort
+    # here doubled the dominant cost of index synthesis for nothing)
     uniq, tf = np.unique(key, return_counts=True)
     d = (uniq // vocab_size).astype(np.int32)
     t = (uniq % vocab_size).astype(np.int64)

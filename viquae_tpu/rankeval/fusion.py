@@ -76,7 +76,11 @@ def normalize_run(run: Run, norm: Optional[str]) -> Run:
             lambda s: (s - s.min()) / max(s.max() - s.min(), 1e-9)
         )
     elif norm == "max":
-        flat.segment_apply(lambda s: s / max(abs(s.max()), 1e-9))
+        # SIGNED max (ranx parity): abs() flipped normalized magnitudes
+        # for queries whose scores are all negative (e.g. negated L2
+        # distances), diverging from ranx for every such query
+        flat.segment_apply(
+            lambda s: s / (s.max() if abs(s.max()) > 1e-9 else 1e-9))
     elif norm == "sum":
         def _sum(s):
             shifted = s - s.min()
