@@ -125,3 +125,48 @@ def test_sharded_search_traffic_scales_with_k_not_n(devices):
     double_k = total_traffic(256, 16)
     assert double_n == base, (base, double_n)
     assert base < double_k <= 2 * base + 64, (base, double_k)
+
+
+def test_sequence_parallel_parity_and_layout(devices):
+    """The sequence-parallel seam (bert.encode activation_sharding,
+    SURVEY §5.7): constraining the L axis of the (B, L, D) activations to
+    the `model` axis (Megatron-SP style — sp borrows the tp axis) must
+    (a) keep outputs numerically identical and (b) actually shard — the
+    compiled program must carry per-layer collectives that re-materialize
+    the full sequence for attention, and the constraint must survive into
+    the optimized HLO rather than being constant-folded away."""
+    from viquae_tpu.models import bert
+
+    cfg = bert.BertConfig(
+        vocab_size=97, hidden_size=16, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=32,
+        max_position_embeddings=32, add_pooler=False,
+    )
+    params = bert.init(jax.random.key(0), cfg)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, 97, (8, 16)), jnp.int32)
+    mask = np.ones((8, 16), np.int32)
+    mask[:, 13:] = 0
+    mask = jnp.asarray(mask)
+
+    ref = bert.apply(params, cfg, ids, mask)["last_hidden_state"]
+
+    ctx = meshlib.make_mesh(data=2, model=4)
+    with meshlib.use(ctx):
+        seq_sharding = ctx.sharding(
+            meshlib.DATA_AXIS, meshlib.MODEL_AXIS, None)
+        fn = jax.jit(
+            lambda p, i, m: bert.apply(
+                p, cfg, i, m, activation_sharding=seq_sharding
+            )["last_hidden_state"]
+        )
+        out = fn(params, ids, mask)
+        hlo = fn.lower(params, ids, mask).compile().as_text()
+
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+    assert collective_sizes(hlo), (
+        "sequence-sharded activations compiled to a collective-free "
+        "program — the activation_sharding constraint was dropped")
+    # the constraint itself must be visible in the final sharding layout
+    assert "sharding=" in hlo

@@ -11,6 +11,10 @@ The whole framework communicates through ONE mesh with three named axes:
 - ``kb``    — the retrieval scale axis: knowledge-base embedding matrices
   (1.5M x 768 per index in ViQuAE) are row-sharded here; MIPS does a
   per-shard matmul + local top-k and merges over ICI (ops/mips.py).
+- ``pipe``  — pipeline parallelism: encoder layer stacks are split into
+  contiguous stages sharded here; microbatches stream through the stage
+  ring via `ppermute` (ops/pipeline.py). Size 1 unless requested, so the
+  axis is free for every existing layout.
 
 Collectives are never called directly by user code — they are induced by
 `jax.sharding` annotations under jit, or used explicitly inside
@@ -32,6 +36,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
 KB_AXIS = "kb"
+PIPE_AXIS = "pipe"
 
 _ACTIVE: list["MeshContext"] = []
 
@@ -53,6 +58,12 @@ class MeshContext:
     @property
     def kb_size(self) -> int:
         return self.mesh.shape[KB_AXIS]
+
+    @property
+    def pipe_size(self) -> int:
+        # meshes built before the axis existed (loaded configs, ad-hoc
+        # Mesh objects) count as pipe=1
+        return self.mesh.shape.get(PIPE_AXIS, 1)
 
     # ---- shardings ----------------------------------------------------
     def sharding(self, *spec) -> NamedSharding:
@@ -80,6 +91,7 @@ def make_mesh(
     data: Optional[int] = None,
     model: int = 1,
     kb: int = 1,
+    pipe: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> MeshContext:
     """Build the framework mesh.
@@ -87,16 +99,18 @@ def make_mesh(
     By default all devices go to the `data` axis. `kb` sharding for search
     reuses the same devices through a distinct axis so one process can run
     data-parallel embedding and kb-sharded search on the same chips.
+    `pipe` sits next to `data` in the device grid so stage neighbours are
+    ICI-adjacent (ppermute rides the ring, not DCN).
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if data is None:
-        data = n // (model * kb)
-    assert data * model * kb == n, (
-        f"mesh {data}x{model}x{kb} != {n} devices"
+        data = n // (model * kb * pipe)
+    assert data * model * kb * pipe == n, (
+        f"mesh {data}x{pipe}x{model}x{kb} != {n} devices"
     )
-    arr = np.asarray(devices).reshape(data, model, kb)
-    mesh = Mesh(arr, (DATA_AXIS, MODEL_AXIS, KB_AXIS))
+    arr = np.asarray(devices).reshape(data, pipe, model, kb)
+    mesh = Mesh(arr, (DATA_AXIS, PIPE_AXIS, MODEL_AXIS, KB_AXIS))
     return MeshContext(mesh)
 
 

@@ -142,6 +142,28 @@ def embed(
     return L.dropout(x, cfg.hidden_dropout_prob, deterministic, rng)
 
 
+def _layer_forward(
+    layer, x, bias, rngs, cfg: BertConfig,
+    deterministic: bool = True, compute_dtype=jnp.float32,
+):
+    """One post-LN transformer block (shared by the sequential and the
+    pipelined encoders). rngs = (attn_probs, attn_out, ffw_out) keys."""
+    rng_a, rng_h, rng_b = rngs
+    attn = L.mha(
+        layer["attention"], x, bias=bias,
+        n_heads=cfg.num_attention_heads,
+        deterministic=deterministic,
+        dropout_rate=cfg.attention_probs_dropout_prob,
+        rng=rng_a,
+        compute_dtype=compute_dtype,
+    )
+    attn = L.dropout(attn, cfg.hidden_dropout_prob, deterministic, rng_h)
+    x = L.layer_norm(layer["attention_ln"], x + attn, cfg.layer_norm_eps)
+    ff = L.mlp(layer["mlp"], x, cfg.hidden_act, compute_dtype)
+    ff = L.dropout(ff, cfg.hidden_dropout_prob, deterministic, rng_b)
+    return L.layer_norm(layer["output_ln"], x + ff, cfg.layer_norm_eps)
+
+
 def encode(
     params,
     cfg: BertConfig,
@@ -192,19 +214,10 @@ def encode(
         else [None] * (3 * cfg.num_hidden_layers)
     )
     def layer_fn(layer, x, bias, rng_a, rng_h, rng_b):
-        attn = L.mha(
-            layer["attention"], x, bias=bias,
-            n_heads=cfg.num_attention_heads,
-            deterministic=deterministic,
-            dropout_rate=cfg.attention_probs_dropout_prob,
-            rng=rng_a,
-            compute_dtype=compute_dtype,
+        return _layer_forward(
+            layer, x, bias, (rng_a, rng_h, rng_b), cfg,
+            deterministic=deterministic, compute_dtype=compute_dtype,
         )
-        attn = L.dropout(attn, cfg.hidden_dropout_prob, deterministic, rng_h)
-        x = L.layer_norm(layer["attention_ln"], x + attn, cfg.layer_norm_eps)
-        ff = L.mlp(layer["mlp"], x, cfg.hidden_act, compute_dtype)
-        ff = L.dropout(ff, cfg.hidden_dropout_prob, deterministic, rng_b)
-        return L.layer_norm(layer["output_ln"], x + ff, cfg.layer_norm_eps)
 
     if remat_layers:
         layer_fn = jax.checkpoint(layer_fn)
@@ -221,6 +234,120 @@ def encode(
     if output_hidden_states:
         return x, all_hidden
     return x
+
+
+# --------------------------------------------------------------------------
+# pipeline parallelism (ops/pipeline.py over the `pipe` mesh axis)
+# --------------------------------------------------------------------------
+def pipeline_params(params, n_stages: int):
+    """Restack `params["layers"]` (per-layer list) into the staged layout
+    pipeline_apply shards over `pipe`. Embeddings/pooler stay as-is
+    (replicated — they run outside the pipelined region)."""
+    from viquae_tpu.ops import pipeline as pl
+
+    out = dict(params)
+    out["layers"] = pl.stack_stages(params["layers"], n_stages)
+    return out
+
+
+def pipeline_unstack(params):
+    """Inverse of :func:`pipeline_params` — back to the checkpoint/HF-port
+    per-layer list layout."""
+    from viquae_tpu.ops import pipeline as pl
+
+    out = dict(params)
+    out["layers"] = pl.unstack_stages(params["layers"])
+    return out
+
+
+def pipeline_param_spec(cfg: BertConfig, n_stages: int):
+    """PartitionSpec tree for staged params: layer stack sharded over
+    `pipe`, everything else replicated."""
+    from jax.sharding import PartitionSpec as PS
+
+    from viquae_tpu.core.mesh import PIPE_AXIS
+
+    spec = param_spec(cfg)
+    one_layer = spec["layers"][0]
+    spec["layers"] = jax.tree_util.tree_map(
+        lambda _: PS(PIPE_AXIS), one_layer
+    )
+    return spec
+
+
+def encode_pipelined(
+    params,
+    cfg: BertConfig,
+    hidden: jnp.ndarray,
+    attention_mask: Optional[jnp.ndarray] = None,
+    *,
+    n_micro: int,
+    mesh_ctx=None,
+    deterministic: bool = True,
+    rng=None,
+    compute_dtype=jnp.float32,
+    segment_ids: Optional[jnp.ndarray] = None,
+    remat_layers: bool = False,
+):
+    """:func:`encode` over the `pipe` mesh axis (GPipe schedule).
+
+    `params["layers"]` must be in the staged layout
+    (:func:`pipeline_params`); the batch is split into `n_micro`
+    microbatches that stream through the stage ring (ops/pipeline.py).
+    Composes with data parallelism (batch dim on `data`). Packed-batch
+    `segment_ids` mode works unchanged — the block-diagonal bias is built
+    once and microbatched alongside the hidden states.
+
+    Dropout keys are derived per (microbatch, global layer, site) via
+    `fold_in`, so masks are independent but NOT bit-identical to the
+    sequential encoder's `split` layout — train under ONE schedule.
+    Deterministic forward/backward equals :func:`encode` exactly
+    (tests/test_pipeline.py)."""
+    from viquae_tpu.ops import pipeline as pl
+
+    b, l = hidden.shape[:2]
+    if segment_ids is not None:
+        bias = L.attention_bias_from_segments(segment_ids)
+    else:
+        if attention_mask is None:
+            attention_mask = jnp.ones((b, l), jnp.int32)
+        bias = L.attention_bias_from_mask(attention_mask)
+    bias = jnp.broadcast_to(
+        bias, (b,) + bias.shape[1:]
+    )  # microbatch the query dim even for broadcast (B,1,1,L) biases
+    consts = {"bias": pl.microbatch(bias, n_micro)}
+    if rng is not None:
+        consts["rng"] = jax.random.split(rng, n_micro)
+    has_rng = rng is not None
+
+    def stage_fn(stage_layers, x, c, layer_offset):
+        per = jax.tree_util.tree_leaves(stage_layers)[0].shape[0]
+
+        def body(x, scanned):
+            layer, li = scanned
+            if has_rng:
+                gi = (layer_offset + li) * 3
+                rngs = tuple(
+                    jax.random.fold_in(c["rng"], gi + s) for s in range(3)
+                )
+            else:
+                rngs = (None, None, None)
+            y = _layer_forward(
+                layer, x, c["bias"], rngs, cfg,
+                deterministic=deterministic, compute_dtype=compute_dtype,
+            )
+            return y, None
+
+        if remat_layers:
+            body = jax.checkpoint(body)
+        x, _ = jax.lax.scan(body, x, (stage_layers, jnp.arange(per)))
+        return x
+
+    out = pl.pipeline_apply(
+        stage_fn, params["layers"], pl.microbatch(hidden, n_micro),
+        consts=consts, mesh_ctx=mesh_ctx,
+    )
+    return pl.unmicrobatch(out)
 
 
 def apply(
