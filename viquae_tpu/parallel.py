@@ -15,11 +15,18 @@ collective-backed primitives built on it:
 - KB sharding ("TP for retrieval", the real scale axis): embedding matrices
   row-sharded on `kb` with per-shard top-k + all-gather merge
   (ops.mips.topk_sharded).
+- pipeline parallelism: encoder layer stacks staged over `pipe`,
+  microbatches streamed through the stage ring via ppermute
+  (ops.pipeline.pipeline_apply / models.bert.encode_pipelined) —
+  gradient-exact vs the sequential stack.
+- sequence parallelism: per-layer activations L-sharded on the tp axis
+  (Megatron-SP) through the `activation_sharding` seam of bert.encode.
 """
 from viquae_tpu.core.mesh import (  # noqa: F401
     DATA_AXIS,
     KB_AXIS,
     MODEL_AXIS,
+    PIPE_AXIS,
     MeshContext,
     current,
     make_kb_mesh,
@@ -27,3 +34,8 @@ from viquae_tpu.core.mesh import (  # noqa: F401
     use,
 )
 from viquae_tpu.ops.mips import topk_sharded  # noqa: F401
+from viquae_tpu.ops.pipeline import (  # noqa: F401
+    pipeline_apply,
+    stack_stages,
+    unstack_stages,
+)
