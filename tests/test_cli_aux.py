@@ -525,3 +525,44 @@ def test_cli_interact(tmp_path, capsys, monkeypatch):
     out = capsys.readouterr().out
     assert "ready" in out
     assert "passage number" in out  # top-k lines carry passage text
+
+
+def test_cli_kilt2vqa_ner_neural(kilt_workspace, tmp_path, capsys):
+    """`kilt2vqa ner` with a `neural` config block loads an HF
+    BertForTokenClassification dir through models/ner.NeuralNER."""
+    import torch
+    from transformers import BertConfig as HFBertConfig
+    from transformers import BertForTokenClassification, BertTokenizerFast
+
+    ws = kilt_workspace
+    torch.manual_seed(0)
+    id2label = {0: "O", 1: "B-PER", 2: "I-PER"}
+    hf_cfg = HFBertConfig(
+        vocab_size=40, hidden_size=16, num_hidden_layers=1,
+        num_attention_heads=2, intermediate_size=32,
+        max_position_embeddings=32, num_labels=3, id2label=id2label,
+        label2id={v: k for k, v in id2label.items()},
+    )
+    mdir = tmp_path / "ner_model"
+    BertForTokenClassification(hf_cfg).eval().save_pretrained(mdir)
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", "who",
+             "married", "composed", "the", "opera", "carmen", "ada",
+             "lovelace", "?"] + [f"w{i}" for i in range(26)]
+    (mdir / "vocab.txt").write_text("\n".join(vocab))
+    BertTokenizerFast(
+        vocab_file=str(mdir / "vocab.txt"), do_lower_case=True
+    ).save_pretrained(mdir)
+
+    cfg = tmp_path / "ner_neural.json"
+    cfg.write_text(json.dumps({
+        "neural": {"path": str(mdir), "max_length": 16, "batch_size": 2},
+    }))
+    cli_main([
+        "kilt2vqa", "ner", str(ws / "questions"),
+        "--output", str(tmp_path / "ner_neural_out"), "--config", str(cfg),
+    ])
+    assert json.loads(capsys.readouterr().out)["items"] == 2
+    from datasets import load_from_disk
+
+    out = load_from_disk(str(tmp_path / "ner_neural_out"))
+    assert "placeholder" in out.column_names

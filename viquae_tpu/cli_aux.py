@@ -57,6 +57,24 @@ def _save_dataset(dataset, args):
 def _build_ner_fn(config):
     from viquae_tpu.data import kilt2vqa
 
+    neural_spec = config.pop("neural", None)
+    if neural_spec is not None:
+        # model-based NER: an HF BertForTokenClassification dir (e.g. a
+        # CoNLL-03 checkpoint) ported to the JAX token-classification
+        # stack (models/ner.py) — the spaCy-NER-grade option
+        from transformers import AutoTokenizer, BertForTokenClassification
+
+        from viquae_tpu.models import ner as ner_lib
+
+        path = neural_spec.pop("path")
+        hf_model = BertForTokenClassification.from_pretrained(path)
+        cfg = ner_lib.config_from_hf(hf_model.config)
+        params = ner_lib.params_from_hf(hf_model.state_dict(), cfg)
+        tokenizer = AutoTokenizer.from_pretrained(
+            neural_spec.pop("tokenizer", path)
+        )
+        return ner_lib.NeuralNER(params, cfg, tokenizer, **neural_spec)
+
     titles_spec = config.pop("titles", None)
     if titles_spec is None:
         return kilt2vqa.capitalized_span_ner

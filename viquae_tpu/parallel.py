@@ -21,6 +21,8 @@ collective-backed primitives built on it:
   gradient-exact vs the sequential stack.
 - sequence parallelism: per-layer activations L-sharded on the tp axis
   (Megatron-SP) through the `activation_sharding` seam of bert.encode.
+- expert parallelism: GShard-style MoE FFN with stacked expert weights
+  sharded on the tp axis (ops.moe.moe_apply / moe_spec).
 """
 from viquae_tpu.core.mesh import (  # noqa: F401
     DATA_AXIS,
