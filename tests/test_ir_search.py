@@ -178,7 +178,7 @@ def test_hybrid_dense_plus_bm25(setup, tmp_path):
         fusion_kwargs={"subcommand": "fit", "norm": "min-max"},
     )
     assert report.scores["bm25"]["precision@1"] == 1.0
-    assert (tmp_path / "out" / "min-max_wsum_best_params.yaml").exists()
+    assert (tmp_path / "out" / "min-max_wsum_best_params.json").exists()
 
 
 def test_mm_embedder(devices):
