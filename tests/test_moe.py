@@ -180,3 +180,131 @@ def test_bf16_compute_dtype_runs():
     assert y.shape == x.shape
     assert np.isfinite(np.asarray(y, np.float32)).all()
     assert np.isfinite(float(aux))
+
+
+# ---------------------------------------------------------------------------
+# MoE inside BERT (BertConfig.moe_experts)
+# ---------------------------------------------------------------------------
+def _moe_cfg(**kw):
+    from viquae_tpu.models import bert
+
+    return bert.BertConfig(
+        vocab_size=61, hidden_size=16, num_hidden_layers=4,
+        num_attention_heads=2, intermediate_size=32,
+        max_position_embeddings=32, add_pooler=False, **kw,
+    )
+
+
+def test_moe_bert_layer_placement_and_aux():
+    from viquae_tpu.models import bert
+
+    cfg = _moe_cfg(moe_experts=4, moe_every=2)
+    params = bert.init(jax.random.key(0), cfg)
+    assert "mlp" in params["layers"][0] and "moe" in params["layers"][1]
+    assert "mlp" in params["layers"][2] and "moe" in params["layers"][3]
+    spec = bert.param_spec(cfg)
+    assert "moe" in spec["layers"][1] and "mlp" in spec["layers"][0]
+
+    ids = np.random.default_rng(0).integers(0, 61, (4, 10)).astype(np.int32)
+    out = bert.apply(params, cfg, ids)
+    assert out["last_hidden_state"].shape == (4, 10, 16)
+    assert np.isfinite(float(out["moe_aux"]))
+    assert float(out["moe_aux"]) > 0  # two MoE layers contribute
+
+
+def test_moe_bert_single_expert_equals_dense():
+    """moe_experts=1/top_k=1 BERT == dense BERT with the same weights."""
+    from viquae_tpu.models import bert
+
+    cfg_moe = _moe_cfg(moe_experts=1, moe_top_k=1)
+    cfg_dense = _moe_cfg()
+    p_moe = bert.init(jax.random.key(1), cfg_moe)
+    p_dense = jax.tree_util.tree_map(lambda x: x, p_moe)
+    p_dense = dict(p_dense)
+    p_dense["layers"] = [
+        {
+            "attention": lp["attention"],
+            "attention_ln": lp["attention_ln"],
+            "mlp": {
+                "in": {"kernel": lp["moe"]["in"]["kernel"][0],
+                       "bias": lp["moe"]["in"]["bias"][0]},
+                "out": {"kernel": lp["moe"]["out"]["kernel"][0],
+                        "bias": lp["moe"]["out"]["bias"][0]},
+            },
+            "output_ln": lp["output_ln"],
+        }
+        for lp in p_moe["layers"]
+    ]
+    ids = np.random.default_rng(2).integers(0, 61, (3, 8)).astype(np.int32)
+    out_moe = bert.apply(p_moe, cfg_moe, ids)["last_hidden_state"]
+    out_dense = bert.apply(p_dense, cfg_dense, ids)["last_hidden_state"]
+    np.testing.assert_allclose(np.asarray(out_moe), np.asarray(out_dense),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_moe_bert_training_requires_aux():
+    from viquae_tpu.models import bert
+
+    cfg = _moe_cfg(moe_experts=2)
+    params = bert.init(jax.random.key(3), cfg)
+    x = jnp.zeros((2, 6, 16), jnp.float32)
+    with pytest.raises(ValueError, match="return_moe_aux"):
+        bert.encode(params, cfg, x, deterministic=False,
+                    rng=jax.random.key(0))
+
+
+def test_moe_bert_hf_port_guards():
+    from viquae_tpu.models import bert
+
+    cfg = _moe_cfg(moe_experts=2)
+    with pytest.raises(ValueError, match="dense"):
+        bert.params_from_hf({}, cfg)
+    params = bert.init(jax.random.key(4), cfg)
+    with pytest.raises(ValueError, match="exportable"):
+        bert.params_to_hf_state_dict(params, cfg)
+
+
+def test_moe_bert_pipelined_guard():
+    from viquae_tpu.models import bert
+
+    cfg = _moe_cfg(moe_experts=2)
+    params = bert.init(jax.random.key(5), cfg)
+    with pytest.raises(NotImplementedError):
+        bert.encode_pipelined(params, cfg, jnp.zeros((2, 4, 16)),
+                              n_micro=2)
+
+
+def test_moe_bert_ep_train_step(devices):
+    """dp x ep train step: MoE-BERT biencoder with expert weights sharded
+    over `model`, aux loss in the objective — loss decreases."""
+    from viquae_tpu.models import bert
+    from viquae_tpu.train import objectives, optim
+    from viquae_tpu.train.trainer import Trainer, TrainerConfig
+
+    cfg = _moe_cfg(moe_experts=4, moe_every=2)
+    ctx = meshlib.make_mesh(data=2, model=4)
+    params = bert.init(jax.random.key(6), cfg)
+    rng = np.random.default_rng(6)
+    batch = {
+        "ids": rng.integers(0, 61, (8, 10)).astype(np.int32),
+        "mask": np.ones((8, 10), np.int32),
+        "labels": np.arange(8, dtype=np.int32),
+    }
+
+    def loss_fn(p, b, _rng):
+        out = bert.apply(p, cfg, b["ids"], b["mask"])
+        q = out["last_hidden_state"][:, 0]
+        loss, aux = objectives.biencoder_loss(q, q, b["labels"])
+        return loss + 0.01 * out["moe_aux"], aux
+
+    with meshlib.use(ctx):
+        trainer = Trainer(
+            loss_fn, params,
+            optim.make_optimizer(params, lr=1e-2, total_steps=4),
+            TrainerConfig(max_steps=3, log_every=1),
+            mesh_ctx=ctx, param_spec=bert.param_spec(cfg),
+        )
+        result = trainer.fit([batch, batch, batch])
+    assert result["final_step"] == 3
+    losses = [h["loss"] for h in trainer.history if "loss" in h]
+    assert losses[-1] < losses[0]

@@ -33,6 +33,14 @@ class BertConfig:
     hidden_dropout_prob: float = 0.1
     attention_probs_dropout_prob: float = 0.1
     add_pooler: bool = True
+    # Mixture-of-Experts FFN (beyond-reference capacity scaling, expert
+    # weights shard over `model` — ops/moe.py). 0 = dense HF-portable
+    # BERT; >0 swaps the FFN of every `moe_every`-th layer for a MoE
+    # block with `moe_experts` experts.
+    moe_experts: int = 0
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
+    moe_every: int = 1
 
     @classmethod
     def from_hf(cls, hf_config, add_pooler: bool = True) -> "BertConfig":
@@ -68,7 +76,8 @@ def init(key, cfg: BertConfig) -> Dict[str, Any]:
             "ln": L.layer_norm_init(cfg.hidden_size),
         },
         "layers": [
-            _layer_init(keys[3 + i], cfg) for i in range(cfg.num_hidden_layers)
+            _layer_init(keys[3 + i], cfg, i)
+            for i in range(cfg.num_hidden_layers)
         ],
     }
     if cfg.add_pooler:
@@ -78,18 +87,46 @@ def init(key, cfg: BertConfig) -> Dict[str, Any]:
     return params
 
 
-def _layer_init(key, cfg: BertConfig):
+def _is_moe_layer(cfg: BertConfig, i: int) -> bool:
+    return cfg.moe_experts > 0 and (i + 1) % cfg.moe_every == 0
+
+
+def _layer_init(key, cfg: BertConfig, i: int = 0):
     k_attn, k_mlp = jax.random.split(key)
-    return {
+    layer = {
         "attention": L.mha_init(k_attn, cfg.hidden_size, cfg.num_attention_heads),
         "attention_ln": L.layer_norm_init(cfg.hidden_size),
-        "mlp": L.mlp_init(k_mlp, cfg.hidden_size, cfg.intermediate_size),
         "output_ln": L.layer_norm_init(cfg.hidden_size),
     }
+    if _is_moe_layer(cfg, i):
+        from viquae_tpu.ops import moe
+
+        layer["moe"] = moe.moe_init(
+            k_mlp, cfg.hidden_size, cfg.intermediate_size, cfg.moe_experts
+        )
+    else:
+        layer["mlp"] = L.mlp_init(
+            k_mlp, cfg.hidden_size, cfg.intermediate_size
+        )
+    return layer
 
 
 def param_spec(cfg: BertConfig):
     """PartitionSpec pytree for tensor parallelism over the `model` axis."""
+    def layer_spec(i):
+        s = {
+            "attention": L.mha_spec(),
+            "attention_ln": L.layer_norm_spec(),
+            "output_ln": L.layer_norm_spec(),
+        }
+        if _is_moe_layer(cfg, i):
+            from viquae_tpu.ops import moe
+
+            s["moe"] = moe.moe_spec()  # ep: expert axis over `model`
+        else:
+            s["mlp"] = L.mlp_spec()
+        return s
+
     spec = {
         "embeddings": {
             "word": P(None, None),
@@ -97,15 +134,7 @@ def param_spec(cfg: BertConfig):
             "token_type": P(None, None),
             "ln": L.layer_norm_spec(),
         },
-        "layers": [
-            {
-                "attention": L.mha_spec(),
-                "attention_ln": L.layer_norm_spec(),
-                "mlp": L.mlp_spec(),
-                "output_ln": L.layer_norm_spec(),
-            }
-            for _ in range(cfg.num_hidden_layers)
-        ],
+        "layers": [layer_spec(i) for i in range(cfg.num_hidden_layers)],
     }
     if cfg.add_pooler:
         spec["pooler"] = L.dense_spec()
@@ -147,7 +176,8 @@ def _layer_forward(
     deterministic: bool = True, compute_dtype=jnp.float32,
 ):
     """One post-LN transformer block (shared by the sequential and the
-    pipelined encoders). rngs = (attn_probs, attn_out, ffw_out) keys."""
+    pipelined encoders). rngs = (attn_probs, attn_out, ffw_out) keys.
+    Returns (y, moe_aux) — moe_aux is 0.0 for dense-FFN layers."""
     rng_a, rng_h, rng_b = rngs
     attn = L.mha(
         layer["attention"], x, bias=bias,
@@ -159,9 +189,19 @@ def _layer_forward(
     )
     attn = L.dropout(attn, cfg.hidden_dropout_prob, deterministic, rng_h)
     x = L.layer_norm(layer["attention_ln"], x + attn, cfg.layer_norm_eps)
-    ff = L.mlp(layer["mlp"], x, cfg.hidden_act, compute_dtype)
+    if "moe" in layer:
+        from viquae_tpu.ops import moe
+
+        ff, aux = moe.moe_apply(
+            layer["moe"], x, top_k=cfg.moe_top_k,
+            capacity_factor=cfg.moe_capacity_factor,
+            act=cfg.hidden_act, compute_dtype=compute_dtype,
+        )
+    else:
+        ff = L.mlp(layer["mlp"], x, cfg.hidden_act, compute_dtype)
+        aux = jnp.float32(0.0)
     ff = L.dropout(ff, cfg.hidden_dropout_prob, deterministic, rng_b)
-    return L.layer_norm(layer["output_ln"], x + ff, cfg.layer_norm_eps)
+    return L.layer_norm(layer["output_ln"], x + ff, cfg.layer_norm_eps), aux
 
 
 def encode(
@@ -176,6 +216,7 @@ def encode(
     activation_sharding=None,
     segment_ids: Optional[jnp.ndarray] = None,
     remat_layers: bool = False,
+    return_moe_aux: bool = False,
 ) -> jnp.ndarray:
     """Encoder stack over pre-built (B, L, D) hidden states.
 
@@ -197,7 +238,17 @@ def encode(
     `activation_sharding` (a PartitionSpec/NamedSharding over (B, L, D)) is
     the sequence-parallel seam (SURVEY §5.7): constraining the L axis makes
     XLA keep per-layer activations sequence-sharded and insert the gathers
-    attention needs — no model-code changes when scaling context."""
+    attention needs — no model-code changes when scaling context.
+
+    With `return_moe_aux` (MoE configs), the summed Switch load-balance
+    loss over MoE layers is appended to the return tuple: (x[, hidden],
+    aux). Training a MoE config WITHOUT requesting aux raises — silently
+    dropping the balance term collapses experts."""
+    if cfg.moe_experts > 0 and not deterministic and not return_moe_aux:
+        raise ValueError(
+            "moe_experts > 0 in training mode requires return_moe_aux="
+            "True — add the load-balance aux to the loss (ops/moe.py)"
+        )
     b, l = hidden.shape[:2]
     if segment_ids is not None:
         bias = L.attention_bias_from_segments(segment_ids)
@@ -224,16 +275,21 @@ def encode(
 
     x = hidden
     all_hidden = [x]
+    moe_aux = jnp.float32(0.0)
     for i, layer in enumerate(params["layers"]):
-        x = layer_fn(layer, x, bias, rngs[3 * i], rngs[3 * i + 1],
-                     rngs[3 * i + 2])
+        x, aux = layer_fn(layer, x, bias, rngs[3 * i], rngs[3 * i + 1],
+                          rngs[3 * i + 2])
+        moe_aux = moe_aux + aux
         if activation_sharding is not None:
             x = jax.lax.with_sharding_constraint(x, activation_sharding)
         if output_hidden_states:
             all_hidden.append(x)
+    out = (x,)
     if output_hidden_states:
-        return x, all_hidden
-    return x
+        out = out + (all_hidden,)
+    if return_moe_aux:
+        out = out + (moe_aux,)
+    return out if len(out) > 1 else out[0]
 
 
 # --------------------------------------------------------------------------
@@ -305,6 +361,16 @@ def encode_pipelined(
     (tests/test_pipeline.py)."""
     from viquae_tpu.ops import pipeline as pl
 
+    if cfg.moe_experts > 0:
+        # pp x ep composition is an explicit non-goal for now: the GPipe
+        # stage contract is shape-preserving per microbatch and has no
+        # channel for the per-stage MoE aux loss — shard experts over
+        # `model` next to `pipe` once a config needs both
+        raise NotImplementedError(
+            "encode_pipelined does not support MoE layers "
+            "(moe_experts > 0) — use the sequential encoder with ep"
+        )
+
     b, l = hidden.shape[:2]
     if segment_ids is not None:
         bias = L.attention_bias_from_segments(segment_ids)
@@ -332,7 +398,7 @@ def encode_pipelined(
                 )
             else:
                 rngs = (None, None, None)
-            y = _layer_forward(
+            y, _ = _layer_forward(
                 layer, x, c["bias"], rngs, cfg,
                 deterministic=deterministic, compute_dtype=compute_dtype,
             )
@@ -394,13 +460,19 @@ def apply(
         activation_sharding=activation_sharding,
         segment_ids=segment_ids,
         remat_layers=remat_layers,
+        return_moe_aux=cfg.moe_experts > 0,
     )
-    hidden_states = None
+    hidden_states = moe_aux = None
+    if cfg.moe_experts > 0:
+        *x, moe_aux = x if isinstance(x, tuple) else (x,)
+        x = x[0] if len(x) == 1 else tuple(x)
     if output_hidden_states:
         x, hidden_states = x
     out = {"last_hidden_state": x}
     if hidden_states is not None:
         out["hidden_states"] = hidden_states
+    if moe_aux is not None:
+        out["moe_aux"] = moe_aux
     if cfg.add_pooler and "pooler" in params:
         out["pooler_output"] = jnp.tanh(L.dense(params["pooler"], x[:, 0]))
     return out
@@ -416,6 +488,12 @@ def params_from_hf(state_dict, cfg: BertConfig, prefix: str = "") -> Dict[str, A
     DPR checkpoints). Verified numerically against torch in tests.
     """
     import numpy as np
+
+    if cfg.moe_experts > 0:
+        raise ValueError(
+            "HF BertModel checkpoints are dense — port into a "
+            "moe_experts=0 config (MoE params have no HF counterpart)"
+        )
 
     def get(name):
         t = state_dict[prefix + name]
@@ -466,6 +544,12 @@ def params_to_hf_state_dict(params, cfg: BertConfig, prefix: str = ""):
     by downstream embedding stages and external HF users)."""
     import numpy as np
     import torch
+
+    if cfg.moe_experts > 0:
+        raise ValueError(
+            "MoE configs are not HF-BertModel-exportable — the expert "
+            "stack has no state_dict counterpart"
+        )
 
     def t(x):
         return torch.from_numpy(np.asarray(x))
