@@ -308,3 +308,160 @@ def test_moe_bert_ep_train_step(devices):
     assert result["final_step"] == 3
     losses = [h["loss"] for h in trainer.history if "loss" in h]
     assert losses[-1] < losses[0]
+
+
+# ---------------------------------------------------------------------------
+# MoE through the trainee harness: the load-balance aux must reach the loss
+# on EVERY apply path (padded, packed, multimodal, reader) — silently
+# dropping it collapses experts (ops/moe.py docstring)
+# ---------------------------------------------------------------------------
+def _moe_biencoder(moe_aux_weight, **cfg_kw):
+    from viquae_tpu.models import bert, dpr
+    from viquae_tpu.train import trainee
+
+    cfg = dpr.DPRConfig(bert=_moe_cfg(
+        moe_experts=2, moe_capacity_factor=4.0, **cfg_kw))
+    q = dpr.DPREncoder(cfg=cfg, seed=0)
+    c = dpr.DPREncoder(cfg=cfg, seed=1)
+    return trainee.BiEncoderTrainee(q, c, moe_aux_weight=moe_aux_weight)
+
+
+def _biencoder_batch(n=4, m=2, l=8, seed=0):
+    rng = np.random.default_rng(seed)
+    return {
+        "question_inputs": {
+            "input_ids": rng.integers(1, 61, (n, l)).astype(np.int32),
+            "attention_mask": np.ones((n, l), np.int32),
+        },
+        "context_inputs": {
+            "input_ids": rng.integers(1, 61, (n * m, l)).astype(np.int32),
+            "attention_mask": np.ones((n * m, l), np.int32),
+        },
+        "labels": (np.arange(n) * m).astype(np.int32),
+    }
+
+
+def test_moe_biencoder_trainee_adds_aux_to_loss():
+    be = _moe_biencoder(moe_aux_weight=0.05)
+    be0 = _moe_biencoder(moe_aux_weight=0.0)
+    # identical towers (same seeds) so the task losses match exactly
+    batch = _biencoder_batch()
+    loss_w, out_w = be.loss_fn(be.params, batch, jax.random.key(0),
+                               deterministic=True)
+    loss_0, out_0 = be0.loss_fn(be0.params, batch, jax.random.key(0),
+                                deterministic=True)
+    assert "moe_aux" in out_w and "moe_aux" in out_0
+    aux = float(out_w["moe_aux"])
+    assert aux > 0.0
+    np.testing.assert_allclose(float(loss_w), float(loss_0) + aux, rtol=1e-6)
+
+    # training mode works end-to-end (the encode-level guard is satisfied
+    # by the plumbing) and the aux term carries gradients to the router
+    def scalar_loss(p):
+        l, _ = be.loss_fn(p, batch, jax.random.key(1), deterministic=False)
+        return l
+
+    grads = jax.grad(scalar_loss)(be.params)
+    router_g = grads["question"]["layers"][0]["moe"]["router"]["kernel"]
+    assert float(jnp.abs(router_g).max()) > 0.0
+
+
+def test_moe_biencoder_dense_outputs_have_no_aux_key():
+    from viquae_tpu.models import bert, dpr
+    from viquae_tpu.train import trainee
+
+    cfg = dpr.DPRConfig(bert=_moe_cfg())
+    be = trainee.BiEncoderTrainee(dpr.DPREncoder(cfg=cfg, seed=0),
+                                  dpr.DPREncoder(cfg=cfg, seed=1))
+    loss, out = be.loss_fn(be.params, _biencoder_batch(),
+                           jax.random.key(0), deterministic=True)
+    assert "moe_aux" not in out
+    assert np.isfinite(float(loss))
+
+
+def test_moe_eca_paths_surface_aux():
+    """eca_apply carries moe_aux in its output; eca_apply_packed returns
+    it via return_aux — and packed == padded embeddings for MoE too."""
+    from viquae_tpu.models import bert as bert_lib
+    from viquae_tpu.models import mm
+    from viquae_tpu.train import data as tdata
+
+    cfg = mm.MMConfig(
+        bert=bert_lib.BertConfig(
+            vocab_size=100, hidden_size=24, num_hidden_layers=2,
+            num_attention_heads=2, intermediate_size=48,
+            max_position_embeddings=40, add_pooler=False,
+            hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+            moe_experts=2, moe_capacity_factor=8.0,
+        ),
+        n_faces=2, face_dim=6, bbox_dim=7, image_dims=(("clip", 8),),
+    )
+    params = mm.eca_init(jax.random.key(3), cfg)
+    rng = np.random.default_rng(11)
+    b = 5
+    lens = rng.integers(3, 14, b)
+    ids = np.zeros((b, 16), np.int32)
+    mask = np.zeros((b, 16), np.int32)
+    for i, l in enumerate(lens):
+        ids[i, :l] = rng.integers(1, 90, l)
+        mask[i, :l] = 1
+    batch = {
+        "text_inputs": {"input_ids": ids, "attention_mask": mask},
+        "face_inputs": {
+            "face": rng.standard_normal((b, 1, 2, 6)).astype(np.float32),
+            "bbox": rng.standard_normal((b, 1, 2, 7)).astype(np.float32),
+            "attention_mask": (rng.random((b, 1, 2)) < 0.6).astype(np.int32),
+        },
+        "image_inputs": {"clip": {
+            "input": rng.standard_normal((b, 1, 8)).astype(np.float32),
+            "attention_mask": (rng.random((b, 1)) < 0.7).astype(np.int32),
+        }},
+    }
+    out = mm.eca_apply(params, cfg, batch["text_inputs"],
+                       batch["face_inputs"], batch["image_inputs"],
+                       deterministic=True)
+    assert out.moe_aux is not None and float(out.moe_aux) > 0.0
+
+    t_vis = tdata.mm_visual_mask(
+        batch["face_inputs"], batch["image_inputs"]).shape[1]
+    canvas = tdata.pack_mm_text_inputs(batch, 16 + t_vis)
+    cls, aux = mm.eca_apply_packed(
+        params, cfg,
+        jnp.asarray(canvas["canvas_input_ids"]),
+        jnp.asarray(canvas["canvas_segment_ids"]),
+        jnp.asarray(canvas["canvas_position_ids"]),
+        jnp.asarray(canvas["canvas_cls_rows"]),
+        jnp.asarray(canvas["canvas_cls_cols"]),
+        jnp.asarray(canvas["canvas_vis_rows"]),
+        jnp.asarray(canvas["canvas_vis_cols"]),
+        batch["face_inputs"], batch["image_inputs"],
+        deterministic=True, return_aux=True,
+    )
+    assert aux is not None and float(aux) > 0.0
+    # routing is per-token, so with ample capacity the packed embeddings
+    # still match the padded ones (the aux VALUES differ — different pad
+    # token sets see the router)
+    np.testing.assert_allclose(np.asarray(cls[:b]),
+                               np.asarray(out.pooler_output),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_moe_reader_aux_in_trainee_loss():
+    from viquae_tpu.models import qa
+
+    cfg = qa.ReaderConfig(bert=_moe_cfg(
+        moe_experts=2, moe_capacity_factor=4.0))
+    params = qa.init(jax.random.key(7), cfg)
+    rng = np.random.default_rng(7)
+    nm, l, a = 4, 10, 2
+    out = qa.reader_apply(
+        params, cfg,
+        rng.integers(1, 61, (nm, l)).astype(np.int32),
+        attention_mask=np.ones((nm, l), np.int32),
+        start_positions=rng.integers(0, l, (nm, a)).astype(np.int32),
+        end_positions=rng.integers(0, l, (nm, a)).astype(np.int32),
+        answer_mask=np.ones((nm, a), np.int32),
+        m_passages=2, deterministic=True,
+    )
+    assert out.moe_aux is not None and float(out.moe_aux) > 0.0
+    assert np.isfinite(float(out.loss))

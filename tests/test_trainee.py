@@ -193,3 +193,46 @@ def test_reader_trainee_eval_fn_with_trainer(tokenizer, devices):
         metrics = t.evaluate([batch])
     assert set(metrics) >= {"loss", "exact_match", "f1"}
     assert 0.0 <= metrics["f1"] <= 1.0
+
+
+def test_moe_biencoder_packed_training(tokenizer, devices):
+    """MoE towers through the PACKED trainee path: return_aux plumbing via
+    DPREncoder.packed_apply_fn. With the aux weight zeroed, packed ==
+    padded loss (ample expert capacity -> per-token routing unaffected by
+    the differing pad-token sets); with it on, the loss carries the term."""
+    from viquae_tpu.models import dpr
+    from viquae_tpu.train import data as tdata
+
+    cfg = dpr.DPRConfig(bert=bert.BertConfig(
+        **TINY, moe_experts=2, moe_capacity_factor=8.0))
+    q_model = dpr.DPREncoder(cfg=cfg, seed=0)
+    c_model = dpr.DPREncoder(cfg=cfg, seed=1)
+
+    kb = [{"passage": f"ent{i} fact{i} answer", "index": i} for i in range(8)]
+    items = [
+        {"id": f"q{i}", "input": f"question about ent{i}",
+         "search_provenance_indices": [i],
+         "search_irrelevant_indices": [(i + 3) % 8]}
+        for i in range(4)
+    ]
+    b_packed = tdata.BiEncoderCollator(
+        tokenizer, kb=kb, M=2, max_length=16, seed=0, packed=True
+    ).collate_fn(items)
+    b_padded = tdata.BiEncoderCollator(
+        tokenizer, kb=kb, M=2, max_length=16, seed=0, packed=False
+    ).collate_fn(items)
+
+    be0 = trainee.BiEncoderTrainee(q_model, c_model, moe_aux_weight=0.0)
+    lp, op = be0.loss_fn(be0.params, b_packed, jax.random.key(0),
+                         deterministic=True)
+    lu, _ = be0.loss_fn(be0.params, b_padded, jax.random.key(0),
+                        deterministic=True)
+    np.testing.assert_allclose(float(lp), float(lu), rtol=1e-5)
+    assert "moe_aux" in op  # surfaced (zero-weighted) even at weight 0
+
+    be = trainee.BiEncoderTrainee(q_model, c_model, moe_aux_weight=0.05)
+    lw, ow = be.loss_fn(be.params, b_packed, jax.random.key(0),
+                        deterministic=True)
+    aux = float(ow["moe_aux"])
+    assert aux > 0.0
+    np.testing.assert_allclose(float(lw), float(lp) + aux, rtol=1e-6)

@@ -71,6 +71,7 @@ def apply_packed(
     rng=None,
     compute_dtype=jnp.float32,
     remat_layers: bool = False,
+    return_aux: bool = False,
 ) -> jnp.ndarray:
     """Packed-canvas forward: many questions per row (ops/packing.py).
 
@@ -94,7 +95,11 @@ def apply_packed(
         remat_layers=remat_layers,
     )
     hidden = out["last_hidden_state"]
-    return hidden[cls_rows, cls_cols]
+    cls = hidden[cls_rows, cls_cols]
+    if return_aux:
+        # (embeddings, moe_aux) — the MoE load-balance term (None = dense)
+        return cls, out.get("moe_aux")
+    return cls
 
 
 def make_packed_apply(cfg: DPRConfig):

@@ -211,13 +211,19 @@ def eca_apply(
     mask = jnp.concatenate(
         [attention_mask, vis_mask.astype(attention_mask.dtype)], axis=1
     )
+    moe = cfg.bert.moe_experts > 0
     sequence = bert.encode(
         params["bert"], cfg.bert, hidden, mask,
         deterministic=deterministic, rng=rngs[2],
         compute_dtype=compute_dtype, remat_layers=remat_layers,
+        return_moe_aux=moe,
     )
+    moe_aux = None
+    if moe:
+        sequence, moe_aux = sequence
     return ECAEncoderOutput(
-        pooler_output=sequence[:, 0], last_hidden_state=sequence
+        pooler_output=sequence[:, 0], last_hidden_state=sequence,
+        moe_aux=moe_aux,
     )
 
 
@@ -237,6 +243,7 @@ def eca_apply_packed(
     rng=None,
     compute_dtype=jnp.float32,
     remat_layers: bool = False,
+    return_aux: bool = False,
 ) -> jnp.ndarray:
     """Packed-canvas ECA forward: many samples per row (ops/packing.py).
 
@@ -253,7 +260,8 @@ def eca_apply_packed(
     Pointers past `n_seqs` are out of bounds and dropped by the scatter.
 
     Returns (n_cls, D) CLS states; entries past the packer's n_seqs are
-    garbage — slice them off.
+    garbage — slice them off. With `return_aux`, returns (cls, moe_aux) —
+    the MoE load-balance term (None for dense configs).
     """
     if cfg.no_text:
         raise NotImplementedError(
@@ -275,13 +283,21 @@ def eca_apply_packed(
     hidden = hidden.at[
         vis_rows.reshape(-1), vis_cols.reshape(-1)
     ].set(vis_tokens.reshape(-1, d).astype(hidden.dtype), mode="drop")
+    moe = cfg.bert.moe_experts > 0
     sequence = bert.encode(
         params["bert"], cfg.bert, hidden,
         deterministic=deterministic, rng=rngs[2],
         compute_dtype=compute_dtype,
         segment_ids=segment_ids, remat_layers=remat_layers,
+        return_moe_aux=moe,
     )
-    return sequence[cls_rows, cls_cols]
+    moe_aux = None
+    if moe:
+        sequence, moe_aux = sequence
+    cls = sequence[cls_rows, cls_cols]
+    if return_aux:
+        return cls, moe_aux
+    return cls
 
 
 # --------------------------------------------------------------------------
@@ -358,17 +374,20 @@ def ilf_apply(
     remat_layers: bool = False,
 ) -> EncoderOutput:
     rngs = jax.random.split(rng, 2) if rng is not None else (None,) * 2
-    text = bert.apply(
+    bert_out = bert.apply(
         params["dpr_encoder"], cfg.bert,
         text_inputs["input_ids"], text_inputs["attention_mask"],
         token_type_ids=text_inputs.get("token_type_ids"),
         deterministic=deterministic, rng=rngs[0],
         compute_dtype=compute_dtype, remat_layers=remat_layers,
-    )["last_hidden_state"][:, 0]
+    )
+    text = bert_out["last_hidden_state"][:, 0]
     output = L.dense(params["dpr_proj"], text)
     output = _ilf_fuse_visual(params, cfg, output, face_inputs,
                               image_inputs, deterministic, rngs[1])
-    return EncoderOutput(pooler_output=output)
+    return EncoderOutput(
+        pooler_output=output, moe_aux=bert_out.get("moe_aux")
+    )
 
 
 def ilf_apply_packed(
@@ -385,25 +404,30 @@ def ilf_apply_packed(
     rng=None,
     compute_dtype=jnp.float32,
     remat_layers: bool = False,
+    return_aux: bool = False,
 ) -> jnp.ndarray:
     """Packed-canvas ILF forward: the text CLS comes from a packed DPR
     tower (block-diagonal attention); the visual side is a per-sample SUM
     of projections (no tokens), so no reserved slots are needed — plain
     `pack_text_inputs` canvases work. Returns (n_cls, D); rows past the
-    packer's n_seqs are garbage."""
+    packer's n_seqs are garbage. With `return_aux`, returns
+    (embeddings, moe_aux) — the MoE load-balance term (None for dense)."""
     rngs = jax.random.split(rng, 2) if rng is not None else (None,) * 2
-    hidden = bert.apply(
+    bert_out = bert.apply(
         params["dpr_encoder"], cfg.bert, input_ids,
         position_ids=position_ids, segment_ids=segment_ids,
         deterministic=deterministic, rng=rngs[0],
         compute_dtype=compute_dtype, remat_layers=remat_layers,
-    )["last_hidden_state"]
-    text = hidden[cls_rows, cls_cols]
+    )
+    text = bert_out["last_hidden_state"][cls_rows, cls_cols]
 
     b = face_inputs["face"].shape[0]
     output = L.dense(params["dpr_proj"], text[: b])
-    return _ilf_fuse_visual(params, cfg, output, face_inputs,
-                            image_inputs, deterministic, rngs[1])
+    output = _ilf_fuse_visual(params, cfg, output, face_inputs,
+                              image_inputs, deterministic, rngs[1])
+    if return_aux:
+        return output, bert_out.get("moe_aux")
+    return output
 
 
 # --------------------------------------------------------------------------
@@ -444,6 +468,12 @@ def flamant_apply(
     rng=None,
     compute_dtype=jnp.float32,
 ) -> ECAEncoderOutput:
+    if cfg.bert.moe_experts > 0:
+        raise NotImplementedError(
+            "Flamant hand-rolls its BertLayer loop (gated cross-attention "
+            "interleaving) and does not support moe_experts > 0 — use a "
+            "dense BertConfig or the ECA/ILF/DPR MoE paths"
+        )
     rngs = jax.random.split(rng, 2) if rng is not None else (None, None)
     vis_tokens, vis_mask = _visual_tokens(
         params, cfg, face_inputs, image_inputs, deterministic, rngs[0]

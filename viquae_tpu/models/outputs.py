@@ -12,11 +12,14 @@ import jax.numpy as jnp
 
 class EncoderOutput(NamedTuple):
     pooler_output: Optional[jnp.ndarray] = None
+    # summed MoE load-balance aux (BertConfig.moe_experts > 0), else None
+    moe_aux: Optional[jnp.ndarray] = None
 
 
 class ECAEncoderOutput(NamedTuple):
     pooler_output: Optional[jnp.ndarray] = None
     last_hidden_state: Optional[jnp.ndarray] = None
+    moe_aux: Optional[jnp.ndarray] = None
 
 
 class BiEncoderOutput(NamedTuple):
@@ -38,8 +41,10 @@ class ReaderOutput(NamedTuple):
     end_logits: Optional[jnp.ndarray] = None
     start_log_probs: Optional[jnp.ndarray] = None
     end_log_probs: Optional[jnp.ndarray] = None
+    moe_aux: Optional[jnp.ndarray] = None
 
 
 class ReRankerOutput(NamedTuple):
     loss: Optional[jnp.ndarray] = None
     logits: Optional[jnp.ndarray] = None
+    moe_aux: Optional[jnp.ndarray] = None

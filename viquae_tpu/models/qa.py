@@ -74,13 +74,14 @@ def reader_apply(
     rng=None,
     compute_dtype=jnp.float32,
 ) -> ReaderOutput:
-    sequence = bert.apply(
+    bert_out = bert.apply(
         params["bert"], cfg.bert, input_ids,
         attention_mask=attention_mask,
         token_type_ids=token_type_ids,
         deterministic=deterministic, rng=rng,
         compute_dtype=compute_dtype,
-    )["last_hidden_state"]
+    )
+    sequence = bert_out["last_hidden_state"]
     logits = L.dense(params["qa_outputs"], sequence)  # (N*M, L, 2)
     start_logits = logits[..., 0]
     end_logits = logits[..., 1]
@@ -110,6 +111,7 @@ def reader_apply(
         end_logits=end_logits,
         start_log_probs=start_lp,
         end_log_probs=end_lp,
+        moe_aux=bert_out.get("moe_aux"),
     )
 
 
@@ -141,14 +143,15 @@ def reader_apply_packed(
     (the padded path instead includes pad-token logits — a documented,
     strictly-cleaner divergence).
     """
-    sequence = bert.apply(
+    bert_out = bert.apply(
         params["bert"], cfg.bert, input_ids,
         token_type_ids=token_type_ids,
         position_ids=position_ids,
         segment_ids=segment_ids,
         deterministic=deterministic, rng=rng,
         compute_dtype=compute_dtype,
-    )["last_hidden_state"]                       # (R, Lc, D)
+    )
+    sequence = bert_out["last_hidden_state"]     # (R, Lc, D)
     logits = L.dense(params["qa_outputs"], sequence)  # (R, Lc, 2)
     flat = logits.reshape(-1, 2)
     picked = flat[gather_idx]                    # (N*M, L, 2)
@@ -181,6 +184,7 @@ def reader_apply_packed(
         end_logits=end_logits,
         start_log_probs=start_lp,
         end_log_probs=end_lp,
+        moe_aux=bert_out.get("moe_aux"),
     )
 
 
@@ -236,6 +240,7 @@ def eca_reader_apply(
     return ReaderOutput(
         loss=loss, start_logits=start_logits, end_logits=end_logits,
         start_log_probs=start_lp, end_log_probs=end_lp,
+        moe_aux=out.moe_aux,
     )
 
 

@@ -43,7 +43,7 @@ def bert_reranker_apply(params, cfg: BertReRankerConfig, input_ids,
         deterministic=deterministic, rng=rng, compute_dtype=compute_dtype,
     )
     logits = L.dense(params["classifier"], out["last_hidden_state"][:, 0])
-    return ReRankerOutput(logits=logits[..., 0])
+    return ReRankerOutput(logits=logits[..., 0], moe_aux=out.get("moe_aux"))
 
 
 def bert_reranker_apply_packed(params, cfg: BertReRankerConfig, input_ids,
@@ -64,7 +64,7 @@ def bert_reranker_apply_packed(params, cfg: BertReRankerConfig, input_ids,
     )
     cls = out["last_hidden_state"][cls_rows, cls_cols]
     logits = L.dense(params["classifier"], cls)
-    return ReRankerOutput(logits=logits[..., 0])
+    return ReRankerOutput(logits=logits[..., 0], moe_aux=out.get("moe_aux"))
 
 
 def eca_reranker_init(key, cfg: mm.MMConfig):
@@ -83,7 +83,7 @@ def eca_reranker_apply(params, cfg: mm.MMConfig, text_inputs, face_inputs,
         deterministic=deterministic, rng=rng, compute_dtype=compute_dtype,
     )
     logits = L.dense(params["classifier"], out.pooler_output)
-    return ReRankerOutput(logits=logits[..., 0])
+    return ReRankerOutput(logits=logits[..., 0], moe_aux=out.moe_aux)
 
 
 def flamant_reranker_init(key, cfg: mm.FlamantConfig):

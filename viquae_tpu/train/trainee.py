@@ -42,23 +42,37 @@ def _text_kwargs(inputs: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
     return out
 
 
+def _moe_experts(model) -> int:
+    """BertConfig.moe_experts of a trainee encoder adapter (0 = dense)."""
+    cfg = getattr(model, "cfg", None)
+    bcfg = getattr(cfg, "bert", None)
+    return getattr(bcfg, "moe_experts", 0) or 0
+
+
 class BiEncoderTrainee:
     """DPR-style dual tower with global in-batch negatives."""
 
     def __init__(self, question_model, context_model=None,
                  shared_encoders: bool = False,
-                 remat_layers: bool = False):
+                 remat_layers: bool = False,
+                 moe_aux_weight: float = 0.01):
         """question_model/context_model: objects with .cfg, .params and an
         apply(params, **text_kwargs) -> {"pooler_output"} callable — e.g.
         models.dpr.DPREncoder, or any multimodal encoder adapter.
 
         remat_layers=True checkpoints each transformer layer (the
         reference's `gradient_checkpointing: true` recipes —
-        experiments/ict/eca/config.yaml)."""
+        experiments/ict/eca/config.yaml).
+
+        moe_aux_weight scales the MoE load-balance aux added to the task
+        loss when an encoder has BertConfig.moe_experts > 0 (Switch
+        Transformer's default 1e-2) — dropping it collapses experts, so
+        the encoders surface it through every apply path (ops/moe.py)."""
         self.question_model = question_model
         self.shared_encoders = shared_encoders or context_model is None
         self.context_model = question_model if self.shared_encoders else context_model
         self.remat_layers = remat_layers
+        self.moe_aux_weight = moe_aux_weight
 
     @property
     def params(self):
@@ -70,8 +84,18 @@ class BiEncoderTrainee:
         }
 
     def _encode(self, params, model, inputs, rng, deterministic):
+        """Returns (embeddings, moe_aux) — moe_aux is None for dense
+        encoders and the summed load-balance term for MoE configs."""
         packed_apply = getattr(model, "packed_apply_fn", None)
         remat_kw = {"remat_layers": True} if self.remat_layers else {}
+        # packed applies return raw embedding arrays; the aux channel is
+        # opt-in (return_aux) so dense paths keep their array contract
+        moe = _moe_experts(model) > 0
+        packed_kw = dict(remat_kw, return_aux=True) if moe else remat_kw
+
+        def packed_out(res):
+            return res if moe else (res, None)
+
         if "face_inputs" in inputs:
             # multimodal encoder inputs ({"text_inputs", "face_inputs",
             # "image_inputs"}) — e.g. an mm.ECAEncoder bundle
@@ -89,42 +113,56 @@ class BiEncoderTrainee:
                     canvas = canvas + (
                         text["canvas_vis_rows"], text["canvas_vis_cols"],
                     )
-                return packed_apply(
+                return packed_out(packed_apply(
                     params, *canvas,
                     inputs["face_inputs"], inputs.get("image_inputs"),
-                    deterministic=deterministic, rng=rng, **remat_kw,
-                )
-            return model.apply_fn(
+                    deterministic=deterministic, rng=rng, **packed_kw,
+                ))
+            out = model.apply_fn(
                 params, _text_kwargs(inputs), inputs["face_inputs"],
                 inputs.get("image_inputs"),
                 deterministic=deterministic, rng=rng, **remat_kw,
-            ).pooler_output
+            )
+            return out.pooler_output, getattr(out, "moe_aux", None)
         if "canvas_input_ids" in inputs and packed_apply is not None:
             # packed canvas from BiEncoderCollator(packed=True)
-            return packed_apply(
+            return packed_out(packed_apply(
                 params,
                 inputs["canvas_input_ids"], inputs["canvas_segment_ids"],
                 inputs["canvas_position_ids"],
                 inputs["canvas_cls_rows"], inputs["canvas_cls_cols"],
-                deterministic=deterministic, rng=rng, **remat_kw,
-            )
-        return model.apply_fn(
+                deterministic=deterministic, rng=rng, **packed_kw,
+            ))
+        out = model.apply_fn(
             params, **_text_kwargs(inputs),
             deterministic=deterministic, rng=rng, **remat_kw,
-        )["pooler_output"]
+        )
+        return out["pooler_output"], out.get("moe_aux")
+
+    def _moe_aux_total(self, *aux_terms):
+        """Sum the non-None load-balance terms, scaled; None if all dense."""
+        live = [a for a in aux_terms if a is not None]
+        if not live:
+            return None
+        return self.moe_aux_weight * sum(live)
 
     def loss_fn(self, params, batch, rng, deterministic: bool = False):
         rq, rc = jax.random.split(rng)
         ctx_params = params.get("context", params["question"])
-        q = self._encode(
+        q, aux_q = self._encode(
             params["question"], self.question_model,
             batch["question_inputs"], rq, deterministic,
         )
-        c = self._encode(
+        c, aux_c = self._encode(
             ctx_params, self.context_model,
             batch["context_inputs"], rc, deterministic,
         )
-        return objectives.biencoder_loss(q, c, batch["labels"])
+        loss, outputs = objectives.biencoder_loss(q, c, batch["labels"])
+        aux = self._moe_aux_total(aux_q, aux_c)
+        if aux is not None:
+            loss = loss + aux
+            outputs["moe_aux"] = aux
+        return loss, outputs
 
     def eval_fn(self, outputs: List[dict]) -> Dict[str, float]:
         batch_metrics = [
@@ -313,11 +351,11 @@ class JointBiEncoderAndClipTrainee(BiEncoderTrainee):
 
     def loss_fn(self, params, batch, rng, deterministic: bool = False):
         rq, rc = jax.random.split(rng)
-        q = self._encode(
+        q, aux_q = self._encode(
             params["question"], self.question_model,
             batch["question_inputs"], rq, deterministic,
         )
-        c = self._encode(
+        c, aux_c = self._encode(
             params.get("context", params["question"]),
             self.context_model,
             batch["context_inputs"], rc, deterministic,
@@ -333,11 +371,16 @@ class JointBiEncoderAndClipTrainee(BiEncoderTrainee):
                 batch["context_inputs"]["titles"]
             )
         )["text_embeds"]
-        return objectives.joint_mono_cross_modal_loss(
+        loss, outputs = objectives.joint_mono_cross_modal_loss(
             q, c, q_img, c_img, titles, batch["labels"],
             params["question_weight"], params["image_weight"],
             params["cm_weight"], params["temperature"],
         )
+        aux = self._moe_aux_total(aux_q, aux_c)
+        if aux is not None:
+            loss = loss + aux
+            outputs["moe_aux"] = aux
+        return loss, outputs
 
     def freeze_weights_regex(self) -> Optional[str]:
         """Regex freezing the fusion weights unless learn_weights."""
@@ -347,9 +390,11 @@ class JointBiEncoderAndClipTrainee(BiEncoderTrainee):
 
 
 class ReRankerTrainee:
-    def __init__(self, model, m_passages: int = 24):
+    def __init__(self, model, m_passages: int = 24,
+                 moe_aux_weight: float = 0.01):
         self.model = model
         self.M = m_passages
+        self.moe_aux_weight = moe_aux_weight
 
     @property
     def params(self):
@@ -374,8 +419,13 @@ class ReRankerTrainee:
             )
         logits = out.logits.reshape(-1, self.M)
         loss, log_probs = objectives.reranker_loss(logits, batch["labels"])
-        return loss, {"log_probs": log_probs, "labels": batch["labels"],
-                      "logits": logits}
+        outputs = {"log_probs": log_probs, "labels": batch["labels"],
+                   "logits": logits}
+        if out.moe_aux is not None:
+            aux = self.moe_aux_weight * out.moe_aux
+            loss = loss + aux
+            outputs["moe_aux"] = aux
+        return loss, outputs
 
     def eval_fn(self, outputs):
         batch_metrics = [
@@ -402,7 +452,7 @@ class ReaderTrainee:
     """Multi-passage extractive reader training + eval."""
 
     def __init__(self, cfg, params, tokenizer, m_passages: int = 24,
-                 tune_M: bool = False):
+                 tune_M: bool = False, moe_aux_weight: float = 0.01):
         from viquae_tpu.models import qa
 
         self.qa = qa
@@ -411,6 +461,7 @@ class ReaderTrainee:
         self.tokenizer = tokenizer
         self.M = m_passages
         self.tune_M = tune_M
+        self.moe_aux_weight = moe_aux_weight
 
     @property
     def params(self):
@@ -445,10 +496,16 @@ class ReaderTrainee:
                 token_type_ids=batch.get("token_type_ids"),
                 **common,
             )
-        return out.loss, {
+        loss = out.loss
+        outputs = {
             "start_log_probs": out.start_log_probs,
             "end_log_probs": out.end_log_probs,
         }
+        if out.moe_aux is not None:
+            aux = self.moe_aux_weight * out.moe_aux
+            loss = loss + aux
+            outputs["moe_aux"] = aux
+        return loss, outputs
 
     # ---- evaluation ---------------------------------------------------
     def eval_fn(self, outputs: List[dict], batches: List[dict]
