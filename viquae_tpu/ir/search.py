@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import enum
 import json
+import re
 import warnings
 from pathlib import Path
 from typing import Dict, List, Optional, Sequence
@@ -136,6 +137,39 @@ class KnowledgeBase:
                 do_l2norm = "L2norm" in string_factory or explicit_l2
                 load_path = index_kwargs.pop("load_path", None)
                 save_path = index_kwargs.pop("save_path", None)
+                # FAISS factory passthrough parity (the reference hands
+                # string_factory to Dataset.add_faiss_index verbatim,
+                # meerqat/ir/search.py:207-249): "IVF{nlist},Flat" builds
+                # the inverted-file index (ops/ivf.py)
+                ivf_match = re.search(r"IVF(\d+)", string_factory)
+                if ivf_match:
+                    from viquae_tpu.ops import ivf as ivf_lib
+
+                    index_kwargs.pop("mode", None)
+                    index_kwargs.pop("streaming", None)
+                    if load_path and (
+                        Path(str(load_path)).suffix == ".npz"
+                        and Path(str(load_path)).exists()
+                        or Path(str(load_path) + ".npz").exists()
+                    ):
+                        backend = ivf_lib.IVFFlatIndex.load(
+                            load_path, mesh_ctx=self.mesh_ctx,
+                            **index_kwargs)
+                    else:
+                        vectors = np.asarray(
+                            self.dataset[column], dtype=np.float32)
+                        backend = ivf_lib.IVFFlatIndex(
+                            vectors, nlist=int(ivf_match.group(1)),
+                            do_l2norm=do_l2norm, mesh_ctx=self.mesh_ctx,
+                            **index_kwargs)
+                        if save_path:
+                            backend.save(save_path)
+                    self.indexes[index_name] = Index(
+                        key=key, kind=kind, do_L2norm=backend.do_l2norm,
+                        backend=backend, normalization=normalization,
+                        interpolation_weight=interpolation_weight,
+                    )
+                    return
                 # streaming: true -> host-RAM KB streamed through the chip
                 # (KBs beyond HBM; ops.mips.StreamingDenseIndex)
                 streaming = index_kwargs.pop("streaming", False)
