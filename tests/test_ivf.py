@@ -26,7 +26,7 @@ def gaussian_case(devices):
 def test_full_probe_equals_exact(gaussian_case):
     kb, q = gaussian_case
     ivf = IVFFlatIndex(kb, nlist=32, nprobe=4, seed=0)
-    s_ivf, i_ivf = ivf.search_batch(q, k=K, nprobe=32)
+    s_ivf, i_ivf = ivf.search_batch(q, k=K, nprobe=ivf.nlist)
     s_ex, i_ex = DenseIndex(kb, mode="exact").search_batch(q, k=K)
     np.testing.assert_allclose(s_ivf, s_ex, rtol=1e-5, atol=1e-5)
     np.testing.assert_array_equal(i_ivf, i_ex)  # FAISS tie order too
@@ -126,7 +126,7 @@ def test_reconstruct_and_add_contract(gaussian_case):
 def test_bf16_storage_runs(gaussian_case):
     kb, q = gaussian_case
     ivf = IVFFlatIndex(kb, nlist=32, seed=0, dtype=jnp.bfloat16)
-    _, i = ivf.search_batch(q, k=K, nprobe=32)
+    _, i = ivf.search_batch(q, k=K, nprobe=ivf.nlist)
     _, i_ex = DenseIndex(kb, mode="exact").search_batch(q, k=K)
     rec = np.mean([len(set(a) & set(b)) / K for a, b in zip(i, i_ex)])
     assert rec > 0.9  # bf16 rounding may flip near-ties only
@@ -204,3 +204,45 @@ def test_device_build_matches_host_build(gaussian_case):
     s1, i1 = dev.search_batch(q, k=K, nprobe=32)
     np.testing.assert_array_equal(i0, i1)
     np.testing.assert_allclose(s0, s1, rtol=1e-5, atol=1e-5)
+
+
+def test_skewed_lists_are_split_and_capped(devices):
+    """One dominant cluster must not inflate every probe window (measured
+    at KB scale: a 42x max/mean list skew made every probe read ~4% of
+    the KB). Oversized lists split into capped sublists sharing the
+    parent centroid; full-probe search stays exact."""
+    rng = np.random.default_rng(2)
+    d = 16
+    # one tight 3000-point blob + 1000 points over 10 far-apart centers
+    blob = rng.standard_normal((3000, d)).astype(np.float32) * 0.05
+    far = rng.standard_normal((10, d)).astype(np.float32) * 12.0
+    rest = np.concatenate([
+        c + 0.05 * rng.standard_normal((100, d)).astype(np.float32)
+        for c in far
+    ])
+    kb = np.concatenate([blob, rest])
+    ivf = IVFFlatIndex(kb, nlist=16, seed=0, max_list_factor=2.0)
+    cap = int(np.ceil(2.0 * len(kb) / 16))
+    assert ivf.list_cap <= cap, (ivf.list_cap, cap)
+    assert ivf.nlist > 16  # the blob's list split into sublists
+    sizes = np.asarray(ivf._st.sizes)
+    starts = np.asarray(ivf._st.starts)
+    assert int(sizes.sum()) == len(kb)
+    assert (sizes <= cap).all()
+    # sublist windows stay inside the padded matrix
+    assert int((starts + sizes).max()) <= ivf._st.matrix.shape[0]
+
+    q = np.concatenate([blob[:5], rest[:5]]) + 0.01
+    s_ivf, i_ivf = ivf.search_batch(q, k=K, nprobe=ivf.nlist)
+    s_ex, i_ex = DenseIndex(kb, mode="exact").search_batch(q, k=K)
+    np.testing.assert_array_equal(i_ivf, i_ex)
+    np.testing.assert_allclose(s_ivf, s_ex, rtol=1e-5, atol=1e-5)
+
+    # a skewed build still round-trips through save/load
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        ivf.save(os.path.join(td, "ivf"))
+        loaded = IVFFlatIndex.load(os.path.join(td, "ivf"))
+        assert loaded.nlist == ivf.nlist
+        _, i_l = loaded.search_batch(q, k=K, nprobe=loaded.nlist)
+        np.testing.assert_array_equal(i_l, i_ivf)

@@ -34,6 +34,10 @@ Divergences from FAISS (documented, loud):
   would need a rebuild); use `DenseIndex` for live-add serving KBs.
 - k-means empty lists keep their previous centroid (FAISS splits the
   largest cluster); probing an empty list contributes nothing.
+- Lists larger than ``max_list_factor x N/nlist`` are split into capped
+  sublists sharing the parent centroid (the static probe window pays the
+  MAX list size, so one skewed list would tax every probe); ``nlist``
+  and ``nprobe`` therefore count sublists after a skewed build.
 """
 from __future__ import annotations
 
@@ -224,6 +228,7 @@ class IVFFlatIndex:
         train_iters: int = 10,
         seed: int = 0,
         qchunk: int = 32,
+        max_list_factor: float = 4.0,
         _state: Optional[_IVFState] = None,
         _meta: Optional[dict] = None,
     ):
@@ -292,6 +297,42 @@ class IVFFlatIndex:
         starts = jnp.concatenate(
             [jnp.zeros((1,), jnp.int32), jnp.cumsum(sizes)[:-1]]
         ).astype(jnp.int32)
+
+        # ---- balance: split oversized lists into capped sublists --------
+        # k-means on real (clustered) data can leave one giant list, and
+        # the static probe window pays the MAX list size for every probe:
+        # measured at 1.5M x 768 / nlist=1024 on clustered embeddings, one
+        # list held 62,323 rows vs mean 1,465 (42x skew) — every query then
+        # reads ~4% of the KB per probe and a wide-nprobe program allocates
+        # tens of GB. Oversized lists are split into sublists of at most
+        # ceil(max_list_factor * N / nlist) rows sharing the parent
+        # centroid: duplicated centroids tie in the probe top-k and
+        # tie-break by index, so a big cluster's sublists are probed
+        # consecutively — it legitimately consumes several probe slots
+        # instead of inflating every window. (FAISS has no analogue: its
+        # per-list CPU scans pay actual sizes, not the max.)
+        sizes_np = np.asarray(sizes)
+        starts_np = np.asarray(starts)
+        cap = max(1, int(np.ceil(max_list_factor * self.n / self.nlist)))
+        if sizes_np.size and int(sizes_np.max()) > cap:
+            new_starts, new_sizes, parent = [], [], []
+            for li in range(self.nlist):
+                s0, sz = int(starts_np[li]), int(sizes_np[li])
+                off = 0
+                while True:
+                    new_starts.append(s0 + off)
+                    new_sizes.append(max(0, min(cap, sz - off)))
+                    parent.append(li)
+                    off += cap
+                    if off >= sz:
+                        break
+            starts = jnp.asarray(np.asarray(new_starts, np.int32))
+            sizes = jnp.asarray(np.asarray(new_sizes, np.int32))
+            centroids = jnp.take(
+                centroids, jnp.asarray(np.asarray(parent, np.int32)), axis=0
+            )
+            self.nlist = len(new_starts)
+
         list_cap = int(jnp.max(sizes)) if self.nlist else 0
         # probe windows read [start, start + list_cap): pad the tail so the
         # last list's window stays in bounds (masked lanes score NEG_INF)
