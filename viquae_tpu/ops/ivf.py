@@ -22,12 +22,16 @@ TPU-first design (vs FAISS's per-list CPU scans / GPU warp kernels):
   (FAISS tie order: score desc, id asc; int32-max pad lanes). ``P`` is
   the max list size (compile-time constant per index).
 
-When to use which index: IVF reads ``nprobe x P`` rows *per query*, so
-it beats the flat index only while the batch is small — at batch 1 it
-reads ~``nprobe*P/N`` of the KB (>=10x less HBM traffic); once
-``Q >~ nlist/nprobe`` the probed lists cover the KB and a flat scan
-(which reads the KB ONCE for all queries) wins. Keep the exact/fused
-`DenseIndex` for throughput serving and IVF for interactive latency.
+When to use which index (measured, scripts/exp_ivf.py + PARITY.md): IVF
+reads ``nprobe x list_cap`` rows *per query*, the flat scan reads the KB
+ONCE for the whole batch. At 1.5M x 768 bf16 the full scan is ~3 ms of
+HBM traffic and every small-batch latency sits at this link's ~30 ms
+dispatch floor, so IVF never wins there (batch-1: 32.4 vs 31.7 ms;
+batch-128: 203 vs 32 ms at nprobe=8). IVF's regime is KBs ~10x larger —
+where the flat scan is many times the dispatch floor or no longer fits
+HBM beside the serving programs — and it exists here primarily as FAISS
+``IVF{nlist},Flat`` factory parity. Keep the exact/fused `DenseIndex`
+for serving 1.5M-class KBs at any batch size.
 
 Divergences from FAISS (documented, loud):
 - ``add()`` after build is not supported (the cluster-sorted layout
