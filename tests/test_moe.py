@@ -465,3 +465,84 @@ def test_moe_reader_aux_in_trainee_loss():
     )
     assert out.moe_aux is not None and float(out.moe_aux) > 0.0
     assert np.isfinite(float(out.loss))
+
+
+def test_grouped_matches_ungrouped_when_capacity_ample():
+    """GShard grouping only changes the OVERFLOW rule; with ample
+    capacity the grouped output and aux must equal single-group
+    dispatch exactly (including a non-divisible T that forces group
+    padding)."""
+    n_exp = 4
+    params = moe.moe_init(jax.random.key(11), DIM, HID, n_experts=n_exp)
+    rng = np.random.default_rng(12)
+    for t in (32, 37):  # 37: pad tokens must stay inert
+        x = jnp.asarray(rng.standard_normal((t, DIM)), jnp.float32)
+        y1, aux1 = moe.moe_apply(
+            params, x, top_k=2, capacity_factor=8.0, group_size=t + 1)
+        yg, auxg = moe.moe_apply(
+            params, x, top_k=2, capacity_factor=8.0, group_size=8)
+        np.testing.assert_allclose(np.asarray(yg), np.asarray(y1),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(float(auxg), float(aux1),
+                                   rtol=1e-6)
+
+
+def test_grouped_capacity_is_per_group():
+    """Every token routes to expert 0; capacity is budgeted PER GROUP,
+    so with two groups each group keeps its first C tokens (ungrouped
+    dispatch would keep only the first 2*C tokens overall)."""
+    n_exp = 2
+    params = moe.moe_init(jax.random.key(13), DIM, HID, n_experts=n_exp)
+    router = np.zeros((DIM, n_exp), np.float32)
+    router[:, 0] = 10.0
+    params = dict(params)
+    params["router"] = {"kernel": jnp.asarray(router)}
+    t, g = 8, 4
+    x = np.abs(
+        np.random.default_rng(14).standard_normal((t, DIM))
+    ).astype(np.float32) + 0.1
+    # per-group capacity C = ceil(0.5 * 1 * 4 / 2) = 1
+    y, _ = moe.moe_apply(params, jnp.asarray(x), top_k=1,
+                         capacity_factor=0.5, group_size=g)
+    y = np.asarray(y)
+    kept = [i for i in range(t) if np.abs(y[i]).sum() > 0]
+    assert kept == [0, 4], kept  # first token of EACH group survives
+
+
+def test_grouped_expert_sharding_parity():
+    """The grouped (G, E, C, D) sharding constraint derived from the
+    (E, C, D) ep sharding keeps loss/grad parity on the virtual mesh."""
+    n_exp = 8
+    params = moe.moe_init(jax.random.key(15), DIM, HID, n_experts=n_exp)
+    rng = np.random.default_rng(16)
+    x = jnp.asarray(rng.standard_normal((4, 8, DIM)), jnp.float32)
+
+    def loss(p, x_):
+        y, aux = moe.moe_apply(p, x_, top_k=2, group_size=8)
+        return jnp.mean(y ** 2) + 0.01 * aux
+
+    ref_loss, ref_grads = jax.value_and_grad(loss)(params, x)
+
+    ctx = meshlib.make_mesh(data=1, model=8)
+    with meshlib.use(ctx):
+        spec = moe.moe_spec()
+        p_sharded = jax.tree_util.tree_map(
+            lambda a, s: jax.device_put(a, ctx.sharding(*s)),
+            params, spec,
+            is_leaf=lambda v: isinstance(v, jax.sharding.PartitionSpec),
+        )
+        es = ctx.sharding(meshlib.MODEL_AXIS, None, None)
+
+        def loss_ep(p, x_):
+            y, aux = moe.moe_apply(p, x_, top_k=2, group_size=8,
+                                   expert_sharding=es)
+            return jnp.mean(y ** 2) + 0.01 * aux
+
+        got_loss, got_grads = jax.jit(jax.value_and_grad(loss_ep))(
+            p_sharded, x)
+
+    np.testing.assert_allclose(float(got_loss), float(ref_loss), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(got_grads),
+                    jax.tree_util.tree_leaves(ref_grads)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)

@@ -41,6 +41,9 @@ class BertConfig:
     moe_top_k: int = 2
     moe_capacity_factor: float = 1.25
     moe_every: int = 1
+    # GShard token-group size: dispatch memory is cf*k*T*group_size
+    # floats instead of quadratic-in-T (ops/moe.py module docstring)
+    moe_group_size: int = 1024
 
     @classmethod
     def from_hf(cls, hf_config, add_pooler: bool = True) -> "BertConfig":
@@ -196,6 +199,7 @@ def _layer_forward(
             layer["moe"], x, top_k=cfg.moe_top_k,
             capacity_factor=cfg.moe_capacity_factor,
             act=cfg.hidden_act, compute_dtype=compute_dtype,
+            group_size=cfg.moe_group_size,
         )
     else:
         ff = L.mlp(layer["mlp"], x, cfg.hidden_act, compute_dtype)

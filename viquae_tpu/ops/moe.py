@@ -11,11 +11,20 @@ all-to-all traffic over ICI.
 TPU/XLA design choices:
 
 - **No ragged gathers.** Token->expert routing is materialized as dense
-  one-hot dispatch/combine tensors (T, E, C) and three einsums — static
-  shapes, MXU-friendly, and exactly the formulation GSPMD knows how to
-  partition (GShard, arXiv:2006.16668). Overflow beyond each expert's
-  capacity C drops the token's contribution for that expert (standard
-  Switch/GShard semantics).
+  one-hot dispatch/combine tensors (G, T_g, E, C) and three einsums —
+  static shapes, MXU-friendly, and exactly the formulation GSPMD knows
+  how to partition (GShard, arXiv:2006.16668). Overflow beyond each
+  expert's per-group capacity C drops the token's contribution for that
+  expert (standard Switch/GShard semantics).
+- **Tokens are GROUPED (GShard's G axis)** because the dispatch tensor
+  is quadratic in ungrouped token count: C = ceil(cf*k*T/E) makes
+  (T, E, C) ~ cf*k*T^2 floats — ~168 GiB at a real train shape of
+  512x262 tokens. Splitting T into groups of at most `group_size`
+  tokens (capacity budgeted per group) caps it at cf*k*T*group_size
+  floats EACH for dispatch and combine: ~1.3 GiB at that shape with
+  the 1024 default. Group count is a pure function of T, so jit
+  programs stay shape-stable; tokens beyond T (group padding) are
+  masked out of routing, capacity, and the aux loss.
 - **Expert-parallel by sharding, not by code**: `moe_spec()` puts
   P(model) on the stacked-expert axis; the per-expert einsums then run
   expert-local and the dispatch/combine contractions become the a2a.
@@ -72,6 +81,14 @@ def moe_spec():
     }
 
 
+def _grouped_sharding(expert_sharding):
+    """(E, C, D) ep sharding -> the (G, E, C, D) grouped equivalent."""
+    if expert_sharding is None:
+        return None
+    spec = P(None, *expert_sharding.spec)
+    return jax.sharding.NamedSharding(expert_sharding.mesh, spec)
+
+
 def moe_apply(
     params,
     x: jnp.ndarray,
@@ -81,6 +98,7 @@ def moe_apply(
     act: str = "gelu",
     compute_dtype=jnp.float32,
     expert_sharding=None,
+    group_size: int = 1024,
 ):
     """MoE FFN over (..., D) activations.
 
@@ -89,7 +107,13 @@ def moe_apply(
     selected experts, renormalized to sum to 1 over the top_k (Mixtral
     convention), so top_k=1 with n_experts=1 reduces exactly to a dense
     two-layer FFN. `expert_sharding` (optional NamedSharding over the
-    (E, C, D) expert batches) pins the ep layout under jit.
+    (E, C, D) expert batches) pins the ep layout under jit. Tokens are
+    processed in GShard groups of at most `group_size` with capacity
+    budgeted per group (see module docstring); group count is derived
+    from the static token count, so programs stay shape-stable. At
+    T <= group_size (one group) the math is identical to ungrouped
+    dispatch; across groups only the OVERFLOW rule changes (each group
+    drops against its own capacity rather than a global one).
     """
     orig_shape = x.shape
     dim = orig_shape[-1]
@@ -97,9 +121,18 @@ def moe_apply(
     t = tokens.shape[0]
     n_experts = params["in"]["kernel"].shape[0]
     top_k = min(top_k, n_experts)
+    n_groups = max(1, math.ceil(t / max(1, group_size)))
+    tg = math.ceil(t / n_groups)
     capacity = max(
-        1, math.ceil(capacity_factor * top_k * t / n_experts)
+        1, math.ceil(capacity_factor * top_k * tg / n_experts)
     )
+    pad = n_groups * tg - t
+    # group-padding tokens are masked out of routing/capacity/aux below
+    valid = jnp.arange(n_groups * tg) < t  # (G*Tg,)
+    if pad:
+        tokens = jnp.concatenate(
+            [tokens, jnp.zeros((pad, dim), tokens.dtype)]
+        )
 
     # router in fp32 (tie-stability)
     logits = jnp.dot(
@@ -107,59 +140,76 @@ def moe_apply(
         params["router"]["kernel"].astype(jnp.float32),
         preferred_element_type=jnp.float32,
     )
-    probs = jax.nn.softmax(logits, axis=-1)  # (T, E)
-    gate_v, gate_i = jax.lax.top_k(probs, top_k)  # (T, k)
+    probs = jax.nn.softmax(logits, axis=-1)  # (G*Tg, E)
+    gate_v, gate_i = jax.lax.top_k(probs, top_k)  # (G*Tg, k)
     gate_v = gate_v / jnp.maximum(gate_v.sum(-1, keepdims=True), 1e-9)
 
-    # slot-by-slot dispatch with running expert fill counts (k is tiny —
-    # static unroll, no scan needed)
-    dispatch = jnp.zeros((t, n_experts, capacity), jnp.float32)
-    combine = jnp.zeros((t, n_experts, capacity), jnp.float32)
-    counts = jnp.zeros((n_experts,), jnp.int32)
+    grouped = tokens.reshape(n_groups, tg, dim)
+    gate_vg = gate_v.reshape(n_groups, tg, top_k)
+    gate_ig = gate_i.reshape(n_groups, tg, top_k)
+    valid_g = valid.reshape(n_groups, tg)
+
+    # slot-by-slot dispatch with running per-(group, expert) fill counts
+    # (k is tiny — static unroll, no scan needed)
+    dispatch = jnp.zeros((n_groups, tg, n_experts, capacity), jnp.float32)
+    combine = jnp.zeros((n_groups, tg, n_experts, capacity), jnp.float32)
+    counts = jnp.zeros((n_groups, n_experts), jnp.int32)
     for j in range(top_k):
-        oh = jax.nn.one_hot(gate_i[:, j], n_experts, dtype=jnp.int32)
-        pos = jnp.cumsum(oh, axis=0) - 1 + counts[None, :]  # (T, E)
-        counts = counts + oh.sum(axis=0)
+        oh = jax.nn.one_hot(gate_ig[..., j], n_experts, dtype=jnp.int32)
+        oh = oh * valid_g[..., None]  # pad tokens never claim slots
+        pos = jnp.cumsum(oh, axis=1) - 1 + counts[:, None, :]  # (G, Tg, E)
+        counts = counts + oh.sum(axis=1)
         keep = (pos < capacity) & (oh > 0)
         slot = jax.nn.one_hot(
             jnp.clip(pos, 0, capacity - 1), capacity, dtype=jnp.float32
-        )  # (T, E, C)
+        )  # (G, Tg, E, C)
         d_j = keep.astype(jnp.float32)[..., None] * slot
         dispatch = dispatch + d_j
-        combine = combine + gate_v[:, j, None, None] * d_j
+        combine = combine + gate_vg[..., j, None, None] * d_j
 
     cd = compute_dtype or tokens.dtype
+    es = _grouped_sharding(expert_sharding)
     expert_in = jnp.einsum(
-        "tec,td->ecd", dispatch.astype(cd), tokens.astype(cd),
+        "gtec,gtd->gecd", dispatch.astype(cd), grouped.astype(cd),
         preferred_element_type=jnp.float32,
-    )  # (E, C, D)
-    if expert_sharding is not None:
-        expert_in = jax.lax.with_sharding_constraint(
-            expert_in, expert_sharding
-        )
+    )  # (G, E, C, D)
+    if es is not None:
+        expert_in = jax.lax.with_sharding_constraint(expert_in, es)
+    # fold G into the per-expert row batch: (E, G*C, D) keeps the expert
+    # matmuls in the plain batched-dot pattern (one big MXU matmul per
+    # expert; the 4D "gecd,edh" form also hits an unsupported eager
+    # bf16 DotThunk on the CPU backend)
+    ei = expert_in.astype(cd).transpose(1, 0, 2, 3).reshape(
+        n_experts, n_groups * capacity, dim
+    )
     h = jnp.einsum(
-        "ecd,edh->ech", expert_in.astype(cd),
-        params["in"]["kernel"].astype(cd),
+        "ecd,edh->ech", ei, params["in"]["kernel"].astype(cd),
         preferred_element_type=jnp.float32,
     ) + params["in"]["bias"][:, None, :]
     h = L.ACT[act](h.astype(cd))
-    expert_out = jnp.einsum(
+    eo = jnp.einsum(
         "ech,ehd->ecd", h, params["out"]["kernel"].astype(cd),
         preferred_element_type=jnp.float32,
     ) + params["out"]["bias"][:, None, :]
-    if expert_sharding is not None:
-        expert_out = jax.lax.with_sharding_constraint(
-            expert_out, expert_sharding
-        )
+    expert_out = eo.reshape(
+        n_experts, n_groups, capacity, dim
+    ).transpose(1, 0, 2, 3)
+    if es is not None:
+        expert_out = jax.lax.with_sharding_constraint(expert_out, es)
     y = jnp.einsum(
-        "tec,ecd->td", combine, expert_out.astype(jnp.float32),
+        "gtec,gecd->gtd", combine, expert_out.astype(jnp.float32),
         preferred_element_type=jnp.float32,
-    )
+    ).reshape(n_groups * tg, dim)
+    if pad:
+        y = y[:t]
 
-    # Switch load-balance loss: fraction of tokens whose TOP-1 lands on
-    # expert e x mean router prob of e, scaled so perfect balance = 1
+    # Switch load-balance loss: fraction of (real) tokens whose TOP-1
+    # lands on expert e x mean router prob of e, scaled so perfect
+    # balance = 1
     top1 = jax.nn.one_hot(gate_i[:, 0], n_experts, dtype=jnp.float32)
-    f = top1.mean(axis=0)
-    p = probs.mean(axis=0)
+    vf = valid.astype(jnp.float32)[:, None]
+    denom = jnp.maximum(vf.sum(), 1.0)
+    f = (top1 * vf).sum(axis=0) / denom
+    p = (probs * vf).sum(axis=0) / denom
     aux = n_experts * jnp.sum(f * p)
     return y.reshape(orig_shape), aux
