@@ -546,3 +546,58 @@ def test_grouped_expert_sharding_parity():
                     jax.tree_util.tree_leaves(ref_grads)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_token_mask_excludes_padding_from_capacity():
+    """Padding tokens must not claim expert-capacity slots: with every
+    token routed to expert 0 and capacity 2, the two kept tokens must be
+    the first two REAL tokens, not the first two rows."""
+    n_exp = 2
+    params = moe.moe_init(jax.random.key(17), DIM, HID, n_experts=n_exp)
+    router = np.zeros((DIM, n_exp), np.float32)
+    router[:, 0] = 10.0
+    params = dict(params)
+    params["router"] = {"kernel": jnp.asarray(router)}
+    t = 8
+    x = np.abs(
+        np.random.default_rng(18).standard_normal((t, DIM))
+    ).astype(np.float32) + 0.1
+    mask = jnp.asarray([1, 0, 1, 0, 1, 0, 1, 0])
+    # capacity C = ceil(0.5 * 1 * 8 / 2) = 2
+    y, aux = moe.moe_apply(params, jnp.asarray(x), top_k=1,
+                           capacity_factor=0.5, token_mask=mask)
+    y = np.asarray(y)
+    kept = [i for i in range(t) if np.abs(y[i]).sum() > 0]
+    assert kept == [0, 2], kept  # first two REAL tokens
+    # aux over real tokens only: all route to expert 0 -> E * 1 * p0
+    assert np.isfinite(float(aux)) and float(aux) > 1.0
+
+
+def test_bert_moe_padding_is_inert():
+    """With MoE layers, a padded batch (attention_mask zeros) must give
+    the same real-token outputs as the unpadded batch — pad tokens must
+    neither shift routing positions nor consume capacity."""
+    from viquae_tpu.models import bert
+
+    # ample capacity so the capacity VALUE change (it scales with the
+    # padded length) cannot cause drops in either run
+    cfg = _moe_cfg(moe_experts=4, moe_capacity_factor=4.0)
+    params = bert.init(jax.random.key(19), cfg)
+    rng = np.random.default_rng(20)
+    l = 8
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, l)))
+    out = bert.apply(params, cfg, ids,
+                     attention_mask=jnp.ones((2, l), jnp.int32),
+                     deterministic=True)
+    ids_pad = jnp.concatenate(
+        [ids, jnp.zeros((2, l), ids.dtype)], axis=1)
+    mask_pad = jnp.concatenate(
+        [jnp.ones((2, l), jnp.int32), jnp.zeros((2, l), jnp.int32)],
+        axis=1)
+    out_pad = bert.apply(params, cfg, ids_pad, attention_mask=mask_pad,
+                         deterministic=True)
+    np.testing.assert_allclose(
+        np.asarray(out_pad["last_hidden_state"])[:, :l],
+        np.asarray(out["last_hidden_state"]),
+        rtol=1e-5, atol=1e-5,
+    )

@@ -177,10 +177,12 @@ def embed(
 def _layer_forward(
     layer, x, bias, rngs, cfg: BertConfig,
     deterministic: bool = True, compute_dtype=jnp.float32,
+    token_mask=None,
 ):
     """One post-LN transformer block (shared by the sequential and the
     pipelined encoders). rngs = (attn_probs, attn_out, ffw_out) keys.
-    Returns (y, moe_aux) — moe_aux is 0.0 for dense-FFN layers."""
+    Returns (y, moe_aux) — moe_aux is 0.0 for dense-FFN layers.
+    `token_mask` (B, L) keeps padding tokens out of MoE routing."""
     rng_a, rng_h, rng_b = rngs
     attn = L.mha(
         layer["attention"], x, bias=bias,
@@ -200,6 +202,7 @@ def _layer_forward(
             capacity_factor=cfg.moe_capacity_factor,
             act=cfg.hidden_act, compute_dtype=compute_dtype,
             group_size=cfg.moe_group_size,
+            token_mask=token_mask,
         )
     else:
         ff = L.mlp(layer["mlp"], x, cfg.hidden_act, compute_dtype)
@@ -256,10 +259,16 @@ def encode(
     b, l = hidden.shape[:2]
     if segment_ids is not None:
         bias = L.attention_bias_from_segments(segment_ids)
+        token_mask = segment_ids > 0  # canvas padding rows (segment 0)
     else:
         if attention_mask is None:
             attention_mask = jnp.ones((b, l), jnp.int32)
         bias = L.attention_bias_from_mask(attention_mask)
+        token_mask = attention_mask > 0
+    # padding tokens must not claim MoE expert-capacity slots or dilute
+    # the load-balance aux; dense-FFN layers ignore the mask
+    if cfg.moe_experts == 0:
+        token_mask = None
     # three INDEPENDENT dropout sites per layer (attention probs, attention
     # output, FFW output), matching HF's independent nn.Dropout modules —
     # reusing one key across sites gives deterministically correlated masks
@@ -268,10 +277,11 @@ def encode(
         if rng is not None
         else [None] * (3 * cfg.num_hidden_layers)
     )
-    def layer_fn(layer, x, bias, rng_a, rng_h, rng_b):
+    def layer_fn(layer, x, bias, tok_mask, rng_a, rng_h, rng_b):
         return _layer_forward(
             layer, x, bias, (rng_a, rng_h, rng_b), cfg,
             deterministic=deterministic, compute_dtype=compute_dtype,
+            token_mask=tok_mask,
         )
 
     if remat_layers:
@@ -281,8 +291,8 @@ def encode(
     all_hidden = [x]
     moe_aux = jnp.float32(0.0)
     for i, layer in enumerate(params["layers"]):
-        x, aux = layer_fn(layer, x, bias, rngs[3 * i], rngs[3 * i + 1],
-                          rngs[3 * i + 2])
+        x, aux = layer_fn(layer, x, bias, token_mask, rngs[3 * i],
+                          rngs[3 * i + 1], rngs[3 * i + 2])
         moe_aux = moe_aux + aux
         if activation_sharding is not None:
             x = jax.lax.with_sharding_constraint(x, activation_sharding)

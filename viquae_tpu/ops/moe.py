@@ -99,6 +99,7 @@ def moe_apply(
     compute_dtype=jnp.float32,
     expert_sharding=None,
     group_size: int = 1024,
+    token_mask=None,
 ):
     """MoE FFN over (..., D) activations.
 
@@ -114,6 +115,12 @@ def moe_apply(
     T <= group_size (one group) the math is identical to ungrouped
     dispatch; across groups only the OVERFLOW rule changes (each group
     drops against its own capacity rather than a global one).
+
+    `token_mask` (x's leading shape, nonzero = real token) excludes
+    padding tokens from routing entirely: without it, sequence/canvas
+    pad rows claim expert capacity slots (starving real tokens under
+    tight capacity_factor) and dilute the load-balance aux. Masked
+    tokens output zeros (the residual stream carries them).
     """
     orig_shape = x.shape
     dim = orig_shape[-1]
@@ -129,6 +136,11 @@ def moe_apply(
     pad = n_groups * tg - t
     # group-padding tokens are masked out of routing/capacity/aux below
     valid = jnp.arange(n_groups * tg) < t  # (G*Tg,)
+    if token_mask is not None:
+        tm = token_mask.reshape(-1).astype(bool)
+        if pad:
+            tm = jnp.concatenate([tm, jnp.zeros((pad,), bool)])
+        valid = valid & tm
     if pad:
         tokens = jnp.concatenate(
             [tokens, jnp.zeros((pad, dim), tokens.dtype)]
