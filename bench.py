@@ -1,7 +1,9 @@
 """North-star benchmark: embed + retrieve ViQuAE-scale queries over a
 1.5M-entity KB on the attached TPU.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints a result JSON line after EVERY completed stage (the driver parses
+the tail: the last line is always the most complete result). The headline
+stage runs FIRST so a crash in any later stage can never erase it.
 
 Protocol (mirrors BASELINE.json): 1,257 test questions embedded by a
 bert-base DPR question tower and searched against a 1.5M x 768 KB with the
@@ -15,6 +17,25 @@ PACKED path (ops/packing.py): many questions per row of one fixed
 (rows, 64) canvas with block-diagonal attention — packed-vs-padded parity
 is proven in tests/test_packing.py.
 
+Robustness contract (BENCH_r03 post-mortem — a recoverable OOM lost the
+whole round's number):
+- stages run independently, headline ("exact") first; each completed
+  stage's details persist to .bench_cache/stages_<git-sha>*.json;
+- a failed stage triggers ONE fresh-process retry (os.execve) that skips
+  every cached stage; a second failure marks the stage failed and the run
+  continues;
+- the first OOM-ish failure switches the remaining run to the half-batch
+  protocol (VIQUAE_BENCH_HALF=1: 628 queries / 640-slot canvas — halves
+  the 3.8GB score buffer);
+- ONE total deadline (VIQUAE_BENCH_DEADLINE, epoch seconds) rides through
+  every exec; watchdog threads emit the best-available JSON before the
+  driver's external timeout can kill the process silently.
+
+Env knobs: BENCH_SMALL=1 (tiny shapes), BENCH_PLATFORM=cpu (functional
+smoke), VIQUAE_BENCH_BUDGET (total seconds, default 2250),
+VIQUAE_BENCH_STAGES=a,b (subset), VIQUAE_BENCH_CACHE_DIR,
+VIQUAE_BENCH_FAKE_OOM=<stage> (drill: inject one RESOURCE_EXHAUSTED).
+
 Parity keys (labels say exactly what was measured):
 - approx_r_at_20_vs_exact_fullkb: lax.approx_max_k top-20 vs exact top-20,
   FULL 1.5M KB, on device, all 1,257 queries.
@@ -26,14 +47,166 @@ Parity keys (labels say exactly what was measured):
 """
 from __future__ import annotations
 
+import gc
 import json
 import os
+import subprocess
 import sys
+import threading
 import time
 
 import numpy as np
 
 NORTH_STAR_QPS = 10_000.0
+SMALL = bool(int(os.environ.get("BENCH_SMALL", "0")))
+DEGRADED = os.environ.get("VIQUAE_BENCH_HALF") == "1"
+# generous per-stage cold-compile cost estimates; gate STARTING a stage
+# near the deadline (the watchdog still guards a stage that overruns)
+STAGE_EST_S = {
+    "exact": 420, "fusion": 120, "hybrid": 240, "parity": 180,
+    "reader": 150, "image_chain": 180, "train": 240,
+}
+FINAL_MARGIN_S = 60
+
+_EMIT_LOCK = threading.Lock()
+_CACHE = None  # set in main(); watchdogs read it
+
+
+def _deadline() -> float:
+    if "VIQUAE_BENCH_DEADLINE" not in os.environ:
+        budget = float(os.environ.get("VIQUAE_BENCH_BUDGET", "2250"))
+        os.environ["VIQUAE_BENCH_DEADLINE"] = str(time.time() + budget)
+    return float(os.environ["VIQUAE_BENCH_DEADLINE"])
+
+
+DEADLINE = _deadline()
+
+
+def time_left() -> float:
+    return DEADLINE - time.time()
+
+
+def _cache_dir() -> str:
+    return os.environ.get(
+        "VIQUAE_BENCH_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".bench_cache"))
+
+
+def _git_sha() -> str:
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or "nosha"
+    except Exception:  # noqa: BLE001
+        return "nosha"
+
+
+class StageCache:
+    """Per-stage results persisted across exec retries (keyed by git sha,
+    BENCH_SMALL, and platform so a code change invalidates everything)."""
+
+    def __init__(self):
+        tag = _git_sha()
+        if SMALL:
+            tag += "-small"
+        plat = os.environ.get("BENCH_PLATFORM")
+        if plat:
+            tag += f"-{plat}"
+        if os.environ.get("VIQUAE_BENCH_DRILL"):
+            tag += "-drill"
+        self.path = os.path.join(_cache_dir(), f"stages_{tag}.json")
+        self.data = {"stages": {}, "attempts": {}, "errors": {}}
+        try:
+            with open(self.path) as f:
+                self.data = json.load(f)
+        except Exception:  # noqa: BLE001
+            pass
+
+    def _save(self):
+        try:
+            os.makedirs(os.path.dirname(self.path), exist_ok=True)
+            tmp = self.path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(self.data, f)
+            os.replace(tmp, self.path)
+        except OSError:
+            pass  # a read-only disk must not kill the bench
+
+    def done(self, name):
+        return name in self.data["stages"]
+
+    def stage(self, name):
+        return self.data["stages"].get(name)
+
+    def put(self, name, details):
+        self.data["stages"][name] = {
+            "details": details, "half": DEGRADED, "ts": time.time()}
+        self.data["errors"].pop(name, None)
+        self._save()
+
+    def attempts(self, name) -> int:
+        return self.data["attempts"].get(name, 0)
+
+    def bump_attempts(self, name) -> int:
+        n = self.attempts(name) + 1
+        self.data["attempts"][name] = n
+        self._save()
+        return n
+
+    def put_error(self, name, err):
+        self.data["errors"][name] = err
+        self._save()
+
+
+def _assemble(cache: StageCache, final: bool, note: str | None = None):
+    details = {
+        "kb_rows": 150_000 if SMALL else 1_500_000,
+        "dim": 768,
+        "k": 100,
+    }
+    half_stages = []
+    for name, rec in cache.data["stages"].items():
+        details.update(rec["details"])
+        if rec.get("half"):
+            half_stages.append(name)
+    if half_stages:
+        details["degraded_half_batch"] = (
+            "628 queries / 640-slot canvas on stages "
+            f"{sorted(half_stages)} (full-batch attempt hit the "
+            "shared-chip HBM floor)")
+    if cache.data["errors"]:
+        details["stage_errors"] = dict(cache.data["errors"])
+    pending = [n for n, _, _ in _active_stages()
+               if not cache.done(n) and n not in cache.data["errors"]]
+    if pending:
+        details["stages_pending"] = pending
+    if note:
+        details["note"] = note
+    if not final:
+        details["partial"] = True
+    exact = cache.stage("exact")
+    qps = exact["details"].get("exact_qps") if exact else None
+    return {
+        "metric": "embed+search queries/sec over 1.5M-entity KB "
+                  "(1 chip, exact)",
+        "value": qps,
+        "unit": "queries/sec",
+        "vs_baseline": (round(qps / NORTH_STAR_QPS, 4)
+                        if qps is not None else None),
+        "details": details,
+    }
+
+
+def emit(cache: StageCache, final: bool, note: str | None = None):
+    """Print the current best-available result as ONE flushed JSON line.
+
+    Called after every stage — the driver reads the LAST parseable line in
+    the tail, so even a SIGKILL at any later point leaves a valid result."""
+    with _EMIT_LOCK:
+        print(json.dumps(_assemble(cache, final, note)), flush=True)
 
 
 def sync(x):
@@ -50,6 +223,233 @@ def r_at_20(idx, ref_idx, n):
     ]))
 
 
+# ===========================================================================
+# lazily-built shared device context (rebuilt cheaply in each exec retry)
+# ===========================================================================
+
+class Ctx:
+    def __init__(self, jax, jnp):
+        self.jax, self.jnp = jax, jnp
+        self.small = SMALL
+        self.n_kb = 150_000 if SMALL else 1_500_000
+        self.dim, self.k, self.row_len = 768, 100, 64
+        self.n_queries, self.q_pad = (628, 640) if DEGRADED else (1257, 1280)
+        self.key = jax.random.key(0)
+        self.reps = 5
+        self._model = None
+        self._params_f32 = None
+        self._kbt = None
+        self._fns = None
+
+    def model(self):
+        """(cfg, params16, p_args, packed, lengths) — bf16 DPR tower plus
+        the packed question canvas. Fixed seeds keep the canvas shape
+        stable across processes -> compile-cache hits."""
+        if self._model is None:
+            jax, jnp = self.jax, self.jnp
+            from viquae_tpu.models import bert, dpr
+            from viquae_tpu.ops import packing
+
+            cfg = dpr.DPRConfig(bert=bert.BertConfig(add_pooler=False))
+            params = dpr.init(jax.random.fold_in(self.key, 2), cfg)
+            self._params_f32 = params
+            # a bf16 serving deployment stores bf16 weights: precasting
+            # skips the per-forward f32->bf16 conversion reads (~440MB
+            # f32/step). The fp32 FAISS-contract path keeps the originals.
+            params16 = jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.bfloat16), params)
+            rng = np.random.default_rng(0)
+            lengths = np.clip(
+                np.round(rng.lognormal(np.log(18.0), 0.35, self.n_queries)),
+                8, self.row_len).astype(int)
+            seqs = [rng.integers(1000, 10_000, size=l).astype(np.int32)
+                    for l in lengths]
+            packed = packing.pack_token_sequences(
+                seqs, row_len=self.row_len, n_cls=self.q_pad, pad_rows_to=32)
+            p_args = tuple(jnp.asarray(a) for a in (
+                packed.input_ids, packed.segment_ids, packed.position_ids,
+                packed.cls_rows, packed.cls_cols))
+            self._model = (cfg, params16, p_args, packed, lengths)
+        return self._model
+
+    def params_f32(self):
+        self.model()
+        return self._params_f32
+
+    def kbt(self):
+        """(d, N) kernel-layout KB; the row-major intermediate is freed
+        immediately (holding both layouts + a score buffer OOMs)."""
+        if self._kbt is None:
+            jax, jnp = self.jax, self.jnp
+            from viquae_tpu.ops import mips_pallas
+
+            kb = jax.random.normal(
+                jax.random.fold_in(self.key, 1), (self.n_kb, self.dim),
+                jnp.bfloat16) / np.sqrt(self.dim)
+            self._kbt = mips_pallas.to_kernel_layout(kb)
+            sync(self._kbt)
+            del kb
+        return self._kbt
+
+    def free_kbt(self):
+        self._kbt = None
+        self._fns = None
+        gc.collect()
+
+    def kb_row(self):
+        """Fresh row-major (N, d) KB — same seed/values as kbt's source."""
+        jax, jnp = self.jax, self.jnp
+        kb = jax.random.normal(
+            jax.random.fold_in(self.key, 1), (self.n_kb, self.dim),
+            jnp.bfloat16) / np.sqrt(self.dim)
+        return kb
+
+    def embed_packed(self, params, ids, seg, pos, cr, cc):
+        from viquae_tpu.models import dpr
+
+        cfg = self.model()[0]
+        return dpr.apply_packed(
+            params, cfg, ids, seg, pos, cr, cc,
+            deterministic=True, compute_dtype=self.jnp.bfloat16,
+        ).astype(self.jnp.bfloat16)
+
+    def search_fns(self):
+        """jitted (embed_and_search_exact, embed_and_search_approx)."""
+        if self._fns is None:
+            jax, jnp = self.jax, self.jnp
+            from viquae_tpu.ops import mips, mips_pallas
+
+            n_kb, k = self.n_kb, self.k
+
+            @jax.jit
+            def embed_and_search(params, ids, seg, pos, cr, cc, kbt):
+                # exact path: Pallas q-major fused scores+segmax kernel
+                # + one global selection
+                q = self.embed_packed(params, ids, seg, pos, cr, cc)
+                return mips_pallas.topk_fused(
+                    q, kbt, k, valid_rows=jnp.int32(n_kb))
+
+            @jax.jit
+            def embed_and_search_approx(params, ids, seg, pos, cr, cc, kbt):
+                q = self.embed_packed(params, ids, seg, pos, cr, cc)
+                return mips.topk_global(
+                    q, kbt, k, valid_rows=jnp.int32(n_kb),
+                    compute_dtype=jnp.bfloat16, mode="approx",
+                    transposed=True)
+
+            self._fns = (embed_and_search, embed_and_search_approx)
+        return self._fns
+
+
+# ===========================================================================
+# stages — each returns a flat dict of detail fields
+# ===========================================================================
+
+def stage_exact(ctx: Ctx):
+    """Headline: packed embed + Pallas-fused exact search, plus the approx
+    variant and its recall vs exact. Runs FIRST."""
+    jnp = ctx.jnp
+    from viquae_tpu.ops import packing
+
+    cfg, params16, p_args, packed, lengths = ctx.model()
+    kbt = ctx.kbt()
+    f_exact, f_approx = ctx.search_fns()
+
+    t0 = time.time()
+    out = f_exact(params16, *p_args, kbt)
+    sync(out)
+    compile_s = time.time() - t0
+    t0 = time.time()
+    for _ in range(ctx.reps):
+        out = f_exact(params16, *p_args, kbt)
+    sync(out)
+    dt = (time.time() - t0) / ctx.reps
+    qps = ctx.n_queries / dt  # count only the real queries
+
+    out_a = f_approx(params16, *p_args, kbt)
+    sync(out_a)
+    t0 = time.time()
+    for _ in range(ctx.reps):
+        out_a = f_approx(params16, *p_args, kbt)
+    sync(out_a)
+    approx_qps = ctx.n_queries / ((time.time() - t0) / ctx.reps)
+    r20_approx = r_at_20(np.asarray(out_a[1]), np.asarray(out[1]),
+                         ctx.n_queries)
+    del out, out_a
+    return {
+        "exact_qps": round(qps, 1),
+        "batch_ms": round(dt * 1e3, 2),
+        "compile_s": round(compile_s, 1),
+        "encoder": "dpr-bert-base bf16, packed canvas "
+                   f"({packed.rows}x{ctx.row_len}, density "
+                   f"{packing.packing_efficiency(packed):.3f})",
+        "question_len_tokens": "lognormal(ln18,0.35) clip [8,64], "
+                               f"mean {lengths.mean():.1f}",
+        "topk_mode": "pallas-fused scores+segmax kernel, exact global "
+                     "selection, bf16 scores",
+        "approx_qps": round(approx_qps, 1),
+        "approx_r_at_20_vs_exact_fullkb": round(r20_approx, 4),
+    }
+
+
+def stage_fusion(ctx: Ctx):
+    """3-index late fusion in ONE program (the reference's best-quality
+    config shape: dpr+clip+face wsum [0.6,0.2,0.2], gzmuv, defmin —
+    experiments/ir/viquae/dpr+clip-cross-modal/config_test.json). The
+    reference runs fusion offline over run files."""
+    jax, jnp = ctx.jax, ctx.jnp
+    from viquae_tpu.ops import fusion as fusion_ops, mips, mips_pallas
+
+    cfg, params16, p_args, _, _ = ctx.model()
+    kbt = ctx.kbt()
+    n_kb, k, q_pad = ctx.n_kb, ctx.k, ctx.q_pad
+    n_face = 50_624 if ctx.small else 506_237  # humans_with_faces
+    kb_clip = jax.random.normal(
+        jax.random.fold_in(ctx.key, 7), (n_kb, 512), jnp.bfloat16
+    ) / np.sqrt(512)
+    kb_face = jax.random.normal(
+        jax.random.fold_in(ctx.key, 8), (n_face, 512), jnp.bfloat16
+    ) / np.sqrt(512)
+    q_clip = jax.random.normal(
+        jax.random.fold_in(ctx.key, 9), (q_pad, 512), jnp.bfloat16)
+    q_face = jax.random.normal(
+        jax.random.fold_in(ctx.key, 10), (q_pad, 512), jnp.bfloat16)
+
+    @jax.jit
+    def fusion_program(params, ids, seg, pos, cr, cc, q_clip, q_face,
+                       kbt, kb_clip, kb_face):
+        q = ctx.embed_packed(params, ids, seg, pos, cr, cc)
+        s0, i0 = mips_pallas.topk_fused(q, kbt, k,
+                                        valid_rows=jnp.int32(n_kb))
+        s1, i1 = mips.topk_global(q_clip, kb_clip, k,
+                                  compute_dtype=jnp.bfloat16, mode="approx")
+        s2, i2 = mips.topk_global(q_face, kb_face, k,
+                                  compute_dtype=jnp.bfloat16, mode="approx")
+        return fusion_ops.fuse_topk(
+            (s0, s1, s2),
+            (i0.astype(jnp.int32), i1.astype(jnp.int32),
+             i2.astype(jnp.int32)),
+            (0.6, 0.2, 0.2), k, norm="gzmuv",
+            valid_queries=jnp.int32(ctx.n_queries))
+
+    args = (params16, *p_args, q_clip, q_face, kbt, kb_clip, kb_face)
+    out_f = fusion_program(*args)
+    sync(out_f)
+    t0 = time.time()
+    for _ in range(ctx.reps):
+        out_f = fusion_program(*args)
+    sync(out_f)
+    fusion_qps = ctx.n_queries / ((time.time() - t0) / ctx.reps)
+    del kb_clip, kb_face, q_clip, q_face, out_f, args
+    return {
+        "fusion_3index_qps": round(fusion_qps, 1),
+        "fusion_3index_config": "dpr(1.5Mx768 pallas-exact) + "
+                                "clip(1.5Mx512 approx) + "
+                                "face(506kx512 approx), wsum "
+                                "[.6,.2,.2] gzmuv defmin, one program",
+    }
+
+
 def _bm25_corpus(n_docs: int, vocab_size: int = 400_000):
     """Synthetic Zipf passage corpus at KB scale (ops.bm25.synth_zipf_index)
     with an on-disk postings cache — the 1.5M build costs ~2 min of host
@@ -58,9 +458,7 @@ def _bm25_corpus(n_docs: int, vocab_size: int = 400_000):
 
     # cache key carries ALL generation params — a key of n_docs alone
     # silently reused a stale index after a vocab/corpus-shape change
-    cache = os.path.join(
-        os.path.dirname(__file__), ".bench_cache",
-        f"bm25_{n_docs}_v{vocab_size}")
+    cache = os.path.join(_cache_dir(), f"bm25_{n_docs}_v{vocab_size}")
     if os.path.exists(os.path.join(cache, "postings.npz")):
         return bm25_lib.BM25Index.load(cache)
     index = bm25_lib.synth_zipf_index(n_docs, vocab_size=vocab_size)
@@ -71,40 +469,250 @@ def _bm25_corpus(n_docs: int, vocab_size: int = 400_000):
     return index
 
 
-def _image_chain_stage(jax, jnp, key, small, sync):
+def stage_hybrid(ctx: Ctx):
+    """Hybrid sparse+dense: BM25 C++ MaxScore on host, overlapped with the
+    in-flight dense program, fused on device — the reference's hybrid
+    retrieval mode (meerqat/ir/search.py:268-293, tuned b=.3/k1=.5)."""
+    jax, jnp = ctx.jax, ctx.jnp
+    from viquae_tpu.ops import fusion as fusion_ops
+
+    cfg, params16, p_args, _, _ = ctx.model()
+    kbt = ctx.kbt()
+    f_exact, _ = ctx.search_fns()
+    n_queries, q_pad, k = ctx.n_queries, ctx.q_pad, ctx.k
+
+    bm25_index = _bm25_corpus(ctx.n_kb)
+    bm25_rng = np.random.default_rng(3)
+    bm25_queries = [
+        " ".join(f"t{(int(z) - 1) % 400_000}"
+                 for z in bm25_rng.zipf(1.2, 8))
+        for _ in range(n_queries)
+    ]
+
+    @jax.jit
+    def fuse_hybrid(d_s, d_i, b_s, b_i):
+        return fusion_ops.fuse_topk(
+            (d_s, b_s), (d_i.astype(jnp.int32), b_i), (0.7, 0.3), k,
+            norm="gzmuv", valid_queries=jnp.int32(n_queries))
+
+    def one_hybrid_pass():
+        d_s, d_i = f_exact(params16, *p_args, kbt)  # async
+        bs, bi = bm25_index.search_batch(bm25_queries, k=k)  # host overlap
+        b_s = np.full((q_pad, k), -np.inf, np.float32)
+        b_i = np.full((q_pad, k), np.iinfo(np.int32).max, np.int32)
+        for row, (ss, ii) in enumerate(zip(bs, bi)):
+            b_s[row, : len(ss)] = ss
+            b_i[row, : len(ii)] = ii
+        return fuse_hybrid(d_s, d_i, jnp.asarray(b_s), jnp.asarray(b_i))
+
+    # bm25 alone (host, single core); build the MaxScore upper bounds
+    # (one-off index cost) AND warm the lazy C++ scorer (first call may
+    # g++-compile / ctypes-load the .so) before timing queries
+    _ = bm25_index.term_ub
+    bm25_index.search_batch(bm25_queries[:8], k=k)
+    t0 = time.time()
+    bm25_index.search_batch(bm25_queries, k=k)
+    bm25_qps = n_queries / (time.time() - t0)
+    out_h = one_hybrid_pass()
+    sync(out_h)
+    t0 = time.time()
+    h_reps = 2
+    for _ in range(h_reps):
+        out_h = one_hybrid_pass()
+    sync(out_h)
+    hybrid_qps = n_queries / ((time.time() - t0) / h_reps)
+    del out_h
+    return {
+        "bm25_qps": round(bm25_qps, 1),
+        "bm25_config": f"{ctx.n_kb} Zipf passages, 400k vocab, C++ "
+                       "MaxScore, b=0.3 k1=0.5, k=100, "
+                       f"{os.cpu_count()} host core(s)",
+        "hybrid_qps": round(hybrid_qps, 1),
+        "hybrid_config": "dense pallas-exact (device, overlapped) + "
+                         "bm25 (host) + device gzmuv fusion [.7,.3]",
+    }
+
+
+def stage_parity(ctx: Ctx):
+    """Selection-contract checks on the ROW-major KB: chunked "fast"
+    two-level selection vs exact over the full KB, and the fp32
+    FAISS-flat contract on a 262k slice (precision=HIGHEST; the full
+    FAISS tie-order contract lives in tests/test_mips.py — pulling the
+    4.6GB fp32 KB to host over the tunnel is too slow for the bench)."""
+    ctx.free_kbt()  # row-major kb + 3.8GB topk_global scores need the room
+    jax, jnp = ctx.jax, ctx.jnp
+    from viquae_tpu.models import dpr
+    from viquae_tpu.ops import mips
+
+    cfg, params16, p_args, _, _ = ctx.model()
+    kb = ctx.kb_row()
+
+    @jax.jit
+    def embed_only(params, ids, seg, pos, cr, cc):
+        return ctx.embed_packed(params, ids, seg, pos, cr, cc)
+
+    q_dev = embed_only(params16, *p_args)
+    _, idx_fast = mips.topk_single(
+        q_dev, kb, ctx.k, chunk_size=min(ctx.n_kb, 262_144),
+        compute_dtype=jnp.bfloat16, mode="fast")
+    idx_fast = np.asarray(idx_fast)
+    # exact selection over the SAME q_dev: comparing the fast path against
+    # a different program's embeds would fold bf16 cross-program embedding
+    # tie swaps into the selection-contract metric
+    _, idx_exact_q = mips.topk_global(
+        q_dev, kb, ctx.k, valid_rows=jnp.int32(ctx.n_kb),
+        compute_dtype=jnp.bfloat16)
+    r20_fast = r_at_20(idx_fast, np.asarray(idx_exact_q), ctx.n_queries)
+    del idx_exact_q
+
+    n_check = 16 if ctx.small else 64
+    slice_rows = min(ctx.n_kb, 262_144)
+    # jitted: an eager 12-layer forward over the tunnel is hundreds of
+    # per-primitive remote dispatches (minutes inside the watchdog budget)
+    fp32_fwd = jax.jit(lambda p, *a: dpr.apply_packed(
+        p, cfg, *a, deterministic=True, compute_dtype=jnp.float32))
+    q_fp32 = fp32_fwd(ctx.params_f32(), *p_args)[:n_check]
+    kb_f32 = kb[:slice_rows].astype(jnp.float32)
+    _, idx = mips.topk_single(
+        jnp.asarray(q_fp32), kb_f32, 20,
+        chunk_size=slice_rows, compute_dtype=jnp.float32, mode="fast")
+    _, ref_idx = mips.topk_single(
+        jnp.asarray(q_fp32), kb_f32, 20,
+        chunk_size=slice_rows, compute_dtype=jnp.float32, mode="exact")
+    overlap = r_at_20(np.asarray(idx), np.asarray(ref_idx), n_check)
+    del kb_f32, q_fp32, q_dev, idx, ref_idx, kb
+    gc.collect()
+    return {
+        "r_at_20_fast_vs_exact_fullkb": round(r20_fast, 4),
+        "r_at_20_fp32_contract_262k_slice": round(overlap, 4),
+    }
+
+
+def stage_reader(ctx: Ctx):
+    """Reader throughput vs the reference's headline number
+    (MultiPassageBERT test: 2.505 samples/sec on 1xV100,
+    experiments/rc/viquae/metrics.json) — bert-base reader, M=24 passages
+    of seq 256 per question; padded AND packed variants."""
+    jax, jnp = ctx.jax, ctx.jnp
+    from viquae_tpu.models import bert, qa
+    from viquae_tpu.ops import packing
+
+    rng = np.random.default_rng(5)
+    rcfg = qa.ReaderConfig(bert=bert.BertConfig(add_pooler=False))
+    r_params = qa.init(jax.random.fold_in(ctx.key, 3), rcfg)
+    m_passages, r_seq, n_q = 24, 256, 8 if ctx.small else 16
+    r_ids = jnp.asarray(
+        rng.integers(1000, 10_000, (n_q * m_passages, r_seq)), jnp.int32)
+    r_mask = jnp.ones_like(r_ids)
+
+    @jax.jit
+    def reader_step(params, ids, mask):
+        out = qa.reader_apply(
+            params, rcfg, ids, attention_mask=mask,
+            m_passages=m_passages, deterministic=True,
+            compute_dtype=jnp.bfloat16)
+        start_p = jnp.exp(jax.nn.log_softmax(out.start_logits, -1)
+                          ).reshape(n_q, m_passages, r_seq)
+        end_p = jnp.exp(jax.nn.log_softmax(out.end_logits, -1)
+                        ).reshape(n_q, m_passages, r_seq)
+        return qa.get_best_spans(start_p, end_p)
+
+    out_r = reader_step(r_params, r_ids, r_mask)
+    sync(out_r)
+    t0 = time.time()
+    for _ in range(ctx.reps):
+        out_r = reader_step(r_params, r_ids, r_mask)
+    sync(out_r)
+    reader_sps = n_q / ((time.time() - t0) / ctx.reps)
+
+    # PACKED reader: same model, (question, passage) pairs at their REAL
+    # lengths — the reference's passages are exactly 100 tokenizer tokens
+    # (meerqat/data/loading.py:274-306), so a pair is ~125 tokens, not 256;
+    # many pairs share each canvas row (qa.reader_apply_packed,
+    # parity-tested in tests/test_packing.py)
+    pair_lens = np.clip(
+        np.round(rng.lognormal(np.log(18.0), 0.35, n_q * m_passages)),
+        8, 64).astype(int) + 100 + 3
+    pair_seqs = [rng.integers(1000, 10_000, size=int(l)).astype(np.int32)
+                 for l in pair_lens]
+    rp = packing.pack_token_sequences(pair_seqs, row_len=r_seq,
+                                      pad_rows_to=16)
+    tt = packing.pack_parallel(
+        rp, [np.r_[np.zeros(int(l) - 101, np.int32), np.ones(101, np.int32)]
+             for l in pair_lens])
+    g_idx, g_mask = packing.gather_indices(rp, r_seq)
+
+    @jax.jit
+    def reader_step_packed(params, ids, seg, pos, tt, g_idx, g_mask):
+        out = qa.reader_apply_packed(
+            params, rcfg, ids, seg, pos, tt, g_idx, g_mask,
+            m_passages=m_passages, deterministic=True,
+            compute_dtype=jnp.bfloat16)
+        start_p = jnp.exp(jax.nn.log_softmax(out.start_logits, -1)
+                          ).reshape(n_q, m_passages, r_seq)
+        end_p = jnp.exp(jax.nn.log_softmax(out.end_logits, -1)
+                        ).reshape(n_q, m_passages, r_seq)
+        return qa.get_best_spans(start_p, end_p)
+
+    rp_args = tuple(jnp.asarray(a) for a in (
+        rp.input_ids, rp.segment_ids, rp.position_ids, tt, g_idx, g_mask))
+    out_rp = reader_step_packed(r_params, *rp_args)
+    sync(out_rp)
+    t0 = time.time()
+    for _ in range(ctx.reps):
+        out_rp = reader_step_packed(r_params, *rp_args)
+    sync(out_rp)
+    reader_packed_sps = n_q / ((time.time() - t0) / ctx.reps)
+    del out_r, out_rp, r_ids, r_mask, rp_args, r_params
+    return {
+        "reader_samples_per_sec": round(reader_sps, 2),
+        "reader_vs_reference_v100": round(reader_sps / 2.505, 1),
+        "reader_packed_samples_per_sec": round(reader_packed_sps, 2),
+        "reader_packed_vs_reference_v100": round(
+            reader_packed_sps / 2.505, 1),
+        "reader_packed_canvas": f"{rp.rows}x{r_seq} density "
+                                f"{packing.packing_efficiency(rp):.3f}",
+    }
+
+
+def stage_image_chain(ctx: Ctx):
     """MTCNN cascade + ArcFace + CLIP ViT-B/32 + ImageNet RN50 items/s
     (bf16 compute, params as jit ARGS — closures embed 100s of MB of
-    weight constants in the HLO and blow the remote-compile payload cap)."""
-    import time as _time
+    weight constants in the HLO and blow the remote-compile payload cap).
+    The reference embeds ~1M+ images + detects faces over 506k humans —
+    meerqat/image/embedding.py:169-183, face_detection.py:87-139."""
+    import functools
 
+    jax, jnp = ctx.jax, ctx.jnp
     from viquae_tpu.models import arcface, clip as clip_lib, mtcnn
     from viquae_tpu.models import resnet as resnet_lib
 
     rng = np.random.default_rng(11)
+    small = ctx.small
     out = {}
 
     def timeit(fn, *a, n_items, reps=3):
-        o = fn(*a); sync(o)
-        t0 = _time.time()
+        o = fn(*a)
+        sync(o)
+        t0 = time.time()
         for _ in range(reps):
             o = fn(*a)
         sync(o)
-        return n_items / ((_time.time() - t0) / reps)
+        return n_items / ((time.time() - t0) / reps)
 
     side, n_img = 256, 8 if small else 16
     mcfg = mtcnn.MTCNNConfig(canvas=side, min_face_size=20)
-    m_params = mtcnn.init(jax.random.fold_in(key, 20))
+    m_params = mtcnn.init(jax.random.fold_in(ctx.key, 20))
     images = jnp.asarray(
         rng.uniform(0, 255, (n_img, side, side, 3)).astype(np.float32))
     hws = jnp.asarray(np.full((n_img, 2), float(side), np.float32))
-    import functools
     out["mtcnn_images_per_s"] = round(timeit(
         jax.jit(functools.partial(mtcnn.detect_faces_batch, cfg=mcfg)),
         m_params, images, hws, n_items=n_img), 1)
 
     batch = 32 if small else 128
     acfg = arcface.ArcFaceConfig()
-    a_params = arcface.init(jax.random.fold_in(key, 21), acfg)
+    a_params = arcface.init(jax.random.fold_in(ctx.key, 21), acfg)
     crops = jnp.asarray(
         rng.standard_normal((batch, 112, 112, 3)).astype(np.float32))
     out["arcface_faces_per_s"] = round(timeit(
@@ -113,7 +721,7 @@ def _image_chain_stage(jax, jnp, key, small, sync):
         a_params, crops, n_items=batch), 1)
 
     vcfg = clip_lib.CLIPVisionConfig()
-    v_params = clip_lib.vit_init(jax.random.fold_in(key, 22), vcfg)
+    v_params = clip_lib.vit_init(jax.random.fold_in(ctx.key, 22), vcfg)
     pixels = jnp.asarray(
         rng.standard_normal((batch, 224, 224, 3)).astype(np.float32))
     out["clip_vit_images_per_s"] = round(timeit(
@@ -122,7 +730,7 @@ def _image_chain_stage(jax, jnp, key, small, sync):
         v_params, pixels, n_items=batch), 1)
 
     rcfg = resnet_lib.ResNetConfig()
-    r_params = resnet_lib.init(jax.random.fold_in(key, 23), rcfg)
+    r_params = resnet_lib.init(jax.random.fold_in(ctx.key, 23), rcfg)
     out["resnet50_images_per_s"] = round(timeit(
         jax.jit(lambda p, x: resnet_lib.apply(
             p, rcfg, x, compute_dtype=jnp.bfloat16)),
@@ -134,29 +742,33 @@ def _image_chain_stage(jax, jnp, key, small, sync):
     out["corpus_1m_embed_minutes_est"] = round(1e6 / slowest / 60, 1)
     out["faces_506k_detect_minutes_est"] = round(
         506_237 / out["mtcnn_images_per_s"] / 60, 1)
-    return out
+    return {"image_chain": out}
 
 
-def _train_stage(jax, jnp, key, small, sync):
+def stage_train(ctx: Ctx):
     """One timed packed train step each for the biencoder (questions/s)
     and the ECA multimodal tower (pairs/s) — mirrors scripts/
-    exp_train_packed.py and exp_train_eca_packed.py protocols."""
-    import time as _time
+    exp_train_packed.py and exp_train_eca_packed.py protocols.
+    Driver-tracked: a packing or remat regression in training must move
+    the bench."""
+    import functools
 
     import optax
 
+    jax, jnp = ctx.jax, ctx.jnp
     from viquae_tpu.models import bert, dpr, mm
     from viquae_tpu.ops import packing
     from viquae_tpu.train import objectives
 
     rng = np.random.default_rng(12)
+    small = ctx.small
 
     # ---- packed biencoder step (N=64 questions x M=2 passages) ----------
     N, M = 64, 2
     cfg = dpr.DPRConfig(bert=bert.BertConfig(add_pooler=False))
     params = {
-        "question": dpr.init(jax.random.fold_in(key, 30), cfg),
-        "context": dpr.init(jax.random.fold_in(key, 31), cfg),
+        "question": dpr.init(jax.random.fold_in(ctx.key, 30), cfg),
+        "context": dpr.init(jax.random.fold_in(ctx.key, 31), cfg),
     }
     tx = optax.sgd(1e-3)
     opt_state = tx.init(params)
@@ -195,11 +807,11 @@ def _train_stage(jax, jnp, key, small, sync):
     o = step_biencoder(params, opt_state, pq_args, pc_args, labels)
     sync(o[2])
     reps = 3
-    t0 = _time.time()
+    t0 = time.time()
     for _ in range(reps):
         o = step_biencoder(params, opt_state, pq_args, pc_args, labels)
     sync(o[2])
-    biencoder_qps = N / ((_time.time() - t0) / reps)
+    biencoder_qps = N / ((time.time() - t0) / reps)
     del params, opt_state, o, pq_args, pc_args
 
     # ---- packed ECA step (MICT batch 512 pairs, per-layer remat) --------
@@ -210,8 +822,8 @@ def _train_stage(jax, jnp, key, small, sync):
         image_dims=(("clip-RN50", 1024), ("imagenet-RN50", 2048)),
     )
     e_params = {
-        "question": mm.eca_init(jax.random.fold_in(key, 32), mcfg),
-        "context": mm.eca_init(jax.random.fold_in(key, 33), mcfg),
+        "question": mm.eca_init(jax.random.fold_in(ctx.key, 32), mcfg),
+        "context": mm.eca_init(jax.random.fold_in(ctx.key, 33), mcfg),
     }
     e_opt = tx.init(e_params)
 
@@ -276,8 +888,6 @@ def _train_stage(jax, jnp, key, small, sync):
             compute_dtype=jnp.bfloat16, remat_layers=True,
         )[:B]
 
-    import functools
-
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step_eca(params, opt_state, batch):
         def loss(p):
@@ -290,16 +900,85 @@ def _train_stage(jax, jnp, key, small, sync):
 
     e_params, e_opt, l = step_eca(e_params, e_opt, batch)
     sync(l)
-    t0 = _time.time()
+    t0 = time.time()
     for _ in range(reps):
         e_params, e_opt, l = step_eca(e_params, e_opt, batch)
     sync(l)
-    eca_pps = B / ((_time.time() - t0) / reps)
-    return biencoder_qps, eca_pps
+    eca_pps = B / ((time.time() - t0) / reps)
+    del e_params, e_opt, batch
+    return {
+        "train_biencoder_qps": round(biencoder_qps, 1),
+        "train_eca_pps": round(eca_pps, 1),
+        "train_config": "packed canvases; biencoder 64qx2p bf16 sgd; "
+                        "ECA MICT batch "
+                        f"{128 if small else 512} pairs, per-layer remat",
+    }
+
+
+STAGES = [
+    ("exact", stage_exact, STAGE_EST_S["exact"]),
+    ("fusion", stage_fusion, STAGE_EST_S["fusion"]),
+    ("hybrid", stage_hybrid, STAGE_EST_S["hybrid"]),
+    ("parity", stage_parity, STAGE_EST_S["parity"]),
+    ("reader", stage_reader, STAGE_EST_S["reader"]),
+    ("image_chain", stage_image_chain, STAGE_EST_S["image_chain"]),
+    ("train", stage_train, STAGE_EST_S["train"]),
+]
+
+
+def _drill_stages():
+    """VIQUAE_BENCH_DRILL=1: tiny synthetic stages exercising the HARNESS
+    (stage cache, exec retry, watchdog emission, kill survival) without
+    bert-scale compute — tests/test_bench_robustness.py runs these; the
+    real stages are exercised by the actual TPU bench run."""
+    def d_exact(ctx):
+        x = ctx.jnp.ones((8, 8))
+        sync(ctx.jax.jit(lambda a: a @ a)(x))
+        return {"exact_qps": 123.0, "drill": True}
+
+    def d_hang(ctx):
+        time.sleep(float(os.environ.get("VIQUAE_BENCH_DRILL_HANG", "120")))
+        return {"hang_done": True}
+
+    def d_fail(ctx):
+        raise RuntimeError("drill stage failure (not OOM)")
+
+    return [("exact", d_exact, 2), ("hang", d_hang, 2), ("fail", d_fail, 2)]
+
+
+def _active_stages():
+    stages = (_drill_stages() if os.environ.get("VIQUAE_BENCH_DRILL")
+              else STAGES)
+    only = os.environ.get("VIQUAE_BENCH_STAGES")
+    if only:
+        keep = set(only.split(","))
+        stages = [s for s in stages if s[0] in keep]
+    return stages
+
+
+def _is_oom(err_repr: str) -> bool:
+    return ("RESOURCE_EXHAUSTED" in err_repr or "ResourceExhausted"
+            in err_repr or "Out of memory" in err_repr)
+
+
+def _reexec(extra_env: dict):
+    """Fresh-process retry: exec replaces this process, so the exception
+    traceback's multi-GB device buffers are freed, the PJRT client
+    re-initializes, and the stage cache lets the child skip everything
+    already done. The TOTAL deadline rides through the env."""
+    env = dict(os.environ, **extra_env)
+    env["VIQUAE_BENCH_DEADLINE"] = str(DEADLINE)
+    sys.stderr.flush()
+    sys.stdout.flush()
+    os.execve(sys.executable,
+              [sys.executable, os.path.abspath(__file__)], env)
 
 
 def main():
-    small = bool(int(os.environ.get("BENCH_SMALL", "0")))
+    global _CACHE
+    cache = StageCache()
+    _CACHE = cache
+
     import jax
 
     # persistent compilation cache: first-ever compile over the tunneled TPU
@@ -317,478 +996,99 @@ def main():
 
     # backend-init deadline: a tunnel outage makes jax.devices() itself hang
     # (observed 25 min before UNAVAILABLE on 2026-08-17) inside native PJRT
-    # code where no python exception can interrupt — fail FAST so the
-    # driver sees a clear error instead of the watchdog burning 45 min
-    import threading as _threading
-
+    # code where no python exception can interrupt — fail FAST (emitting
+    # whatever the stage cache already holds) so the driver sees a result
     def _init_watchdog():
-        print("bench: TPU backend init exceeded 600s (tunnel down?); "
-              "exiting", file=sys.stderr)
-        sys.stderr.flush()
+        print("bench: TPU backend init exceeded budget (tunnel down?); "
+              "exiting", file=sys.stderr, flush=True)
+        if _CACHE is not None and _CACHE.data["stages"]:
+            emit(_CACHE, final=False, note="backend init timed out")
         os._exit(3)
 
-    _init_timer = _threading.Timer(600, _init_watchdog)
+    _init_timer = threading.Timer(
+        max(60.0, min(600.0, time_left() - 90)), _init_watchdog)
     _init_timer.daemon = True
     _init_timer.start()
     jax.devices()
     _init_timer.cancel()
     import jax.numpy as jnp
 
-    from viquae_tpu.models import bert, dpr
-    from viquae_tpu.ops import mips, packing
+    ctx = Ctx(jax, jnp)
+    fake_oom = os.environ.get("VIQUAE_BENCH_FAKE_OOM")
 
-    n_kb = 150_000 if small else 1_500_000
-    dim = 768
-    n_queries = 1257
-    row_len = 64
-    k = 100
-    q_pad = 1280  # CLS slots padded to an MXU-friendly count
-    # degraded half-batch protocol (attempt 3): free HBM on this SHARED
-    # chip fluctuates (observed 2026-08-18: 8GB single allocs failing);
-    # when two full-batch attempts OOM, halving the query batch halves
-    # the 3.8GB score buffer and every downstream serving batch — a lower
-    # but honest number beats no BENCH at all
-    degraded = os.environ.get("VIQUAE_BENCH_HALF") == "1"
-    if degraded:
-        n_queries, q_pad = 628, 640
+    for name, fn, est in _active_stages():
+        if cache.done(name):
+            continue
+        if name in cache.data["errors"] and cache.attempts(name) >= 2:
+            continue  # failed permanently in an earlier process
+        if time_left() < est + FINAL_MARGIN_S:
+            cache.put_error(name, "skipped: deadline")
+            continue
+        try:
+            if fake_oom == name and cache.attempts(name) == 0:
+                raise RuntimeError(
+                    "RESOURCE_EXHAUSTED: injected fake OOM (drill)")
+            print(f"bench: stage {name} "
+                  f"(t_left={time_left():.0f}s)", file=sys.stderr,
+                  flush=True)
+            details = fn(ctx)
+        except Exception as e:  # noqa: BLE001
+            err = repr(e)
+            attempts = cache.bump_attempts(name)
+            print(f"bench: stage {name} attempt {attempts} failed: "
+                  f"{err[:500]}", file=sys.stderr, flush=True)
+            extra = {}
+            if _is_oom(err) and not DEGRADED:
+                # degrade on the FIRST OOM: free HBM on this shared chip
+                # fluctuates; a lower but honest number beats no BENCH
+                extra["VIQUAE_BENCH_HALF"] = "1"
+            if attempts < 2 and time_left() > 240:
+                emit(cache, final=False,
+                     note=f"retrying stage {name} in a fresh process")
+                _reexec(extra)  # never returns
+            cache.put_error(name, err[:500])
+            gc.collect()
+            continue
+        cache.put(name, details)
+        emit(cache, final=False)
 
-    key = jax.random.key(0)
-    kb = jax.random.normal(jax.random.fold_in(key, 1), (n_kb, dim), jnp.bfloat16)
-    # scale like unit-ish embeddings
-    kb = kb / np.sqrt(dim)
-
-    cfg = dpr.DPRConfig(bert=bert.BertConfig(add_pooler=False))
-    params = dpr.init(jax.random.fold_in(key, 2), cfg)
-    # a bf16 serving deployment stores bf16 weights: precasting skips the
-    # per-forward f32->bf16 conversion reads (~440MB f32/step). The fp32
-    # FAISS-contract path keeps the f32 originals.
-    params16 = jax.tree_util.tree_map(
-        lambda a: a.astype(jnp.bfloat16), params
-    )
-
-    # realistic question lengths (see module docstring); fixed seed keeps the
-    # packed canvas shape stable across runs -> compile-cache hits
-    rng = np.random.default_rng(0)
-    # n_queries=1257 always draws the same lengths for the same seed; the
-    # degraded protocol takes a prefix of the same distribution
-    lengths = np.clip(
-        np.round(rng.lognormal(np.log(18.0), 0.35, n_queries)), 8, row_len
-    ).astype(int)
-    seqs = [rng.integers(1000, 10_000, size=l).astype(np.int32) for l in lengths]
-    packed = packing.pack_token_sequences(
-        seqs, row_len=row_len, n_cls=q_pad, pad_rows_to=32
-    )
-    p_args = tuple(
-        jnp.asarray(a) for a in (
-            packed.input_ids, packed.segment_ids, packed.position_ids,
-            packed.cls_rows, packed.cls_cols,
-        )
-    )
-
-    def embed_packed(params, ids, seg, pos, cr, cc):
-        return dpr.apply_packed(
-            params, cfg, ids, seg, pos, cr, cc,
-            deterministic=True, compute_dtype=jnp.bfloat16,
-        ).astype(jnp.bfloat16)
-
-    from viquae_tpu.ops import mips_pallas
-
-    # ======================================================================
-    # stage 1: paths that need the ROW-major (N, d) KB — run these first so
-    # the matrix can be freed before the (d, N) layout + 3.8GB score buffer
-    # come up (holding both layouts OOMs the chip)
-    # ======================================================================
-
-    # ---- full-KB "fast" chunked selection (compared to exact later) ------
-    @jax.jit
-    def embed_only(params, ids, seg, pos, cr, cc):
-        return embed_packed(params, ids, seg, pos, cr, cc)
-
-    q_dev = embed_only(params16, *p_args)  # same weights as the exact path
-    _, idx_fast = mips.topk_single(
-        q_dev, kb, k, chunk_size=min(n_kb, 262_144),
-        compute_dtype=jnp.bfloat16, mode="fast",
-    )
-    idx_fast = np.asarray(idx_fast)
-    # exact selection over the SAME q_dev: the fused program re-embeds in
-    # a different XLA program, so comparing the fast path against ITS
-    # output would fold bf16 cross-program embedding tie swaps into the
-    # selection-contract metric (a real fast-path regression could hide
-    # behind that accepted noise)
-    _, idx_exact_q = mips.topk_global(
-        q_dev, kb, k, valid_rows=jnp.int32(n_kb),
-        compute_dtype=jnp.bfloat16,
-    )
-    idx_exact_q = np.asarray(idx_exact_q)
-
-    # ---- fp32 FAISS-flat contract on a 262k slice ------------------------
-    # (precision=HIGHEST fast vs exact; full-scale FAISS tie-order contract
-    # lives in tests/test_mips.py — pulling the 4.6GB fp32 KB to host over
-    # the tunnel is too slow for the bench)
-    n_check = 16 if small else 64
-    slice_rows = min(n_kb, 262144)
-    # jitted: an eager 12-layer forward over the tunnel is hundreds of
-    # per-primitive remote dispatches (minutes inside the watchdog budget)
-    fp32_fwd = jax.jit(lambda p, *a: dpr.apply_packed(
-        p, cfg, *a, deterministic=True, compute_dtype=jnp.float32))
-    q_fp32 = fp32_fwd(params, *p_args)[:n_check]
-    kb_f32 = kb[:slice_rows].astype(jnp.float32)
-    _, idx = mips.topk_single(
-        jnp.asarray(q_fp32), kb_f32, 20,
-        chunk_size=slice_rows, compute_dtype=jnp.float32, mode="fast",
-    )
-    _, ref_idx = mips.topk_single(
-        jnp.asarray(q_fp32), kb_f32, 20,
-        chunk_size=slice_rows, compute_dtype=jnp.float32, mode="exact",
-    )
-    overlap = r_at_20(np.asarray(idx), np.asarray(ref_idx), n_check)
-    del kb_f32, q_fp32, q_dev, idx, ref_idx
-    del params  # f32 originals: only the fp32-contract stage needs them
-
-    # ======================================================================
-    # stage 2: transpose to the (d, N) kernel layout, FREE the row-major
-    # copy, and run the headline exact (Pallas fused) + approx paths on it
-    # ======================================================================
-    kbt = mips_pallas.to_kernel_layout(kb)
-    sync(kbt)
-    del kb
-
-    @jax.jit
-    def embed_and_search(params, ids, seg, pos, cr, cc, kbt):
-        # exact path: Pallas q-major fused scores+segmax kernel (54.1 ms vs
-        # 69.8 ms XLA topk_global at this shape) + one global selection
-        q = embed_packed(params, ids, seg, pos, cr, cc)
-        return mips_pallas.topk_fused(q, kbt, k, valid_rows=jnp.int32(n_kb))
-
-    @jax.jit
-    def embed_and_search_approx(params, ids, seg, pos, cr, cc, kbt):
-        q = embed_packed(params, ids, seg, pos, cr, cc)
-        return mips.topk_global(
-            q, kbt, k, valid_rows=jnp.int32(n_kb),
-            compute_dtype=jnp.bfloat16, mode="approx", transposed=True,
-        )
-
-    # compile + warmup
-    t0 = time.time()
-    out = embed_and_search(params16, *p_args, kbt)
-    sync(out)
-    compile_s = time.time() - t0
-
-    reps = 5
-    t0 = time.time()
-    for _ in range(reps):
-        out = embed_and_search(params16, *p_args, kbt)
-    sync(out)
-    dt = (time.time() - t0) / reps
-    qps = n_queries / dt  # count only the real 1,257 queries
-
-    # ---- approx variant (lax.approx_max_k fused into the matmul) --------
-    out_a = embed_and_search_approx(params16, *p_args, kbt)
-    sync(out_a)
-    t0 = time.time()
-    for _ in range(reps):
-        out_a = embed_and_search_approx(params16, *p_args, kbt)
-    sync(out_a)
-    approx_qps = n_queries / ((time.time() - t0) / reps)
-    idx_exact = np.asarray(out[1])
-    idx_approx = np.asarray(out_a[1])
-    r20_approx = r_at_20(idx_approx, idx_exact, n_queries)
-    r20_fast = r_at_20(idx_fast, idx_exact_q, n_queries)
-    del out, out_a  # free device result buffers before the fusion stage
-
-    # ---- hybrid sparse+dense (BM25 C++ MaxScore on host, overlapped with
-    # the in-flight dense program, fused on device — the reference's hybrid
-    # retrieval mode, meerqat/ir/search.py:268-293, tuned b=.3/k1=.5) ------
-    from viquae_tpu.ops import fusion as fusion_ops
-
-    bm25_index = _bm25_corpus(n_kb)
-    bm25_rng = np.random.default_rng(3)
-    bm25_queries = [
-        " ".join(f"t{(int(z) - 1) % 400_000}"
-                 for z in bm25_rng.zipf(1.2, 8))
-        for _ in range(n_queries)
-    ]
-
-    @jax.jit
-    def fuse_hybrid(d_s, d_i, b_s, b_i):
-        return fusion_ops.fuse_topk(
-            (d_s, b_s), (d_i.astype(jnp.int32), b_i), (0.7, 0.3), k,
-            norm="gzmuv", valid_queries=jnp.int32(n_queries),
-        )
-
-    def one_hybrid_pass():
-        d_s, d_i = embed_and_search(params16, *p_args, kbt)  # async
-        bs, bi = bm25_index.search_batch(bm25_queries, k=k)  # host overlap
-        b_s = np.full((q_pad, k), -np.inf, np.float32)
-        b_i = np.full((q_pad, k), np.iinfo(np.int32).max, np.int32)
-        for row, (ss, ii) in enumerate(zip(bs, bi)):
-            b_s[row, : len(ss)] = ss
-            b_i[row, : len(ii)] = ii
-        return fuse_hybrid(d_s, d_i, jnp.asarray(b_s), jnp.asarray(b_i))
-
-    # bm25 alone (host, single core); build the MaxScore upper bounds
-    # (one-off index cost) AND warm the lazy C++ scorer (first call may
-    # g++-compile / ctypes-load the .so) before timing queries
-    _ = bm25_index.term_ub
-    bm25_index.search_batch(bm25_queries[:8], k=k)
-    t0 = time.time()
-    bm25_index.search_batch(bm25_queries, k=k)
-    bm25_qps = n_queries / (time.time() - t0)
-    out_h = one_hybrid_pass()
-    sync(out_h)
-    t0 = time.time()
-    h_reps = 2
-    for _ in range(h_reps):
-        out_h = one_hybrid_pass()
-    sync(out_h)
-    hybrid_qps = n_queries / ((time.time() - t0) / h_reps)
-    del out_h
-
-    # ---- 3-index late fusion in ONE program (the reference's best-quality
-    # config shape: dpr+arcface+clip wsum [0.6,0.2,0.2], gzmuv, defmin —
-    # experiments/ir/viquae/dpr+clip-cross-modal/config_test.json): packed
-    # embed + dpr Pallas-exact + clip/face approx + ops.fusion.fuse_topk.
-    # The reference runs fusion offline over run files.
-    n_clip = n_kb
-    n_face = 50_624 if small else 506_237  # humans_with_faces
-    kb_clip = jax.random.normal(
-        jax.random.fold_in(key, 7), (n_clip, 512), jnp.bfloat16
-    ) / np.sqrt(512)
-    kb_face = jax.random.normal(
-        jax.random.fold_in(key, 8), (n_face, 512), jnp.bfloat16
-    ) / np.sqrt(512)
-    q_clip = jax.random.normal(
-        jax.random.fold_in(key, 9), (q_pad, 512), jnp.bfloat16)
-    q_face = jax.random.normal(
-        jax.random.fold_in(key, 10), (q_pad, 512), jnp.bfloat16)
-
-    @jax.jit
-    def fusion_program(params, ids, seg, pos, cr, cc, q_clip, q_face,
-                       kbt, kb_clip, kb_face):
-        q = embed_packed(params, ids, seg, pos, cr, cc)
-        s0, i0 = mips_pallas.topk_fused(q, kbt, k,
-                                        valid_rows=jnp.int32(n_kb))
-        s1, i1 = mips.topk_global(q_clip, kb_clip, k,
-                                  compute_dtype=jnp.bfloat16, mode="approx")
-        s2, i2 = mips.topk_global(q_face, kb_face, k,
-                                  compute_dtype=jnp.bfloat16, mode="approx")
-        return fusion_ops.fuse_topk(
-            (s0, s1, s2),
-            (i0.astype(jnp.int32), i1.astype(jnp.int32),
-             i2.astype(jnp.int32)),
-            (0.6, 0.2, 0.2), k, norm="gzmuv",
-            valid_queries=jnp.int32(n_queries),
-        )
-
-    out_f = fusion_program(params16, *p_args, q_clip, q_face,
-                           kbt, kb_clip, kb_face)
-    sync(out_f)
-    t0 = time.time()
-    for _ in range(reps):
-        out_f = fusion_program(params16, *p_args, q_clip, q_face,
-                               kbt, kb_clip, kb_face)
-    sync(out_f)
-    fusion_qps = n_queries / ((time.time() - t0) / reps)
-    del kb_clip, kb_face, q_clip, q_face, out_f, kbt
-
-    # ---- reader throughput vs the reference's headline number -----------
-    # (MultiPassageBERT test: 2.505 samples/sec on 1xV100,
-    # experiments/rc/viquae/metrics.json) — bert-base reader, M=24 passages
-    # of seq 256 per question
-    from viquae_tpu.models import qa
-
-    rcfg = qa.ReaderConfig(bert=bert.BertConfig(add_pooler=False))
-    r_params = qa.init(jax.random.fold_in(key, 3), rcfg)
-    m_passages, r_seq, n_q = 24, 256, 8 if small else 16
-    r_ids = jnp.asarray(
-        rng.integers(1000, 10_000, (n_q * m_passages, r_seq)), jnp.int32
-    )
-    r_mask = jnp.ones_like(r_ids)
-
-    @jax.jit
-    def reader_step(params, ids, mask):
-        out = qa.reader_apply(
-            params, rcfg, ids, attention_mask=mask,
-            m_passages=m_passages, deterministic=True,
-            compute_dtype=jnp.bfloat16,
-        )
-        start_p = jnp.exp(jax.nn.log_softmax(out.start_logits, -1)).reshape(
-            n_q, m_passages, r_seq
-        )
-        end_p = jnp.exp(jax.nn.log_softmax(out.end_logits, -1)).reshape(
-            n_q, m_passages, r_seq
-        )
-        return qa.get_best_spans(start_p, end_p)
-
-    out_r = reader_step(r_params, r_ids, r_mask)
-    sync(out_r)
-    t0 = time.time()
-    for _ in range(reps):
-        out_r = reader_step(r_params, r_ids, r_mask)
-    sync(out_r)
-    reader_sps = n_q / ((time.time() - t0) / reps)
-
-    # ---- PACKED reader: same model, (question, passage) pairs at their
-    # REAL lengths — the reference's passages are exactly 100 tokenizer
-    # tokens (meerqat/data/loading.py:274-306), so a pair is ~125 tokens,
-    # not 256; many pairs share each canvas row (qa.reader_apply_packed,
-    # parity-tested in tests/test_packing.py)
-    pair_lens = np.clip(
-        np.round(rng.lognormal(np.log(18.0), 0.35, n_q * m_passages)),
-        8, 64,
-    ).astype(int) + 100 + 3
-    pair_seqs = [
-        rng.integers(1000, 10_000, size=int(l)).astype(np.int32)
-        for l in pair_lens
-    ]
-    rp = packing.pack_token_sequences(
-        pair_seqs, row_len=r_seq, pad_rows_to=16
-    )
-    tt = packing.pack_parallel(
-        rp, [np.r_[np.zeros(int(l) - 101, np.int32), np.ones(101, np.int32)]
-             for l in pair_lens]
-    )
-    g_idx, g_mask = packing.gather_indices(rp, r_seq)
-
-    @jax.jit
-    def reader_step_packed(params, ids, seg, pos, tt, g_idx, g_mask):
-        out = qa.reader_apply_packed(
-            params, rcfg, ids, seg, pos, tt, g_idx, g_mask,
-            m_passages=m_passages, deterministic=True,
-            compute_dtype=jnp.bfloat16,
-        )
-        start_p = jnp.exp(jax.nn.log_softmax(out.start_logits, -1)).reshape(
-            n_q, m_passages, r_seq
-        )
-        end_p = jnp.exp(jax.nn.log_softmax(out.end_logits, -1)).reshape(
-            n_q, m_passages, r_seq
-        )
-        return qa.get_best_spans(start_p, end_p)
-
-    rp_args = tuple(jnp.asarray(a) for a in (
-        rp.input_ids, rp.segment_ids, rp.position_ids, tt, g_idx, g_mask
-    ))
-    out_rp = reader_step_packed(r_params, *rp_args)
-    sync(out_rp)
-    t0 = time.time()
-    for _ in range(reps):
-        out_rp = reader_step_packed(r_params, *rp_args)
-    sync(out_rp)
-    reader_packed_sps = n_q / ((time.time() - t0) / reps)
-    del out_r, out_rp, r_ids, r_mask, rp_args
-
-    # ---- image/face chain (the offline corpus stages: the reference
-    # embeds ~1M+ images + detects faces over 506k humans —
-    # meerqat/image/embedding.py:169-183, face_detection.py:87-139) -------
-    image_chain = _image_chain_stage(jax, jnp, key, small, sync)
-
-    # ---- train-step throughput (driver-tracked: a packing or remat
-    # regression in training must move the bench) ------------------------
-    train_biencoder_qps, train_eca_pps = _train_stage(
-        jax, jnp, key, small, sync)
-
-    result = {
-        "metric": "embed+search queries/sec over 1.5M-entity KB (1 chip, exact)",
-        "value": round(qps, 1),
-        "unit": "queries/sec",
-        "vs_baseline": round(qps / NORTH_STAR_QPS, 4),
-        "details": {
-            "kb_rows": n_kb,
-            "dim": dim,
-            "k": k,
-            **({"degraded_half_batch":
-                f"{n_queries} queries / {q_pad}-slot canvas (two "
-                "full-batch attempts OOMed; shared-chip HBM floor)"}
-               if degraded else {}),
-            "batch_ms": round(dt * 1e3, 2),
-            "compile_s": round(compile_s, 1),
-            "encoder": "dpr-bert-base bf16, packed canvas "
-                       f"({packed.rows}x{row_len}, density "
-                       f"{packing.packing_efficiency(packed):.3f})",
-            "question_len_tokens": "lognormal(ln18,0.35) clip [8,64], "
-                                   f"mean {lengths.mean():.1f}",
-            "topk_mode": "pallas-fused scores+segmax kernel, exact global selection, bf16 scores",
-            "approx_qps": round(approx_qps, 1),
-            "fusion_3index_qps": round(fusion_qps, 1),
-            "fusion_3index_config": "dpr(1.5Mx768 pallas-exact) + "
-                                    "clip(1.5Mx512 approx) + "
-                                    "face(506kx512 approx), wsum "
-                                    "[.6,.2,.2] gzmuv defmin, one program",
-            "approx_r_at_20_vs_exact_fullkb": round(r20_approx, 4),
-            "r_at_20_fast_vs_exact_fullkb": round(r20_fast, 4),
-            "r_at_20_fp32_contract_262k_slice": round(overlap, 4),
-            "reader_samples_per_sec": round(reader_sps, 2),
-            "reader_vs_reference_v100": round(reader_sps / 2.505, 1),
-            "reader_packed_samples_per_sec": round(reader_packed_sps, 2),
-            "reader_packed_vs_reference_v100": round(
-                reader_packed_sps / 2.505, 1),
-            "reader_packed_canvas": f"{rp.rows}x{r_seq} density "
-                                    f"{packing.packing_efficiency(rp):.3f}",
-            "bm25_qps": round(bm25_qps, 1),
-            "bm25_config": f"{n_kb} Zipf passages, 400k vocab, C++ "
-                           "MaxScore, b=0.3 k1=0.5, k=100, "
-                           f"{os.cpu_count()} host core(s)",
-            "hybrid_qps": round(hybrid_qps, 1),
-            "hybrid_config": "dense pallas-exact (device, overlapped) + "
-                             "bm25 (host) + device gzmuv fusion [.7,.3]",
-            "image_chain": image_chain,
-            "train_biencoder_qps": round(train_biencoder_qps, 1),
-            "train_eca_pps": round(train_eca_pps, 1),
-            "train_config": "packed canvases; biencoder 64qx2p bf16 sgd; "
-                            "ECA MICT batch "
-                            f"{128 if small else 512} pairs, per-layer "
-                            "remat",
-        },
-    }
-    print(json.dumps(result))
+    emit(cache, final=True)
 
 
 if __name__ == "__main__":
-    import threading
-
     # the tunnel occasionally HANGS a dispatch outright (15+ min, zero
     # output, 0% CPU — CLAUDE.md round-2 notes). That hang blocks inside
     # the native PJRT client, where a SIGALRM python handler would never
-    # run; a daemon watchdog THREAD force-exits instead so the driver sees
-    # a fast failure rather than a lost run.
+    # run; a daemon watchdog THREAD emits the best-available result and
+    # force-exits before the driver's external timeout loses everything.
     def _watchdog():
-        print("bench watchdog: no completion within budget; exiting",
-              file=sys.stderr)
-        sys.stderr.flush()
+        print("bench watchdog: total deadline reached; emitting cached "
+              "result", file=sys.stderr, flush=True)
+        if _CACHE is not None:
+            emit(_CACHE, final=False, note="deadline watchdog fired "
+                 "mid-stage; result is the completed-stage subset")
+            os._exit(0)
         os._exit(3)
 
-    timer = threading.Timer(2700, _watchdog)
+    timer = threading.Timer(max(30.0, time_left() - 45), _watchdog)
     timer.daemon = True
     timer.start()
     try:
         main()
     except Exception as e:  # noqa: BLE001
-        # the tunneled TPU occasionally throws a transient INTERNAL error
-        # on a fresh process; one retry reliably clears it. Retry in a
-        # FRESH process (CLAUDE.md): exec replaces this one, so the
-        # exception traceback's multi-GB device buffers are freed, the
-        # PJRT client re-initializes, and the watchdog budget re-arms —
-        # an in-process retry held attempt 1's kb/kbt alive through the
-        # traceback and re-allocated on a near-full chip.
-        attempt = os.environ.get("VIQUAE_BENCH_RETRY", "0")
-        if attempt == "2" or (
-            attempt == "1"
-            and "RESOURCE_EXHAUSTED" not in repr(e)
-        ):
-            raise
-        if attempt == "1":
-            # two full-batch attempts failed on HBM: final attempt runs
-            # the half-batch protocol (halves the score buffer + every
-            # serving batch) so the driver still records a number
-            print(f"bench attempt 2 failed on HBM ({e!r}); final attempt "
-                  "runs the degraded half-batch protocol", file=sys.stderr)
-            env = dict(os.environ, VIQUAE_BENCH_RETRY="2",
-                       VIQUAE_BENCH_HALF="1")
+        # a failure OUTSIDE any stage (backend init, imports): one
+        # deadline-aware fresh-process retry, then emit what we have
+        attempt = int(os.environ.get("VIQUAE_BENCH_RETRY", "0"))
+        err = repr(e)
+        print(f"bench: run-level failure (attempt {attempt}): {err[:500]}",
+              file=sys.stderr, flush=True)
+        if attempt < 2 and time_left() > 240:
+            extra = {"VIQUAE_BENCH_RETRY": str(attempt + 1)}
+            if _is_oom(err):
+                extra["VIQUAE_BENCH_HALF"] = "1"
+            _reexec(extra)
+        if _CACHE is not None:
+            emit(_CACHE, final=False, note=f"run-level failure: {err[:200]}")
         else:
-            print(f"bench attempt 1 failed ({e!r}); retrying in a fresh "
-                  f"process", file=sys.stderr)
-            env = dict(os.environ, VIQUAE_BENCH_RETRY="1")
-        sys.stderr.flush()
-        os.execve(sys.executable,
-                  [sys.executable, os.path.abspath(__file__)], env)
+            sys.exit(1)
     timer.cancel()
