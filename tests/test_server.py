@@ -62,6 +62,60 @@ def test_batcher_propagates_process_errors():
     b.close()
 
 
+def test_batcher_retries_transient_device_error_once():
+    """One bounded re-dispatch on a TRANSIENT device error (the tunneled
+    chip throws INTERNAL/RESOURCE_EXHAUSTED transiently — CLAUDE.md);
+    the retry must be invisible to callers."""
+    attempts = []
+
+    def process(items):
+        attempts.append(list(items))
+        if len(attempts) == 1:
+            raise RuntimeError("INTERNAL: TPU backend error (fresh process)")
+        return [x * 10 for x in items]
+
+    b = DynamicBatcher(process, max_batch=4, max_wait_ms=5.0,
+                       retry_backoff_s=0.01)
+    assert b.submit(3).result(timeout=5) == 30
+    b.close()
+    assert len(attempts) == 2           # failed once, retried once
+    assert attempts[0] == attempts[1]   # SAME batch re-dispatched
+    assert b.n_retries == 1
+
+
+def test_batcher_transient_retry_is_bounded():
+    """A persistently failing device still surfaces the exception after
+    the bounded retry (no infinite loop)."""
+    n_calls = [0]
+
+    def process(items):
+        n_calls[0] += 1
+        raise RuntimeError("RESOURCE_EXHAUSTED: TPU backend error")
+
+    b = DynamicBatcher(process, max_batch=4, max_wait_ms=5.0,
+                       retry_transient=1, retry_backoff_s=0.01)
+    with pytest.raises(RuntimeError, match="RESOURCE_EXHAUSTED"):
+        b.submit(1).result(timeout=5)
+    b.close()
+    assert n_calls[0] == 2  # original + exactly one retry
+
+
+def test_batcher_non_transient_error_is_not_retried():
+    n_calls = [0]
+
+    def process(items):
+        n_calls[0] += 1
+        raise ValueError("bad collation, deterministic")
+
+    b = DynamicBatcher(process, max_batch=4, max_wait_ms=5.0,
+                       retry_backoff_s=0.01)
+    with pytest.raises(ValueError, match="deterministic"):
+        b.submit(1).result(timeout=5)
+    b.close()
+    assert n_calls[0] == 1
+    assert b.n_retries == 0
+
+
 def test_batcher_max_inflight_overlaps_batches():
     """max_inflight=2 runs two micro-batches concurrently (cross-batch
     pipelining); results still land on the right futures."""

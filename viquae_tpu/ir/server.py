@@ -35,6 +35,19 @@ import numpy as np
 
 _SHUTDOWN = object()
 
+# error strings the tunneled chip throws TRANSIENTLY (CLAUDE.md: INTERNAL
+# on fresh processes, RESOURCE_EXHAUSTED while free HBM fluctuates); the
+# jitted pipelines are pure, so one re-dispatch of the same batch is safe
+TRANSIENT_ERROR_MARKERS = (
+    "RESOURCE_EXHAUSTED", "ResourceExhausted", "INTERNAL", "UNAVAILABLE",
+    "ABORTED",
+)
+
+
+def is_transient_device_error(e: BaseException) -> bool:
+    r = repr(e)
+    return any(m in r for m in TRANSIENT_ERROR_MARKERS)
+
 
 class DynamicBatcher:
     """Queue requests; dispatch them through `process` in micro-batches.
@@ -48,7 +61,9 @@ class DynamicBatcher:
 
     def __init__(self, process: Callable[[List], List],
                  max_batch: int = 64, max_wait_ms: float = 10.0,
-                 name: str = "batcher", max_inflight: int = 1):
+                 name: str = "batcher", max_inflight: int = 1,
+                 retry_transient: int = 1,
+                 retry_backoff_s: float = 0.5):
         if max_batch < 1:
             raise ValueError(f"max_batch must be >= 1, got {max_batch}")
         if max_inflight < 1:
@@ -57,8 +72,15 @@ class DynamicBatcher:
         self.process = process
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1e3
+        # bounded retry of a failed dispatch on TRANSIENT device errors
+        # (same compiled fn, fresh arrays rebuilt by process()) before the
+        # exception reaches callers — bench.py has had this robustness for
+        # two rounds; the serving path gets the same
+        self.retry_transient = retry_transient
+        self.retry_backoff_s = retry_backoff_s
         self.n_dispatches = 0
         self.n_items = 0
+        self.n_retries = 0
         self._queue: queue.Queue = queue.Queue()
         # >1 overlaps micro-batches: while batch n's device work drains,
         # batch n+1 tokenizes/packs/dispatches — the cross-batch pipelining
@@ -122,12 +144,26 @@ class DynamicBatcher:
             batch.append(item)
         return batch
 
+    def _process_with_retry(self, items):
+        attempt = 0
+        while True:
+            try:
+                return self.process(items)
+            except Exception as e:  # noqa: BLE001
+                if (attempt >= self.retry_transient
+                        or not is_transient_device_error(e)):
+                    raise
+                attempt += 1
+                with self._stats_lock:
+                    self.n_retries += 1
+                time.sleep(self.retry_backoff_s)
+
     def _run_batch(self, batch):
         items = [item for item, _ in batch]
         futures = [future for _, future in batch]
         try:
             try:
-                results = self.process(items)
+                results = self._process_with_retry(items)
                 if len(results) != len(items):
                     raise RuntimeError(
                         f"process returned {len(results)} results for "
@@ -352,6 +388,7 @@ def make_http_server(host: str = "127.0.0.1", port: int = 0,
                     stats[name] = {
                         "dispatches": service.batcher.n_dispatches,
                         "items": service.batcher.n_items,
+                        "transient_retries": service.batcher.n_retries,
                     }
             return self._reply(200, {"ok": True, **stats})
 
