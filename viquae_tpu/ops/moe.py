@@ -22,9 +22,14 @@ TPU/XLA design choices:
   512x262 tokens. Splitting T into groups of at most `group_size`
   tokens (capacity budgeted per group) caps it at cf*k*T*group_size
   floats EACH for dispatch and combine: ~1.3 GiB at that shape with
-  the 1024 default. Group count is a pure function of T, so jit
-  programs stay shape-stable; tokens beyond T (group padding) are
-  masked out of routing, capacity, and the aux loss.
+  the 1024 default (halved again under bf16 compute — dispatch/combine
+  are built directly in compute_dtype). Group count is a pure function
+  of T, so jit programs stay shape-stable; tokens beyond T (group
+  padding) are masked out of routing, capacity, and the aux loss.
+  Groups are formed over the FLATTENED leading axes (B*L order):
+  standard GShard behavior, but note a sequence's overflow drops under
+  tight capacity therefore depend on its position in the batch, and
+  packed canvases make group composition batch-order dependent.
 - **Expert-parallel by sharding, not by code**: `moe_spec()` puts
   P(model) on the stacked-expert axis; the per-expert einsums then run
   expert-local and the dispatch/combine contractions become the a2a.
@@ -116,6 +121,14 @@ def moe_apply(
     dispatch; across groups only the OVERFLOW rule changes (each group
     drops against its own capacity rather than a global one).
 
+    Capacity semantics under padding: per-group capacity is budgeted from
+    the PADDED group length (ceil(cf*k*Tg/E)) — static shapes preclude
+    budgeting from the dynamic real-token count, so a heavily padded
+    batch gets more effective capacity per REAL token than
+    `capacity_factor` nominally implies, and drop behavior under tight
+    cf differs between padded and unpadded runs of the same real tokens.
+    Size cf against the worst-case (densest) batch.
+
     `token_mask` (x's leading shape, nonzero = real token) excludes
     padding tokens from routing entirely: without it, sequence/canvas
     pad rows claim expert capacity slots (starving real tokens under
@@ -162,9 +175,14 @@ def moe_apply(
     valid_g = valid.reshape(n_groups, tg)
 
     # slot-by-slot dispatch with running per-(group, expert) fill counts
-    # (k is tiny — static unroll, no scan needed)
-    dispatch = jnp.zeros((n_groups, tg, n_experts, capacity), jnp.float32)
-    combine = jnp.zeros((n_groups, tg, n_experts, capacity), jnp.float32)
+    # (k is tiny — static unroll, no scan needed). dispatch/combine are the
+    # LARGEST tensors of the layer (~1.3 GiB each at packed train shapes):
+    # built directly in compute_dtype — dispatch entries are disjoint 0/1
+    # (exact in bf16); combine only rounds the gate values to bf16, which
+    # a bf16 training step rounds anyway at the next matmul
+    cd = compute_dtype or tokens.dtype
+    dispatch = jnp.zeros((n_groups, tg, n_experts, capacity), cd)
+    combine = jnp.zeros((n_groups, tg, n_experts, capacity), cd)
     counts = jnp.zeros((n_groups, n_experts), jnp.int32)
     for j in range(top_k):
         oh = jax.nn.one_hot(gate_ig[..., j], n_experts, dtype=jnp.int32)
@@ -173,16 +191,15 @@ def moe_apply(
         counts = counts + oh.sum(axis=1)
         keep = (pos < capacity) & (oh > 0)
         slot = jax.nn.one_hot(
-            jnp.clip(pos, 0, capacity - 1), capacity, dtype=jnp.float32
+            jnp.clip(pos, 0, capacity - 1), capacity, dtype=cd
         )  # (G, Tg, E, C)
-        d_j = keep.astype(jnp.float32)[..., None] * slot
+        d_j = keep.astype(cd)[..., None] * slot
         dispatch = dispatch + d_j
-        combine = combine + gate_vg[..., j, None, None] * d_j
+        combine = combine + gate_vg[..., j, None, None].astype(cd) * d_j
 
-    cd = compute_dtype or tokens.dtype
     es = _grouped_sharding(expert_sharding)
     expert_in = jnp.einsum(
-        "gtec,gtd->gecd", dispatch.astype(cd), grouped.astype(cd),
+        "gtec,gtd->gecd", dispatch, grouped.astype(cd),
         preferred_element_type=jnp.float32,
     )  # (G, E, C, D)
     if es is not None:
@@ -209,7 +226,7 @@ def moe_apply(
     if es is not None:
         expert_out = jax.lax.with_sharding_constraint(expert_out, es)
     y = jnp.einsum(
-        "gtec,gecd->gtd", combine, expert_out.astype(jnp.float32),
+        "gtec,gecd->gtd", combine, expert_out.astype(cd),
         preferred_element_type=jnp.float32,
     ).reshape(n_groups * tg, dim)
     if pad:
