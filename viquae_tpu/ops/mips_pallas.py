@@ -171,10 +171,18 @@ def topk_fused(
     n_seg = n // _SEG
     segmax = jnp.moveaxis(segmax3, 0, 1).reshape(q_count, n_seg)
     p = min(n_seg, k)
-    _, seg_idx = mips._select_topk(segmax.astype(jnp.float32), p, "fast")
+    # plain lax.top_k for the segment select: at n_seg ~ 11.7k with k=100
+    # the two-level _select_topk "fast" scheme DEGENERATES (sqrt-segments
+    # ~ 92 < k, candidate pool = full width) into gathers + the same full
+    # sort — measured 2 ms slower than the direct sort at 1280 x 1.5M
+    # (scripts/exp_fused_decomp.py C vs V1)
+    _, seg_idx = jax.lax.top_k(segmax, p)
     seg = scores.reshape(q_count, n_seg, _SEG)
+    # candidates stay in the score dtype (bf16 on the serving path): the
+    # finalize sort moves half the bytes, and f32<-bf16 is lossless so the
+    # selection order is identical (exp_fused_decomp V5)
     cand = jnp.take_along_axis(seg, seg_idx[:, :, None], axis=1)
-    cand = cand.reshape(q_count, p * _SEG).astype(jnp.float32)
+    cand = cand.reshape(q_count, p * _SEG)
     cand_idx = (
         seg_idx[:, :, None] * _SEG
         + jax.lax.broadcasted_iota(jnp.int32, (q_count, p, _SEG), 2)
@@ -182,7 +190,8 @@ def topk_fused(
     # shared tail: top-k + -inf-lane blanking + tie-order restore + pad
     # to k (topk_sharded's all-gather merge needs uniform (Q, k) shards
     # even when k exceeds one shard's row count)
-    return mips.finalize_topk(cand, cand_idx, k)
+    out_s, out_i = mips.finalize_topk(cand, cand_idx, k)
+    return out_s.astype(jnp.float32), out_i
 
 
 # --------------------------------------------------------------------------
