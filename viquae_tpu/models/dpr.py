@@ -155,6 +155,17 @@ class DPREncoder:
 
     @classmethod
     def from_pretrained(cls, path, **kwargs):
+        import os
+
+        if os.path.exists(os.path.join(str(path), "params.npz")):
+            # an export_params dir (the trainee `export` / save_ptm
+            # contract, train/checkpoint.py) — cfg comes from kwargs
+            # (bert_config), symmetric with _MMEncoderBundle loading
+            from viquae_tpu.train.checkpoint import import_params
+
+            bundle = cls(**kwargs)
+            bundle.params = import_params(path, bundle.params)
+            return bundle
         import torch  # cpu-only, host-side weight loading
         from transformers import AutoConfig
 
