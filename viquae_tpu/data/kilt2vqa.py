@@ -123,6 +123,20 @@ class GazetteerNER:
     # Portugal" the entity's syntactic children do NOT include "the capital"
     _PREPOSITIONS = {"of", "in", "on", "at", "for", "by", "from", "with",
                      "about", "to", "and", "or"}
+    # sentence-initial unigram hits are allowed only for non-function words:
+    # "Portugal is ..." should fire, "It is what it is" (title "It") and
+    # "Help me ..." (title "Help") must not — any capitalized word starts a
+    # sentence, so context can't disambiguate common-word titles there
+    _FUNCTION_WORDS = {
+        "a", "an", "and", "are", "as", "at", "but", "by", "can", "could",
+        "did", "do", "does", "for", "from", "had", "has", "have", "he",
+        "help", "her", "his", "how", "i", "if", "in", "is", "it", "its",
+        "no", "not", "of", "on", "or", "she", "should", "that", "the",
+        "these", "they", "this", "those", "to", "was", "we", "were",
+        "what", "when", "where", "which", "who", "whom", "whose", "why",
+        "will", "would", "yes", "you",
+    }
+    _POSSESSIVE_SUFFIXES = ("'s", "’s")
 
     def __init__(self, titles, max_ngram: int = 8,
                  expand_determiner_phrase: bool = True,
@@ -141,6 +155,14 @@ class GazetteerNER:
             self.entries[words] = str(title)
             self.first_words.add(words[0])
 
+    def _possessive_stripped(self, word: str) -> Optional[str]:
+        """'presley's' -> 'presley' (the trailing 's is spaCy's case-marker
+        child token, not part of the mention)."""
+        for suffix in self._POSSESSIVE_SUFFIXES:
+            if word.endswith(suffix) and len(word) > len(suffix):
+                return word[: -len(suffix)]
+        return None
+
     def __call__(self, text: str) -> List[Tuple[str, int, int, str]]:
         tokens = [(m.group(), m.start(), m.end())
                   for m in self._WORD.finditer(text)]
@@ -149,19 +171,42 @@ class GazetteerNER:
         i = 0
         while i < len(tokens):
             matched = None
-            if lower[i] in self.first_words:
+            possessive_cut = 0
+            first_word = lower[i]
+            if first_word not in self.first_words:
+                # a possessive unigram mention ("Beyoncé's") must still
+                # reach the stripped-key lookup below
+                stripped_first = self._possessive_stripped(first_word)
+                if stripped_first is not None:
+                    first_word = stripped_first
+            if first_word in self.first_words:
                 for n in range(min(self.max_ngram, len(tokens) - i), 0, -1):
                     key = tuple(lower[i: i + n])
-                    if key in self.entries:
-                        # unigram matches must look like a name in context
-                        # (capitalized, not sentence-initial) to avoid
-                        # common-word titles swallowing the question
-                        if n == 1 and not (
-                            tokens[i][0][0].isupper() and tokens[i][1] > 0
-                        ):
+                    cut = 0
+                    if key not in self.entries:
+                        # possessive on the last word: "Marie Curie's
+                        # birthplace" mentions the title "Marie Curie"
+                        stripped = self._possessive_stripped(key[-1])
+                        if stripped is None:
                             continue
-                        matched = (i, i + n - 1)
-                        break
+                        key = key[:-1] + (stripped,)
+                        if key not in self.entries:
+                            continue
+                        cut = len(lower[i + n - 1]) - len(stripped)
+                    # unigram matches must look like a name in context
+                    # (capitalized; sentence-initial only for non-function
+                    # words) to avoid common-word titles swallowing the
+                    # question
+                    if n == 1:
+                        if not tokens[i][0][0].isupper():
+                            continue
+                        if (tokens[i][1] == 0
+                                and key[0] in self._FUNCTION_WORDS):
+                            continue
+                    matched = (i, i + n - 1)
+                    possessive_cut = cut
+                    matched_title = self.entries[key]
+                    break
             if matched is None:
                 i += 1
                 continue
@@ -173,13 +218,16 @@ class GazetteerNER:
                 # reference's left_edge expansion over syntactic children.
                 # Case-insensitive and j >= 0 so sentence-initial "The
                 # opera Carmen ..." expands too.
+                # cap: determiner + up to 3 lowercase modifiers ("the very
+                # famous painting Mona Lisa") — a dep parse has no cap, but
+                # longer runs risk swallowing clause boundaries
                 j = first - 1
                 while (j >= 0 and tokens[j][0].islower()
-                       and first - j <= 3
+                       and first - j <= 4
                        and tokens[j][0].lower() not in self._DETERMINERS
                        and tokens[j][0].lower() not in self._PREPOSITIONS):
                     j -= 1
-                if (j >= 0 and first - j <= 3
+                if (j >= 0 and first - j <= 4
                         and tokens[j][0].lower() in self._DETERMINERS):
                     start = tokens[j][1]
             # balance quotes: if the span swallowed an OPENING quote
@@ -202,9 +250,11 @@ class GazetteerNER:
             # left_edge..right_edge, entity = e.as_doc(),
             # meerqat/data/kilt2vqa.py:205-223) and NED matches titles
             # against the MENTION, not the syntactic children
-            m_start, m_end = tokens[first][1], tokens[last][2]
-            spans.append((text[start:end], start, end,
-                          self.entries[tuple(lower[first: last + 1])],
+            # a possessive suffix rides with the placeholder span (it is a
+            # child token) but not with the mention NED scores against
+            m_start = tokens[first][1]
+            m_end = tokens[last][2] - possessive_cut
+            spans.append((text[start:end], start, end, matched_title,
                           text[m_start:m_end], m_start, m_end))
             i = last + 1
         if self.backoff:
