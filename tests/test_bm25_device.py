@@ -1,0 +1,172 @@
+"""DeviceBM25 vs the exact host scorer (ops/bm25_device.py).
+
+The device path quantizes per-posting weights to bf16, so ranks may swap
+on near-ties; the contract test checks RANK-QUALITY (every retrieved doc's
+EXACT score is within bf16 tolerance of the exact k-th score) rather than
+bitwise id equality — the same discipline as the dense bf16 leg
+(PARITY.md "bf16 tie artifacts").
+"""
+import numpy as np
+import pytest
+
+from viquae_tpu.ops import bm25 as bm25_lib
+from viquae_tpu.ops.bm25_device import DeviceBM25
+
+
+def _synth_corpus(n_docs=400, vocab=300, seed=0):
+    rng = np.random.default_rng(seed)
+    texts = []
+    for _ in range(n_docs):
+        length = rng.integers(10, 60)
+        toks = (rng.zipf(1.3, length).astype(np.int64) - 1) % vocab
+        texts.append(" ".join(f"w{t}" for t in toks))
+    return texts
+
+
+@pytest.fixture(scope="module")
+def host_index():
+    return bm25_lib.BM25Index.build(_synth_corpus(), k1=0.5, b=0.3)
+
+
+@pytest.fixture(scope="module")
+def device_index(host_index):
+    return DeviceBM25(host_index, n_head=16, l_small=64, n_mid=2,
+                      n_small=4, q_block=8)
+
+
+def _exact_scores(index, query):
+    """Full exact score vector on host (f32, original-order accumulation)."""
+    scores = np.zeros(index.n_docs, np.float32)
+    counts = {}
+    for tok in bm25_lib.analyze(query):
+        tid = index.vocab.get(tok)
+        if tid is not None:
+            counts[tid] = counts.get(tid, 0) + 1
+    for tid, qtf in counts.items():
+        lo, hi = index.offsets[tid], index.offsets[tid + 1]
+        docs = index.docs[lo:hi]
+        tf = index.tfs[lo:hi]
+        scores[docs] += index.idf[tid] * qtf * tf / (tf + index.norm[docs])
+    return scores
+
+
+def _queries(host_index, n=24, seed=1, n_terms=6):
+    rng = np.random.default_rng(seed)
+    vocab = max(int(t[1:]) for t in host_index.vocab) + 1
+    out = []
+    for _ in range(n):
+        terms = (rng.zipf(1.3, n_terms).astype(np.int64) - 1) % vocab
+        out.append(" ".join(f"w{t}" for t in terms))
+    return out
+
+
+def test_device_matches_exact_to_bf16(host_index, device_index):
+    queries = _queries(host_index)
+    k = 20
+    d_scores, d_ids = device_index.search_batch(queries, k=k)
+    for q, (ds, di) in enumerate(zip(d_scores, d_ids)):
+        exact = _exact_scores(host_index, queries[q])
+        n_pos = int((exact > 0).sum())
+        assert len(di) == min(k, n_pos), (q, len(di), n_pos)
+        if not di:
+            continue
+        kth = np.sort(exact)[::-1][len(di) - 1]
+        tol = 1.6e-2 * max(abs(kth), 1e-6) + 1e-6  # bf16 relative step
+        for score, doc in zip(ds, di):
+            # every retrieved doc must be a true near-top-k doc...
+            assert exact[doc] >= kth - tol, (q, doc, exact[doc], kth)
+            # ...and the device score must be the bf16-quantized exact one
+            assert abs(score - exact[doc]) <= tol + 1.6e-2 * exact[doc], (
+                q, doc, score, exact[doc])
+
+
+def test_head_only_and_tail_only_queries(host_index, device_index):
+    # w0 is the highest-df term (head); a rare term exercises the tail
+    df = np.diff(host_index.offsets)
+    head_term = f"w{np.argmax(df)}"
+    rare = f"w{np.argmax(df == df[df > 0].min())}"
+    for query in (head_term, rare, f"{head_term} {rare}"):
+        (ds,), (di,) = device_index.search_batch([query], k=10)
+        exact = _exact_scores(host_index, query)
+        order = np.argsort(-exact, kind="stable")
+        want = [d for d in order[:10] if exact[d] > 0]
+        assert len(di) == min(10, len(want))
+        assert exact[di[0]] >= exact[want[0]] * (1 - 2e-2)
+
+
+def test_qtf_duplicates_count(host_index, device_index):
+    df = np.diff(host_index.offsets)
+    rare = f"w{np.argmax(df == df[df > 0].min())}"
+    (s1,), (i1,) = device_index.search_batch([rare], k=5)
+    (s2,), (i2,) = device_index.search_batch([f"{rare} {rare}"], k=5)
+    assert i1 == i2
+    np.testing.assert_allclose(np.asarray(s2), 2 * np.asarray(s1),
+                               rtol=2e-2)
+
+
+def test_overflow_falls_back_to_host_exactly(host_index, device_index):
+    # 8 distinct TAIL terms > (n_mid=2 + n_small=4) slots -> host fallback
+    df = np.diff(host_index.offsets)
+    tail_terms = [f"w{t}" for t in np.argsort(-df)
+                  if device_index.head_pos[host_index.vocab[f"w{t}"]] < 0
+                  and df[host_index.vocab[f"w{t}"]] > 0][:8]
+    assert len(tail_terms) == 8
+    query = " ".join(tail_terms)
+    plan, overflow = device_index._plan([query])
+    assert overflow == [0]
+    d_s, d_i = device_index.search_batch([query], k=10)
+    h_s, h_i = host_index.search_batch([query], k=10)
+    assert d_i == h_i
+    assert d_s == h_s  # exact float equality: it IS the host path
+
+
+def test_empty_and_unknown_queries(device_index):
+    scores, ids = device_index.search_batch(["", "zzz unknowntoken"], k=5)
+    assert scores == [[], []] and ids == [[], []]
+
+
+def test_batch_padding_isolated(host_index, device_index):
+    """Results must not depend on block padding: 3 queries (pad to 8) ==
+    the same queries inside a full block."""
+    queries = _queries(host_index, n=3, seed=7)
+    a = device_index.search_batch(queries, k=10)
+    b = device_index.search_batch(queries + _queries(host_index, 5, 8),
+                                  k=10)
+    assert a[1] == b[1][:3]
+    assert a[0] == b[0][:3]
+
+
+def test_rebuild_after_retune(host_index):
+    dev = DeviceBM25(host_index, n_head=16, l_small=64, q_block=8)
+    host_index.set_hyperparameters(k1=1.2, b=0.75)
+    try:
+        dev.rebuild()
+        queries = _queries(host_index, n=4, seed=3)
+        d_s, d_i = dev.search_batch(queries, k=10)
+        for q in range(len(queries)):
+            exact = _exact_scores(host_index, queries[q])
+            if not d_i[q]:
+                continue
+            kth = np.sort(exact)[::-1][len(d_i[q]) - 1]
+            tol = 2e-2 * max(kth, 1e-6) + 1e-6
+            assert all(exact[d] >= kth - tol for d in d_i[q])
+    finally:
+        host_index.set_hyperparameters(k1=0.5, b=0.3)
+
+
+def test_searcher_seam_device_flag(host_index, tmp_path):
+    """IndexKind.BM25 with index_kwargs={'device': True} builds a
+    DeviceBM25 behind the same seam."""
+    import datasets
+
+    from viquae_tpu.ir.search import IndexKind, KnowledgeBase
+
+    texts = _synth_corpus(n_docs=50, vocab=60, seed=5)
+    kb = KnowledgeBase(datasets.Dataset.from_dict({"passage": texts}))
+    kb.add_or_load_index(column="passage", index_name="sparse",
+                         kind=IndexKind.BM25, k1=0.5, b=0.3, device=True,
+                         n_head=8, l_small=32, q_block=4)
+    backend = kb.indexes["sparse"].backend
+    assert isinstance(backend, DeviceBM25)
+    scores, ids = kb.search_batch("sparse", [texts[0][:40]], k=5)
+    assert ids[0], "non-empty retrieval through the seam"

@@ -218,6 +218,15 @@ class KnowledgeBase:
 
                 load_path = index_kwargs.pop("load_path", None)
                 save_path = index_kwargs.pop("save_path", None)
+                # device=True scores on the TPU (ops/bm25_device.py);
+                # device_kwargs pass through to DeviceBM25 (n_head, ...)
+                device = index_kwargs.pop("device", False)
+                device_kwargs = {
+                    key_: index_kwargs.pop(key_)
+                    for key_ in ("n_head", "l_small", "n_mid", "n_small",
+                                 "q_block")
+                    if key_ in index_kwargs
+                }
                 if load_path and Path(load_path).exists():
                     backend = bm25.BM25Index.load(load_path, **index_kwargs)
                 else:
@@ -226,6 +235,10 @@ class KnowledgeBase:
                     )
                     if save_path:
                         backend.save(save_path)
+                if device:
+                    from viquae_tpu.ops.bm25_device import DeviceBM25
+
+                    backend = DeviceBM25(backend, **device_kwargs)
             self.indexes[index_name] = Index(
                 key=key, kind=kind, do_L2norm=False, backend=backend,
                 normalization=normalization,

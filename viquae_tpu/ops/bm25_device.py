@@ -1,0 +1,263 @@
+"""TPU-resident BM25 scoring (the device leg of hybrid retrieval).
+
+The reference serves sparse retrieval from Elasticsearch on a beefy host
+(meerqat/ir/search.py:268-293); this repo's host replacement
+(`ops.bm25.BM25Index` + the C++ MaxScore scorer) is exact but pinned to
+~387 q/s at 1.5M passages by the single host core. On a TPU VM the chip
+is the unbound resource, so this module moves the scoring there.
+
+Design (measured in scripts/exp_device_bm25{,_v2}.py — take 2 hit 77 ms
+per 128-query block at 1.5M docs / 86M postings, a 4.3x over the host):
+
+- **Per-posting weights at build time**: with k1/b fixed, BM25 decomposes
+  as s(q, d) = sum_t qtf(t) * w(t, d) with
+  w(t, d) = idf(t) * tf / (tf + k1*(1-b+b*dl/avgdl)) — a static sparse
+  matrix. Query scoring is then a sparse-matrix / dense-vector product,
+  which maps onto the TPU in two tiers:
+- **Head terms** (top `n_head` by document frequency, ~65% of postings):
+  densified into an (n_head, D_pad) bf16 matrix ONCE; a query block scores
+  them with a single MXU matmul (12 ms for 128 x 512 x 1.5M).
+- **Tail terms**: kept as CSR (docs int32 + weights bf16, term-major).
+  Each query's tail terms become (start, len) ranges gathered with
+  vmapped `dynamic_slice` (contiguous — 7 ms; an element-wise gather of
+  the same postings costs 867 ms) into df-tiered slots (mid slots sized
+  to the largest tail posting list, small slots to `l_small`), then ONE
+  fused scatter-add into the f32 score block (70 ms — the current floor;
+  XLA charges ~a full accumulator copy per scatter op, so never split it).
+- **Selection**: `ops.mips._select_topk` fast mode over the (Q, D_pad)
+  scores (12 ms), same selection used by the dense leg.
+
+Queries with more tail terms than slots (~2/128 at 8-term Zipf queries)
+fall back to the host MaxScore scorer — exact, and invisible behind the
+`search_batch` contract.
+
+Score contract: weights are bf16-quantized (~3 decimal digits), summed in
+f32; ranks can differ from the exact host scorer on near-ties, like the
+dense leg's bf16 scores (PARITY.md "bf16 tie artifacts"). The host index
+remains the exact oracle; `BM25Index.search_batch` is unchanged.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from viquae_tpu.ops import bm25 as bm25_lib
+from viquae_tpu.ops import mips
+
+LANE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@partial(jax.jit, static_argnames=("k", "l_mid", "l_small", "n_docs"))
+def _bm25_block(head_dense, tail_docs, tail_w, head_w,
+                mid_start, mid_len, mid_qtf,
+                small_start, small_len, small_qtf,
+                *, k: int, l_mid: int, l_small: int, n_docs: int):
+    """Score one padded query block: head matmul + tiered tail
+    gather/scatter + top-k selection. All shapes static."""
+    q_blk = head_w.shape[0]
+    trash = n_docs  # first padding column of D_pad — scatter target for
+    # masked lanes; its head score is 0 (zero dense column) and masked
+    # tail values are 0, so it never outranks a real positive score
+
+    scores = jax.lax.dot_general(
+        head_w, head_dense, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    def tier(starts, lens, qtf, cap):
+        def one(start):
+            return (jax.lax.dynamic_slice(tail_docs, (start,), (cap,)),
+                    jax.lax.dynamic_slice(tail_w, (start,), (cap,)))
+
+        g_docs, g_w = jax.vmap(jax.vmap(one))(starts)
+        pos = jnp.arange(cap, dtype=jnp.int32)
+        mask = pos < lens[:, :, None]
+        g_docs = jnp.where(mask, g_docs, trash)
+        g_w = jnp.where(mask, g_w.astype(jnp.float32)
+                        * qtf[:, :, None], 0.0)
+        return (g_docs.reshape(q_blk, -1), g_w.reshape(q_blk, -1))
+
+    ids_m, vals_m = tier(mid_start, mid_len, mid_qtf, l_mid)
+    ids_s, vals_s = tier(small_start, small_len, small_qtf, l_small)
+    ids = jnp.concatenate([ids_m, ids_s], axis=1)
+    vals = jnp.concatenate([vals_m, vals_s], axis=1)
+    scores = scores.at[jnp.arange(q_blk)[:, None], ids].add(vals)
+    return mips._select_topk(scores, k, "fast")
+
+
+class DeviceBM25:
+    """Device scorer over a host :class:`~viquae_tpu.ops.bm25.BM25Index`.
+
+    Same ``search_batch(queries, k) -> (scores, indices)`` contract as the
+    host index, so it drops behind the ``IndexKind.BM25`` seam
+    (``index_kwargs={"device": True}``). Holds a reference to the host
+    index for overflow fallback; call :meth:`rebuild` after
+    ``set_hyperparameters`` (weights bake in k1/b).
+    """
+
+    def __init__(self, index: bm25_lib.BM25Index, n_head: int = 512,
+                 l_small: int = 2048, n_mid: int = 2, n_small: int = 4,
+                 q_block: int = 128):
+        self.index = index
+        self.n_head = n_head
+        self.l_small_cfg = l_small
+        self.n_mid = n_mid
+        self.n_small = n_small
+        self.q_block = q_block
+        self.rebuild()
+
+    # ---- build ---------------------------------------------------------
+    def rebuild(self):
+        """(Re)build device arrays from the host index (uses its CURRENT
+        k1/b). One-time cost: per-posting weights on host (one vectorized
+        pass) + a ~6 B/posting upload + a device scatter for the head."""
+        index = self.index
+        df = np.diff(index.offsets)
+        order = np.argsort(-df, kind="stable")  # df desc, ties by term id
+        n_head = min(self.n_head, int((df > 0).sum()))
+        head_terms = order[:n_head]
+        self.head_pos = np.full(len(df), -1, np.int32)
+        self.head_pos[head_terms] = np.arange(n_head, dtype=np.int32)
+        self.is_head = self.head_pos >= 0
+
+        n_docs = index.n_docs
+        self.d_pad = _round_up(n_docs + 1, LANE)
+        tail_df = np.where(self.is_head, 0, df)
+        self.l_mid = max(LANE, _round_up(int(tail_df.max(initial=0)), LANE))
+        self.l_small = min(self.l_small_cfg, self.l_mid)
+
+        # per-posting weights w(t, d) = idf * tf / (tf + norm_d)
+        tids = np.repeat(np.arange(len(df), dtype=np.int64), df)
+        w_all = (index.idf[tids] * index.tfs
+                 / (index.tfs + index.norm[index.docs])).astype(np.float32)
+
+        head_mask = self.is_head[tids]
+        head_rows = self.head_pos[tids[head_mask]].astype(np.int32)
+        head_docs = index.docs[head_mask].astype(np.int32)
+        head_w = w_all[head_mask].astype(jnp.bfloat16)
+
+        @jax.jit
+        def build_head(rows, docs, w):
+            dense = jnp.zeros((n_head, self.d_pad), jnp.bfloat16)
+            # each (term, doc) pair is unique in CSR postings, so the adds
+            # are pure writes — no bf16 accumulation error
+            return dense.at[rows, docs].add(w)
+
+        self.head_dense = build_head(
+            jax.device_put(head_rows), jax.device_put(head_docs),
+            jax.device_put(np.asarray(head_w)))
+
+        tail_mask = ~head_mask
+        # trailing pad so dynamic_slice(start, cap) stays in bounds for
+        # every tail range start
+        pad = self.l_mid
+        tail_docs = np.concatenate([
+            index.docs[tail_mask].astype(np.int32),
+            np.full(pad, n_docs, np.int32)])
+        tail_w = np.concatenate([
+            w_all[tail_mask], np.zeros(pad, np.float32)])
+        self.tail_docs = jax.device_put(tail_docs)
+        self.tail_w = jax.device_put(
+            np.asarray(tail_w.astype(jnp.bfloat16)))
+        # host CSR over TAIL postings only, indexed by original term id
+        tail_counts = np.where(self.is_head, 0, df)
+        self.tail_offsets = np.zeros(len(df) + 1, np.int64)
+        np.cumsum(tail_counts, out=self.tail_offsets[1:])
+        self.tail_df = tail_counts
+        jax.block_until_ready(self.head_dense)
+
+    # ---- search ---------------------------------------------------------
+    def _plan(self, queries: Sequence[str]):
+        """Host query planning: head weights + tiered tail ranges.
+        Returns per-block device args + the overflow-query positions."""
+        nq = len(queries)
+        qb = self.q_block
+        n_pad = _round_up(max(nq, 1), qb)
+        head_w = np.zeros((n_pad, self.head_dense.shape[0]), np.float32)
+        mid_start = np.zeros((n_pad, self.n_mid), np.int32)
+        mid_len = np.zeros((n_pad, self.n_mid), np.int32)
+        mid_qtf = np.zeros((n_pad, self.n_mid), np.float32)
+        small_start = np.zeros((n_pad, self.n_small), np.int32)
+        small_len = np.zeros((n_pad, self.n_small), np.int32)
+        small_qtf = np.zeros((n_pad, self.n_small), np.float32)
+        overflow: List[int] = []
+        for i, query in enumerate(queries):
+            counts: dict = {}
+            for tok in bm25_lib.analyze(query):
+                tid = self.index.vocab.get(tok)
+                if tid is not None:
+                    counts[tid] = counts.get(tid, 0) + 1
+            mids, smalls = [], []
+            for tid, qtf in counts.items():
+                pos = self.head_pos[tid]
+                if pos >= 0:
+                    head_w[i, pos] = qtf
+                elif self.tail_df[tid] == 0:
+                    continue
+                elif self.tail_df[tid] <= self.l_small:
+                    smalls.append((tid, qtf))
+                else:
+                    mids.append((tid, qtf))
+            # small terms also fit mid slots — spill before giving up
+            while len(smalls) > self.n_small and len(mids) < self.n_mid:
+                mids.append(smalls.pop())
+            if len(mids) > self.n_mid or len(smalls) > self.n_small:
+                overflow.append(i)
+                head_w[i] = 0.0
+                continue
+            for s, (tid, qtf) in enumerate(mids):
+                mid_start[i, s] = self.tail_offsets[tid]
+                mid_len[i, s] = self.tail_df[tid]
+                mid_qtf[i, s] = qtf
+            for s, (tid, qtf) in enumerate(smalls):
+                small_start[i, s] = self.tail_offsets[tid]
+                small_len[i, s] = self.tail_df[tid]
+                small_qtf[i, s] = qtf
+        return (head_w, mid_start, mid_len, mid_qtf,
+                small_start, small_len, small_qtf), overflow
+
+    def search_batch(self, queries: Sequence[str], k: int = 100
+                     ) -> Tuple[List[List[float]], List[List[int]]]:
+        nq = len(queries)
+        if nq == 0:
+            return [], []
+        k_eff = min(k, self.index.n_docs)
+        plan, overflow = self._plan(queries)
+        head_w, ms, ml, mq, ss, sl, sq = plan
+        qb = self.q_block
+        scores_out = np.zeros((head_w.shape[0], k_eff), np.float32)
+        ids_out = np.zeros((head_w.shape[0], k_eff), np.int64)
+        for lo in range(0, head_w.shape[0], qb):
+            hi = lo + qb
+            s, i = _bm25_block(
+                self.head_dense, self.tail_docs, self.tail_w,
+                jnp.asarray(head_w[lo:hi].astype(jnp.bfloat16)),
+                jnp.asarray(ms[lo:hi]), jnp.asarray(ml[lo:hi]),
+                jnp.asarray(mq[lo:hi]),
+                jnp.asarray(ss[lo:hi]), jnp.asarray(sl[lo:hi]),
+                jnp.asarray(sq[lo:hi]),
+                k=k_eff, l_mid=self.l_mid, l_small=self.l_small,
+                n_docs=self.index.n_docs)
+            scores_out[lo:hi] = np.asarray(s)
+            ids_out[lo:hi] = np.asarray(i)
+        scores_batch: List[List[float]] = []
+        indices_batch: List[List[int]] = []
+        for q in range(nq):
+            # zero-score docs (incl. padding columns) are "not retrieved"
+            keep = (scores_out[q] > 0) & (ids_out[q] < self.index.n_docs)
+            scores_batch.append(scores_out[q][keep].tolist())
+            indices_batch.append(ids_out[q][keep].tolist())
+        if overflow:
+            fb_s, fb_i = self.index.search_batch(
+                [queries[i] for i in overflow], k=k)
+            for pos, i in enumerate(overflow):
+                scores_batch[i] = fb_s[pos]
+                indices_batch[i] = fb_i[pos]
+        return scores_batch, indices_batch
