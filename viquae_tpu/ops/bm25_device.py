@@ -234,6 +234,12 @@ class DeviceBM25:
         qb = self.q_block
         scores_out = np.zeros((head_w.shape[0], k_eff), np.float32)
         ids_out = np.zeros((head_w.shape[0], k_eff), np.int64)
+        # dispatch every block before pulling any result: JAX dispatch is
+        # async, so the device pipelines blocks back-to-back while a
+        # per-block pull would serialize each block with a (slow-link)
+        # host round-trip (+49 ms/block measured over the tunnel —
+        # scripts/exp_bm25_prod_probe.py)
+        pending = []
         for lo in range(0, head_w.shape[0], qb):
             hi = lo + qb
             s, i = _bm25_block(
@@ -245,6 +251,8 @@ class DeviceBM25:
                 jnp.asarray(sq[lo:hi]),
                 k=k_eff, l_mid=self.l_mid, l_small=self.l_small,
                 n_docs=self.index.n_docs)
+            pending.append((lo, hi, s, i))
+        for lo, hi, s, i in pending:
             scores_out[lo:hi] = np.asarray(s)
             ids_out[lo:hi] = np.asarray(i)
         scores_batch: List[List[float]] = []
