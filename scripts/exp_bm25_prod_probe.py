@@ -43,13 +43,13 @@ def main():
     print(f"_plan 1280 queries: {(time.time()-t0)*1e3:.0f} ms, "
           f"overflow={len(overflow)}", file=sys.stderr)
 
-    head_w, ms, ml, mq, ss, sl, sq = plan
+    head_w, ms, ml, mr, mq, ss, sl, sr, sq = plan
     lo, hi = 0, dev.q_block
     args_up = (
         jnp.asarray(head_w[lo:hi].astype(jnp.bfloat16)),
-        jnp.asarray(ms[lo:hi]), jnp.asarray(ml[lo:hi]),
-        jnp.asarray(mq[lo:hi]), jnp.asarray(ss[lo:hi]),
-        jnp.asarray(sl[lo:hi]), jnp.asarray(sq[lo:hi]))
+        jnp.asarray(ms[0]), jnp.asarray(ml[0]), jnp.asarray(mr[0]),
+        jnp.asarray(mq[0]), jnp.asarray(ss[0]), jnp.asarray(sl[0]),
+        jnp.asarray(sr[0]), jnp.asarray(sq[0]))
     sync(args_up)
 
     fn = bm25_device._bm25_block
@@ -78,9 +78,9 @@ def main():
     t0 = time.time()
     for _ in range(5):
         up = (jnp.asarray(head_w[lo:hi].astype(jnp.bfloat16)),
-              jnp.asarray(ms[lo:hi]), jnp.asarray(ml[lo:hi]),
-              jnp.asarray(mq[lo:hi]), jnp.asarray(ss[lo:hi]),
-              jnp.asarray(sl[lo:hi]), jnp.asarray(sq[lo:hi]))
+              jnp.asarray(ms[0]), jnp.asarray(ml[0]), jnp.asarray(mr[0]),
+              jnp.asarray(mq[0]), jnp.asarray(ss[0]), jnp.asarray(sl[0]),
+              jnp.asarray(sr[0]), jnp.asarray(sq[0]))
         s, i = fn(dev.head_dense, dev.tail_docs, dev.tail_w, *up,
                   k=K, l_mid=dev.l_mid, l_small=dev.l_small,
                   n_docs=index.n_docs)

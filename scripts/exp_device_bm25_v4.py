@@ -29,7 +29,7 @@ D_DOCS = 1_500_000
 L_MID = 14_976
 L_SMALL = 2_048
 N_MID, N_SMALL = 2, 4          # per-query (baseline)
-P_MID, P_SMALL = 32, 256       # per-block pools
+P_MID, P_SMALL = 48, 256       # per-block pools
 Q_BLK = 128
 
 

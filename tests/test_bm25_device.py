@@ -30,8 +30,8 @@ def host_index():
 
 @pytest.fixture(scope="module")
 def device_index(host_index):
-    return DeviceBM25(host_index, n_head=16, l_small=64, n_mid=2,
-                      n_small=4, q_block=8)
+    return DeviceBM25(host_index, n_head=16, l_small=64, pool_mid=6,
+                      pool_small=16, q_block=8)
 
 
 def _exact_scores(index, query):
@@ -105,12 +105,13 @@ def test_qtf_duplicates_count(host_index, device_index):
 
 
 def test_overflow_falls_back_to_host_exactly(host_index, device_index):
-    # 8 distinct TAIL terms > (n_mid=2 + n_small=4) slots -> host fallback
+    # more distinct TAIL terms than the whole block pool (6 mid + 16
+    # small) in one query -> host fallback for that query
     df = np.diff(host_index.offsets)
     tail_terms = [f"w{t}" for t in np.argsort(-df)
                   if device_index.head_pos[host_index.vocab[f"w{t}"]] < 0
-                  and df[host_index.vocab[f"w{t}"]] > 0][:8]
-    assert len(tail_terms) == 8
+                  and df[host_index.vocab[f"w{t}"]] > 0][:23]
+    assert len(tail_terms) == 23
     query = " ".join(tail_terms)
     plan, overflow = device_index._plan([query])
     assert overflow == [0]
@@ -118,6 +119,30 @@ def test_overflow_falls_back_to_host_exactly(host_index, device_index):
     h_s, h_i = host_index.search_batch([query], k=10)
     assert d_i == h_i
     assert d_s == h_s  # exact float equality: it IS the host path
+
+
+def test_pool_exhaustion_spills_queries_not_results(host_index):
+    """A tiny pool forces LATER queries in a block to the host fallback;
+    their results must still be correct (and earlier queries unaffected)."""
+    dev = DeviceBM25(host_index, n_head=16, l_small=64, pool_mid=1,
+                     pool_small=2, q_block=8)
+    df = np.diff(host_index.offsets)
+    tails = [f"w{t}" for t in np.argsort(-df)
+             if dev.head_pos[host_index.vocab[f"w{t}"]] < 0
+             and df[host_index.vocab[f"w{t}"]] > 0][:6]
+    queries = [f"{tails[0]} {tails[1]}", f"{tails[2]} {tails[3]}",
+               f"{tails[4]} {tails[5]}"]
+    _, overflow = dev._plan(queries)
+    assert overflow, "tiny pool must overflow somewhere"
+    d_s, d_i = dev.search_batch(queries, k=10)
+    for q, query in enumerate(queries):
+        exact = _exact_scores(host_index, query)
+        if not d_i[q]:
+            assert not (exact > 0).any()
+            continue
+        kth = np.sort(exact)[::-1][len(d_i[q]) - 1]
+        tol = 2e-2 * max(kth, 1e-6) + 1e-6
+        assert all(exact[d] >= kth - tol for d in d_i[q])
 
 
 def test_empty_and_unknown_queries(device_index):

@@ -479,6 +479,46 @@ def test_hybrid_pipeline_matches_host_fusion(setup):
         assert all(fused[q][str(d)] >= kth - 0.05 for d in got), i
 
 
+def test_hybrid_pipeline_accepts_device_bm25(setup):
+    """DeviceBM25 duck-types BM25Index (search_batch + n_docs) and drops
+    into HybridRetrievalPipeline as the sparse leg — the all-on-chip
+    hybrid mode bench.py stage_hybrid measures."""
+    from viquae_tpu.ir.serving import HybridRetrievalPipeline
+    from viquae_tpu.ops import bm25 as bm25_lib
+    from viquae_tpu.ops.bm25_device import DeviceBM25
+
+    tok, cfg, params, queries, kb = setup
+    rng = np.random.default_rng(7)
+    texts = _mini_corpus(rng, n_docs=200)
+    kb_small = kb[:200]
+    host = bm25_lib.BM25Index.build(texts, k1=0.5, b=0.3)
+    dev = DeviceBM25(host, n_head=8, l_small=32, pool_mid=8,
+                     pool_small=32, q_block=16)
+    queries = queries[:16]
+    emb = PackedTextEmbedder(dpr.make_packed_apply(cfg), params, tok,
+                             row_len=32, batch_size=16,
+                             compute_dtype=jnp.float32)
+    index = mips.DenseIndex(kb_small, mode="global", dtype=jnp.float32)
+    pipe_d = HybridRetrievalPipeline(emb, index, dev, weights=(0.7, 0.3),
+                                     batch_size=16, k=10, k_bm25=10,
+                                     compact_transfer=False)
+    pipe_h = HybridRetrievalPipeline(emb, index, host, weights=(0.7, 0.3),
+                                     batch_size=16, k=10, k_bm25=10,
+                                     compact_transfer=False)
+    s_d, i_d = pipe_d.run_arrays(queries)
+    s_h, i_h = pipe_h.run_arrays(queries)
+    pad = np.iinfo(np.int32).max
+    for q in range(len(queries)):
+        got = {int(d): float(s) for d, s in zip(i_d[q], s_d[q]) if d != pad}
+        want = {int(d): float(s) for d, s in zip(i_h[q], s_h[q])
+                if d != pad}
+        shared = set(got) & set(want)
+        assert len(shared) >= max(1, int(0.7 * len(want))), (q, got, want)
+        for d in shared:
+            np.testing.assert_allclose(got[d], want[d], rtol=5e-2,
+                                       atol=5e-2)
+
+
 def test_hybrid_pipeline_raw_interpolation(setup):
     """norm='raw' + fixed stats = the committed legacy config semantics:
     fused(d) = w_d*(s_d-m_d)/sd_d + w_b*(s_b-m_b)/sd_b, absent legs

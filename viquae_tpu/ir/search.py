@@ -223,8 +223,8 @@ class KnowledgeBase:
                 device = index_kwargs.pop("device", False)
                 device_kwargs = {
                     key_: index_kwargs.pop(key_)
-                    for key_ in ("n_head", "l_small", "n_mid", "n_small",
-                                 "q_block")
+                    for key_ in ("n_head", "l_small", "pool_mid",
+                                 "pool_small", "q_block")
                     if key_ in index_kwargs
                 }
                 if load_path and Path(load_path).exists():

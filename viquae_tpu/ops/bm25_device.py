@@ -18,12 +18,16 @@ per 128-query block at 1.5M docs / 86M postings, a 4.3x over the host):
   densified into an (n_head, D_pad) bf16 matrix ONCE; a query block scores
   them with a single MXU matmul (12 ms for 128 x 512 x 1.5M).
 - **Tail terms**: kept as CSR (docs int32 + weights bf16, term-major).
-  Each query's tail terms become (start, len) ranges gathered with
-  vmapped `dynamic_slice` (contiguous — 7 ms; an element-wise gather of
-  the same postings costs 867 ms) into df-tiered slots (mid slots sized
-  to the largest tail posting list, small slots to `l_small`), then ONE
-  fused scatter-add into the f32 score block (70 ms — the current floor;
-  XLA charges ~a full accumulator copy per scatter op, so never split it).
+  Each tail term of each query becomes a (start, len) range placed in a
+  PER-BLOCK slot pool (df-tiered: mid slots sized to the largest tail
+  posting list, small slots to `l_small`), gathered with vmapped
+  `dynamic_slice` (contiguous — an element-wise gather of the same
+  postings costs 867 ms) and scatter-added with explicit (row, doc)
+  index pairs into the f32 score block. Scatter cost is linear in
+  padded lanes (take 3: ~14 ms + ~1.1e-5 ms/element, no same-address
+  pathology), so the pool — sized to the block's ACTUAL term population
+  — beats per-query worst-case slots 27.8 ms vs 66.8 ms (take 4,
+  bitwise-equal outputs).
 - **Selection**: `ops.mips._select_topk` fast mode over the (Q, D_pad)
   scores (12 ms), same selection used by the dense leg.
 
@@ -57,12 +61,17 @@ def _round_up(x: int, m: int) -> int:
 
 @partial(jax.jit, static_argnames=("k", "l_mid", "l_small", "n_docs"))
 def _bm25_block(head_dense, tail_docs, tail_w, head_w,
-                mid_start, mid_len, mid_qtf,
-                small_start, small_len, small_qtf,
+                mid_start, mid_len, mid_row, mid_qtf,
+                small_start, small_len, small_row, small_qtf,
                 *, k: int, l_mid: int, l_small: int, n_docs: int):
-    """Score one padded query block: head matmul + tiered tail
-    gather/scatter + top-k selection. All shapes static."""
-    q_blk = head_w.shape[0]
+    """Score one padded query block: head matmul + BLOCK-POOL tail
+    gather/scatter + top-k selection. All shapes static.
+
+    Tail slots are a per-block POOL of (query_row, term) pairs, not
+    per-query slots: scatter cost is linear in padded lanes (take 3), and
+    per-query slots padded every query to the worst case (~4.9M lanes) —
+    the pool carries only ~1.2M (take 4: 27.8 ms vs 66.8 ms, bitwise
+    equal)."""
     trash = n_docs  # first padding column of D_pad — scatter target for
     # masked lanes; its head score is 0 (zero dense column) and masked
     # tail values are 0, so it never outranks a real positive score
@@ -71,24 +80,24 @@ def _bm25_block(head_dense, tail_docs, tail_w, head_w,
         head_w, head_dense, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
 
-    def tier(starts, lens, qtf, cap):
+    def pool(starts, lens, qtf, cap):
         def one(start):
             return (jax.lax.dynamic_slice(tail_docs, (start,), (cap,)),
                     jax.lax.dynamic_slice(tail_w, (start,), (cap,)))
 
-        g_docs, g_w = jax.vmap(jax.vmap(one))(starts)
+        g_docs, g_w = jax.vmap(one)(starts)       # (P, cap)
         pos = jnp.arange(cap, dtype=jnp.int32)
-        mask = pos < lens[:, :, None]
+        mask = pos < lens[:, None]
         g_docs = jnp.where(mask, g_docs, trash)
-        g_w = jnp.where(mask, g_w.astype(jnp.float32)
-                        * qtf[:, :, None], 0.0)
-        return (g_docs.reshape(q_blk, -1), g_w.reshape(q_blk, -1))
+        g_w = jnp.where(mask, g_w.astype(jnp.float32) * qtf[:, None], 0.0)
+        return g_docs, g_w
 
-    ids_m, vals_m = tier(mid_start, mid_len, mid_qtf, l_mid)
-    ids_s, vals_s = tier(small_start, small_len, small_qtf, l_small)
-    ids = jnp.concatenate([ids_m, ids_s], axis=1)
-    vals = jnp.concatenate([vals_m, vals_s], axis=1)
-    scores = scores.at[jnp.arange(q_blk)[:, None], ids].add(vals)
+    ids_m, vals_m = pool(mid_start, mid_len, mid_qtf, l_mid)
+    ids_s, vals_s = pool(small_start, small_len, small_qtf, l_small)
+    # 2D scatter: (row, doc) per lane; two calls cost the same as one
+    # fused (take 4: 29.1 vs 27.8 ms)
+    scores = scores.at[mid_row[:, None], ids_m].add(vals_m)
+    scores = scores.at[small_row[:, None], ids_s].add(vals_s)
     return mips._select_topk(scores, k, "fast")
 
 
@@ -103,15 +112,26 @@ class DeviceBM25:
     """
 
     def __init__(self, index: bm25_lib.BM25Index, n_head: int = 512,
-                 l_small: int = 2048, n_mid: int = 2, n_small: int = 4,
-                 q_block: int = 128):
+                 l_small: int = 2048, pool_mid: int = 48,
+                 pool_small: int = 256, q_block: int = 128):
+        """pool_mid/pool_small: PER-BLOCK slot pools shared by the
+        q_block queries (a slot holds one (query, term) posting range;
+        one query may use several). Defaults fit 128-query Zipf blocks
+        (~38 mid + ~205 small terms) with headroom; a block whose pool
+        fills sends the unplaceable QUERIES to the host fallback."""
         self.index = index
         self.n_head = n_head
         self.l_small_cfg = l_small
-        self.n_mid = n_mid
-        self.n_small = n_small
+        self.pool_mid = pool_mid
+        self.pool_small = pool_small
         self.q_block = q_block
         self.rebuild()
+
+    @property
+    def n_docs(self) -> int:
+        """Corpus size (duck-type parity with BM25Index so this scorer
+        drops into ir/serving.HybridRetrievalPipeline unchanged)."""
+        return self.index.n_docs
 
     # ---- build ---------------------------------------------------------
     def rebuild(self):
@@ -180,25 +200,32 @@ class DeviceBM25:
         nq = len(queries)
         qb = self.q_block
         n_pad = _round_up(max(nq, 1), qb)
+        n_blocks = n_pad // qb
+        p_m, p_s = self.pool_mid, self.pool_small
         head_w = np.zeros((n_pad, self.head_dense.shape[0]), np.float32)
-        mid_start = np.zeros((n_pad, self.n_mid), np.int32)
-        mid_len = np.zeros((n_pad, self.n_mid), np.int32)
-        mid_qtf = np.zeros((n_pad, self.n_mid), np.float32)
-        small_start = np.zeros((n_pad, self.n_small), np.int32)
-        small_len = np.zeros((n_pad, self.n_small), np.int32)
-        small_qtf = np.zeros((n_pad, self.n_small), np.float32)
+        mid_start = np.zeros((n_blocks, p_m), np.int32)
+        mid_len = np.zeros((n_blocks, p_m), np.int32)
+        mid_row = np.zeros((n_blocks, p_m), np.int32)
+        mid_qtf = np.zeros((n_blocks, p_m), np.float32)
+        small_start = np.zeros((n_blocks, p_s), np.int32)
+        small_len = np.zeros((n_blocks, p_s), np.int32)
+        small_row = np.zeros((n_blocks, p_s), np.int32)
+        small_qtf = np.zeros((n_blocks, p_s), np.float32)
+        mid_used = np.zeros(n_blocks, np.int64)
+        small_used = np.zeros(n_blocks, np.int64)
         overflow: List[int] = []
         for i, query in enumerate(queries):
+            blk, row = divmod(i, qb)
             counts: dict = {}
             for tok in bm25_lib.analyze(query):
                 tid = self.index.vocab.get(tok)
                 if tid is not None:
                     counts[tid] = counts.get(tid, 0) + 1
-            mids, smalls = [], []
+            head_terms, mids, smalls = [], [], []
             for tid, qtf in counts.items():
                 pos = self.head_pos[tid]
                 if pos >= 0:
-                    head_w[i, pos] = qtf
+                    head_terms.append((pos, qtf))
                 elif self.tail_df[tid] == 0:
                     continue
                 elif self.tail_df[tid] <= self.l_small:
@@ -206,22 +233,31 @@ class DeviceBM25:
                 else:
                     mids.append((tid, qtf))
             # small terms also fit mid slots — spill before giving up
-            while len(smalls) > self.n_small and len(mids) < self.n_mid:
+            free_s = p_s - small_used[blk]
+            free_m = p_m - mid_used[blk]
+            while len(smalls) > free_s and len(mids) < free_m:
                 mids.append(smalls.pop())
-            if len(mids) > self.n_mid or len(smalls) > self.n_small:
-                overflow.append(i)
-                head_w[i] = 0.0
+            if len(mids) > free_m or len(smalls) > free_s:
+                overflow.append(i)  # pool exhausted -> host fallback
                 continue
-            for s, (tid, qtf) in enumerate(mids):
-                mid_start[i, s] = self.tail_offsets[tid]
-                mid_len[i, s] = self.tail_df[tid]
-                mid_qtf[i, s] = qtf
-            for s, (tid, qtf) in enumerate(smalls):
-                small_start[i, s] = self.tail_offsets[tid]
-                small_len[i, s] = self.tail_df[tid]
-                small_qtf[i, s] = qtf
-        return (head_w, mid_start, mid_len, mid_qtf,
-                small_start, small_len, small_qtf), overflow
+            for pos, qtf in head_terms:
+                head_w[i, pos] = qtf
+            for tid, qtf in mids:
+                s = mid_used[blk]
+                mid_start[blk, s] = self.tail_offsets[tid]
+                mid_len[blk, s] = self.tail_df[tid]
+                mid_row[blk, s] = row
+                mid_qtf[blk, s] = qtf
+                mid_used[blk] += 1
+            for tid, qtf in smalls:
+                s = small_used[blk]
+                small_start[blk, s] = self.tail_offsets[tid]
+                small_len[blk, s] = self.tail_df[tid]
+                small_row[blk, s] = row
+                small_qtf[blk, s] = qtf
+                small_used[blk] += 1
+        return (head_w, mid_start, mid_len, mid_row, mid_qtf,
+                small_start, small_len, small_row, small_qtf), overflow
 
     def search_batch(self, queries: Sequence[str], k: int = 100
                      ) -> Tuple[List[List[float]], List[List[int]]]:
@@ -230,7 +266,7 @@ class DeviceBM25:
             return [], []
         k_eff = min(k, self.index.n_docs)
         plan, overflow = self._plan(queries)
-        head_w, ms, ml, mq, ss, sl, sq = plan
+        head_w, ms, ml, mr, mq, ss, sl, sr, sq = plan
         qb = self.q_block
         scores_out = np.zeros((head_w.shape[0], k_eff), np.float32)
         ids_out = np.zeros((head_w.shape[0], k_eff), np.int64)
@@ -240,15 +276,15 @@ class DeviceBM25:
         # host round-trip (+49 ms/block measured over the tunnel —
         # scripts/exp_bm25_prod_probe.py)
         pending = []
-        for lo in range(0, head_w.shape[0], qb):
+        for blk, lo in enumerate(range(0, head_w.shape[0], qb)):
             hi = lo + qb
             s, i = _bm25_block(
                 self.head_dense, self.tail_docs, self.tail_w,
                 jnp.asarray(head_w[lo:hi].astype(jnp.bfloat16)),
-                jnp.asarray(ms[lo:hi]), jnp.asarray(ml[lo:hi]),
-                jnp.asarray(mq[lo:hi]),
-                jnp.asarray(ss[lo:hi]), jnp.asarray(sl[lo:hi]),
-                jnp.asarray(sq[lo:hi]),
+                jnp.asarray(ms[blk]), jnp.asarray(ml[blk]),
+                jnp.asarray(mr[blk]), jnp.asarray(mq[blk]),
+                jnp.asarray(ss[blk]), jnp.asarray(sl[blk]),
+                jnp.asarray(sr[blk]), jnp.asarray(sq[blk]),
                 k=k_eff, l_mid=self.l_mid, l_small=self.l_small,
                 n_docs=self.index.n_docs)
             pending.append((lo, hi, s, i))
