@@ -278,17 +278,40 @@ class Ctx:
 
     def kbt(self):
         """(d, N) kernel-layout KB; the row-major intermediate is freed
-        immediately (holding both layouts + a score buffer OOMs)."""
+        immediately (holding both layouts + a score buffer OOMs).
+
+        DEGRADED mode generates the kernel layout DIRECTLY (one fused
+        program: RNG + pad-column zeroing), skipping the row-major
+        intermediate: peak 2.3GB instead of 4.6GB. The synthetic values
+        differ from the row-major stages' KB, which is fine — every
+        consumer (exact/approx recall, fusion, hybrid) compares results
+        against the SAME kbt, and the parity stage builds its own
+        row-major KB."""
         if self._kbt is None:
             jax, jnp = self.jax, self.jnp
             from viquae_tpu.ops import mips_pallas
 
-            kb = jax.random.normal(
-                jax.random.fold_in(self.key, 1), (self.n_kb, self.dim),
-                jnp.bfloat16) / np.sqrt(self.dim)
-            self._kbt = mips_pallas.to_kernel_layout(kb)
+            if DEGRADED:
+                tile = 512
+                n_total = self.n_kb + ((-self.n_kb) % tile)
+                n_kb, dim = self.n_kb, self.dim
+                key = jax.random.fold_in(self.key, 1)
+
+                @jax.jit
+                def gen_kbt():
+                    x = jax.random.normal(
+                        key, (dim, n_total), jnp.bfloat16) / np.sqrt(dim)
+                    col = jnp.arange(n_total, dtype=jnp.int32)[None, :]
+                    return jnp.where(col < n_kb, x, 0)  # fused under jit
+
+                self._kbt = gen_kbt()
+            else:
+                kb = jax.random.normal(
+                    jax.random.fold_in(self.key, 1), (self.n_kb, self.dim),
+                    jnp.bfloat16) / np.sqrt(self.dim)
+                self._kbt = mips_pallas.to_kernel_layout(kb)
+                del kb
             sync(self._kbt)
-            del kb
         return self._kbt
 
     def free_kbt(self):
