@@ -195,3 +195,68 @@ def test_searcher_seam_device_flag(host_index, tmp_path):
     assert isinstance(backend, DeviceBM25)
     scores, ids = kb.search_batch("sparse", [texts[0][:40]], k=5)
     assert ids[0], "non-empty retrieval through the seam"
+
+
+# --------------------------------------------------------------------------
+# KB-sharded device BM25
+# --------------------------------------------------------------------------
+def test_sharded_matches_single_device(host_index):
+    """ShardedDeviceBM25 over kb=4 must return the same retrieval as the
+    single-device DeviceBM25 (same bf16 weights, same selection, merge by
+    (-score, id)) up to bf16 near-tie swaps at the k boundary."""
+    from viquae_tpu.core import mesh as meshlib
+    from viquae_tpu.ops.bm25_device import ShardedDeviceBM25
+
+    ctx = meshlib.make_mesh(data=2, kb=4)
+    single = DeviceBM25(host_index, n_head=16, l_small=64, pool_mid=6,
+                        pool_small=16, q_block=8)
+    sharded = ShardedDeviceBM25(host_index, mesh_ctx=ctx, n_head=16,
+                                l_small=64, pool_mid=6, pool_small=16,
+                                q_block=8)
+    queries = _queries(host_index, n=16, seed=11)
+    s1, i1 = single.search_batch(queries, k=15)
+    s2, i2 = sharded.search_batch(queries, k=15)
+    for q in range(len(queries)):
+        assert len(i1[q]) == len(i2[q]), q
+        if not i1[q]:
+            continue
+        # scores must agree element-wise (same bf16 arithmetic)...
+        np.testing.assert_allclose(s1[q], s2[q], rtol=1e-6, atol=1e-6)
+        # ...and ids agree except where equal scores tie
+        for a, b, sa in zip(i1[q], i2[q], s1[q]):
+            if a != b:
+                assert abs(sa - s2[q][i2[q].index(b)]) <= 1e-6, (q, a, b)
+
+
+def test_sharded_per_shard_ranges_cover_all_postings(host_index):
+    """Every tail posting lands in exactly one shard's (start, len) range:
+    sum of per-shard lens == total tail df per term."""
+    from viquae_tpu.core import mesh as meshlib
+    from viquae_tpu.ops.bm25_device import ShardedDeviceBM25
+
+    ctx = meshlib.make_mesh(data=2, kb=4)
+    sharded = ShardedDeviceBM25(host_index, mesh_ctx=ctx, n_head=16,
+                                l_small=64, q_block=8)
+    np.testing.assert_array_equal(
+        sharded.tail_len.sum(axis=0), sharded.tail_df_total)
+
+
+def test_sharded_overflow_and_empty(host_index):
+    from viquae_tpu.core import mesh as meshlib
+    from viquae_tpu.ops.bm25_device import ShardedDeviceBM25
+
+    ctx = meshlib.make_mesh(data=2, kb=4)
+    sharded = ShardedDeviceBM25(host_index, mesh_ctx=ctx, n_head=16,
+                                l_small=64, pool_mid=1, pool_small=2,
+                                q_block=4)
+    df = np.diff(host_index.offsets)
+    tails = [f"w{t}" for t in np.argsort(-df)
+             if sharded.head_pos[host_index.vocab[f"w{t}"]] < 0
+             and df[host_index.vocab[f"w{t}"]] > 0][:6]
+    query = " ".join(tails)
+    _, overflow = sharded._plan([query])
+    assert overflow == [0]
+    d_s, d_i = sharded.search_batch([query, ""], k=10)
+    h_s, h_i = host_index.search_batch([query], k=10)
+    assert d_i[0] == h_i[0] and d_s[0] == h_s[0]
+    assert d_i[1] == [] and d_s[1] == []

@@ -305,3 +305,304 @@ class DeviceBM25:
                 scores_batch[i] = fb_s[pos]
                 indices_batch[i] = fb_i[pos]
         return scores_batch, indices_batch
+
+
+# --------------------------------------------------------------------------
+# KB-sharded device BM25 (multi-chip)
+# --------------------------------------------------------------------------
+class ShardedDeviceBM25:
+    """Device BM25 with the corpus partitioned over the `kb` mesh axis.
+
+    Mirrors :func:`viquae_tpu.ops.mips.topk_sharded`: docs split into
+    contiguous per-shard ranges; each shard holds its column slice of the
+    head matrix and its slice of every tail posting list (postings are
+    doc-ascending within a term, so the per-(term, shard) split is a
+    contiguous sub-range); every shard scores the replicated query block
+    locally (head matmul + pool gather/scatter + local top-k) and the
+    per-shard candidates merge with one `all_gather` + sort over ICI —
+    candidate-sized traffic (n_dev * Q * k), never score-sized.
+
+    A (query, term) pool slot occupies the SAME slot index on every shard
+    with a per-shard (start, len) range (len 0 where the shard holds no
+    postings of that term); per-shard slot caps shrink ~linearly with the
+    shard count, so the scatter — the single-chip cost floor — scales
+    down with the mesh.
+
+    Same bf16-weight score contract and host-fallback semantics as
+    :class:`DeviceBM25`. Construction is host-side numpy (one stable
+    permutation of the postings into (shard, term, doc) order) +
+    per-shard `device_put`; fine for the dryrun/CPU mesh and index-build
+    time at corpus scale.
+    """
+
+    def __init__(self, index: bm25_lib.BM25Index, mesh_ctx=None,
+                 n_head: int = 512, l_small: int = 2048,
+                 pool_mid: int = 48, pool_small: int = 256,
+                 q_block: int = 128):
+        from viquae_tpu.core import mesh as meshlib
+
+        self.index = index
+        self.ctx = mesh_ctx or meshlib.current()
+        self.n_head = n_head
+        self.l_small_cfg = l_small
+        self.pool_mid = pool_mid
+        self.pool_small = pool_small
+        self.q_block = q_block
+        self.rebuild()
+
+    def rebuild(self):
+        from jax.sharding import PartitionSpec as P
+
+        from viquae_tpu.core import mesh as meshlib
+
+        index = self.index
+        n_dev = self.ctx.kb_size
+        self.n_dev = n_dev
+        df = np.diff(index.offsets)
+        order = np.argsort(-df, kind="stable")
+        n_head = min(self.n_head, int((df > 0).sum()))
+        self.head_pos = np.full(len(df), -1, np.int32)
+        self.head_pos[order[:n_head]] = np.arange(n_head, dtype=np.int32)
+        self.is_head = self.head_pos >= 0
+
+        n_docs = index.n_docs
+        self.d_shard = -(-max(n_docs, 1) // n_dev)  # docs per shard
+        self.d_shard_pad = _round_up(self.d_shard + 1, LANE)
+
+        # per-posting weights, shard of each posting
+        tids = np.repeat(np.arange(len(df), dtype=np.int64), df)
+        w_all = (index.idf[tids] * index.tfs
+                 / (index.tfs + index.norm[index.docs])).astype(np.float32)
+        shard_of = (index.docs // self.d_shard).astype(np.int64)
+        local_doc = (index.docs - shard_of * self.d_shard).astype(np.int32)
+
+        # ---- head: (H, n_dev * d_shard_pad) block-columned ------------
+        head_mask = self.is_head[tids]
+        h_rows = self.head_pos[tids[head_mask]].astype(np.int64)
+        h_cols = (shard_of[head_mask] * self.d_shard_pad
+                  + local_doc[head_mask])
+        head_np = np.zeros((n_head, n_dev * self.d_shard_pad), np.float32)
+        head_np[h_rows, h_cols] = w_all[head_mask]
+        self.head_dense = self.ctx.shard(
+            head_np.astype(jnp.bfloat16), None, meshlib.KB_AXIS)
+        del head_np
+
+        # ---- tail: per-shard CSR in (shard, term, doc) order -----------
+        tail_mask = ~head_mask
+        t_tids = tids[tail_mask]
+        t_shard = shard_of[tail_mask]
+        t_docs = local_doc[tail_mask]
+        t_w = w_all[tail_mask]
+        # postings arrive (term, doc)-sorted; docs ascend within a term so
+        # shard ascends too -> stable sort by shard alone yields
+        # (shard, term, doc) order
+        perm = np.argsort(t_shard, kind="stable")
+        t_tids, t_shard = t_tids[perm], t_shard[perm]
+        t_docs, t_w = t_docs[perm], t_w[perm]
+        # per-(shard, term) contiguous ranges
+        key = t_shard * len(df) + t_tids
+        bounds = np.searchsorted(
+            key, np.arange(n_dev * len(df) + 1, dtype=np.int64))
+        self.tail_start = bounds[:-1].reshape(n_dev, len(df))
+        self.tail_len = np.diff(bounds).reshape(n_dev, len(df)).astype(
+            np.int32)
+        self.tail_df_total = np.where(self.is_head, 0, df)
+        # per-shard slot caps from ACTUAL per-shard maxima
+        self.l_mid = max(LANE, _round_up(
+            int(self.tail_len.max(initial=0)), LANE))
+        self.l_small = min(self.l_small_cfg, self.l_mid)
+        # a shard's small-slot cap must hold its slice of any small term:
+        # a term is "small" by its TOTAL df, already >= any shard slice
+        shard_bounds = np.searchsorted(t_shard,
+                                       np.arange(n_dev + 1, dtype=np.int64))
+        per_shard_n = np.diff(shard_bounds)
+        t_len = int(per_shard_n.max(initial=0)) + self.l_mid
+        tail_docs = np.full((n_dev, t_len), self.d_shard, np.int32)
+        tail_w = np.zeros((n_dev, t_len), np.float32)
+        for s in range(n_dev):
+            lo, hi = shard_bounds[s], shard_bounds[s + 1]
+            tail_docs[s, : hi - lo] = t_docs[lo:hi]
+            tail_w[s, : hi - lo] = t_w[lo:hi]
+            # make starts shard-local
+            self.tail_start[s] -= lo
+        self.tail_docs = self.ctx.shard(tail_docs, meshlib.KB_AXIS)
+        self.tail_w = self.ctx.shard(
+            tail_w.astype(jnp.bfloat16), meshlib.KB_AXIS)
+        self.tail_start = self.tail_start.astype(np.int32)
+        self._fn_cache = {}
+
+    # ---- sharded block program -----------------------------------------
+    def _block_fn(self, k: int):
+        if k in self._fn_cache:
+            return self._fn_cache[k]
+        import jax
+        from jax.sharding import PartitionSpec as P
+
+        from viquae_tpu.core import mesh as meshlib
+
+        d_shard, d_shard_pad = self.d_shard, self.d_shard_pad
+        l_mid, l_small = self.l_mid, self.l_small
+        n_dev = self.n_dev
+        int_max = jnp.iinfo(jnp.int32).max
+
+        def shard_fn(head_local, docs_l, w_l, head_w,
+                     ms, ml, mr, mq, ss, sl, sr, sq):
+            docs_l, w_l = docs_l[0], w_l[0]
+            ms, ml = ms[0], ml[0]
+            ss, sl = ss[0], sl[0]
+            trash = d_shard
+            scores = jax.lax.dot_general(
+                head_w, head_local, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+            def pool(starts, lens, qtf, cap):
+                def one(start):
+                    return (jax.lax.dynamic_slice(docs_l, (start,), (cap,)),
+                            jax.lax.dynamic_slice(w_l, (start,), (cap,)))
+
+                g_docs, g_w = jax.vmap(one)(starts)
+                pos = jnp.arange(cap, dtype=jnp.int32)
+                mask = pos < lens[:, None]
+                g_docs = jnp.where(mask, g_docs, trash)
+                g_w = jnp.where(mask, g_w.astype(jnp.float32)
+                                * qtf[:, None], 0.0)
+                return g_docs, g_w
+
+            ids_m, vals_m = pool(ms, ml, mq, l_mid)
+            ids_s, vals_s = pool(ss, sl, sq, l_small)
+            scores = scores.at[mr[:, None], ids_m].add(vals_m)
+            scores = scores.at[sr[:, None], ids_s].add(vals_s)
+            s, i = mips._select_topk(scores, k, "fast")
+            base = jax.lax.axis_index(meshlib.KB_AXIS).astype(
+                jnp.int32) * d_shard
+            invalid = i >= d_shard
+            s = jnp.where(invalid, -jnp.inf, s)
+            i = jnp.where(invalid, int_max, i + base)
+            all_s = jax.lax.all_gather(s, meshlib.KB_AXIS)
+            all_i = jax.lax.all_gather(i, meshlib.KB_AXIS)
+            all_s = jnp.moveaxis(all_s, 0, -1).reshape(
+                head_w.shape[0], n_dev * k)
+            all_i = jnp.moveaxis(all_i, 0, -1).reshape(
+                head_w.shape[0], n_dev * k)
+            neg, idx = jax.lax.sort((-all_s, all_i), dimension=-1,
+                                    num_keys=2)
+            return -neg[:, :k], idx[:, :k]
+
+        fn = jax.jit(jax.shard_map(
+            shard_fn,
+            mesh=self.ctx.mesh,
+            in_specs=(P(None, meshlib.KB_AXIS), P(meshlib.KB_AXIS),
+                      P(meshlib.KB_AXIS), P(),
+                      P(meshlib.KB_AXIS), P(meshlib.KB_AXIS), P(), P(),
+                      P(meshlib.KB_AXIS), P(meshlib.KB_AXIS), P(), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        ))
+        self._fn_cache[k] = fn
+        return fn
+
+    # ---- planning + search ----------------------------------------------
+    def _plan(self, queries: Sequence[str]):
+        """Like DeviceBM25._plan, but slot ranges are per-shard arrays
+        (n_blocks, n_dev, P)."""
+        nq = len(queries)
+        qb = self.q_block
+        n_pad = _round_up(max(nq, 1), qb)
+        n_blocks = n_pad // qb
+        n_dev = self.n_dev
+        p_m, p_s = self.pool_mid, self.pool_small
+        head_w = np.zeros((n_pad, self.head_dense.shape[0]), np.float32)
+        mid_start = np.zeros((n_blocks, n_dev, p_m), np.int32)
+        mid_len = np.zeros((n_blocks, n_dev, p_m), np.int32)
+        mid_row = np.zeros((n_blocks, p_m), np.int32)
+        mid_qtf = np.zeros((n_blocks, p_m), np.float32)
+        small_start = np.zeros((n_blocks, n_dev, p_s), np.int32)
+        small_len = np.zeros((n_blocks, n_dev, p_s), np.int32)
+        small_row = np.zeros((n_blocks, p_s), np.int32)
+        small_qtf = np.zeros((n_blocks, p_s), np.float32)
+        mid_used = np.zeros(n_blocks, np.int64)
+        small_used = np.zeros(n_blocks, np.int64)
+        overflow: List[int] = []
+        for i, query in enumerate(queries):
+            blk, row = divmod(i, qb)
+            counts: dict = {}
+            for tok in bm25_lib.analyze(query):
+                tid = self.index.vocab.get(tok)
+                if tid is not None:
+                    counts[tid] = counts.get(tid, 0) + 1
+            head_terms, mids, smalls = [], [], []
+            for tid, qtf in counts.items():
+                pos = self.head_pos[tid]
+                if pos >= 0:
+                    head_terms.append((pos, qtf))
+                elif self.tail_df_total[tid] == 0:
+                    continue
+                elif self.tail_df_total[tid] <= self.l_small:
+                    smalls.append((tid, qtf))
+                else:
+                    mids.append((tid, qtf))
+            free_s = p_s - small_used[blk]
+            free_m = p_m - mid_used[blk]
+            while len(smalls) > free_s and len(mids) < free_m:
+                mids.append(smalls.pop())
+            if len(mids) > free_m or len(smalls) > free_s:
+                overflow.append(i)
+                continue
+            for pos, qtf in head_terms:
+                head_w[i, pos] = qtf
+            for tid, qtf in mids:
+                s = mid_used[blk]
+                mid_start[blk, :, s] = self.tail_start[:, tid]
+                mid_len[blk, :, s] = self.tail_len[:, tid]
+                mid_row[blk, s] = row
+                mid_qtf[blk, s] = qtf
+                mid_used[blk] += 1
+            for tid, qtf in smalls:
+                s = small_used[blk]
+                small_start[blk, :, s] = self.tail_start[:, tid]
+                small_len[blk, :, s] = self.tail_len[:, tid]
+                small_row[blk, s] = row
+                small_qtf[blk, s] = qtf
+                small_used[blk] += 1
+        return (head_w, mid_start, mid_len, mid_row, mid_qtf,
+                small_start, small_len, small_row, small_qtf), overflow
+
+    def search_batch(self, queries: Sequence[str], k: int = 100
+                     ) -> Tuple[List[List[float]], List[List[int]]]:
+        nq = len(queries)
+        if nq == 0:
+            return [], []
+        k_eff = min(k, max(self.index.n_docs, 1))
+        plan, overflow = self._plan(queries)
+        head_w, ms, ml, mr, mq, ss, sl, sr, sq = plan
+        qb = self.q_block
+        fn = self._block_fn(k_eff)
+        scores_out = np.zeros((head_w.shape[0], k_eff), np.float32)
+        ids_out = np.zeros((head_w.shape[0], k_eff), np.int64)
+        pending = []
+        for blk, lo in enumerate(range(0, head_w.shape[0], qb)):
+            hi = lo + qb
+            s, i = fn(
+                self.head_dense, self.tail_docs, self.tail_w,
+                jnp.asarray(head_w[lo:hi].astype(jnp.bfloat16)),
+                jnp.asarray(ms[blk]), jnp.asarray(ml[blk]),
+                jnp.asarray(mr[blk]), jnp.asarray(mq[blk]),
+                jnp.asarray(ss[blk]), jnp.asarray(sl[blk]),
+                jnp.asarray(sr[blk]), jnp.asarray(sq[blk]))
+            pending.append((lo, hi, s, i))
+        for lo, hi, s, i in pending:
+            scores_out[lo:hi] = np.asarray(s)
+            ids_out[lo:hi] = np.asarray(i)
+        scores_batch: List[List[float]] = []
+        indices_batch: List[List[int]] = []
+        for q in range(nq):
+            keep = (scores_out[q] > 0) & (ids_out[q] < self.index.n_docs)
+            scores_batch.append(scores_out[q][keep].tolist())
+            indices_batch.append(ids_out[q][keep].tolist())
+        if overflow:
+            fb_s, fb_i = self.index.search_batch(
+                [queries[i] for i in overflow], k=k)
+            for pos, i in enumerate(overflow):
+                scores_batch[i] = fb_s[pos]
+                indices_batch[i] = fb_i[pos]
+        return scores_batch, indices_batch
