@@ -594,6 +594,25 @@ def test_cli_serve_hybrid(tmp_path, capsys):
     assert len(run) == 9
     assert all(len(v) == 5 for v in run.values())
 
+    # "device": true in the bm25 block scores the sparse leg on-device
+    # (ops/bm25_device.DeviceBM25) — same run contract
+    config["bm25"].update(device=True, n_head=8, l_small=16,
+                          pool_mid=8, pool_small=16, q_block=4)
+    (tmp_path / "serve_dev.json").write_text(json.dumps(config))
+    cli_main([
+        "serve", str(tmp_path / "queries.txt"),
+        str(tmp_path / "serve_dev.json"), str(tmp_path / "run_dev.json"),
+        "--k", "5", "--batch", "4",
+    ])
+    out_dev = json.loads(capsys.readouterr().out)
+    assert out_dev["queries"] == 9
+    run_dev = json.loads((tmp_path / "run_dev.json").read_text())
+    assert len(run_dev) == 9
+    # bf16-quantized sparse scores: fused ranking overlap, not equality
+    for q in run:
+        shared = set(run[q]) & set(run_dev[q])
+        assert len(shared) >= 3, (q, run[q], run_dev[q])
+
 
 def test_cli_answer_hybrid(tmp_path, capsys, devices):
     """`answer` with a "bm25" block: hybrid sparse+dense retrieval in

@@ -137,6 +137,7 @@ def _run_chain(workspace, out: Path) -> dict:
     return {"artifacts": artifacts, "params": params, "embeds": embeds}
 
 
+@pytest.mark.slow  # ~75-100s: marked slow per the <20-min default-suite budget
 def test_cli_pipeline_is_deterministic(workspace, tmp_path):
     a = _run_chain(workspace, tmp_path / "run_a")
     b = _run_chain(workspace, tmp_path / "run_b")

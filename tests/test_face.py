@@ -714,6 +714,7 @@ def test_nms_early_exit_and_max_keep_exact():
                               err_msg=str((trial, n)))
 
 
+@pytest.mark.slow  # ~75-100s: marked slow per the <20-min default-suite budget
 def test_face_query_encoder_matches_dataset_stages():
     """The ONLINE face leg must produce the same embeddings as the
     dataset stages (FaceDetector -> most-probable face -> FaceEmbedder

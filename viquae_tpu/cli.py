@@ -200,6 +200,15 @@ def _build_hybrid_pipeline(config, embedder, batch_size, k,
         ds = load_from_disk(str(bcfg["kb"]))
         bm = bm25_lib.BM25Index.build(
             ds[bcfg.get("column", "passage")], **hyper)
+    if bcfg.get("device"):
+        # score BM25 on the TPU (ops/bm25_device.py); the host index
+        # stays inside as the exact overflow fallback
+        from viquae_tpu.ops.bm25_device import DeviceBM25
+
+        dev_kwargs = {key: bcfg[key]
+                      for key in ("n_head", "l_small", "pool_mid",
+                                  "pool_small", "q_block") if key in bcfg}
+        bm = DeviceBM25(bm, **dev_kwargs)
     index = _build_dense_index(config.pop("index"),
                                default_mode=default_mode)
     stats = config.pop("stats", None)
