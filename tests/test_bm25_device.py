@@ -260,3 +260,11 @@ def test_sharded_overflow_and_empty(host_index):
     h_s, h_i = host_index.search_batch([query], k=10)
     assert d_i[0] == h_i[0] and d_s[0] == h_s[0]
     assert d_i[1] == [] and d_s[1] == []
+
+
+def test_empty_corpus_returns_empty():
+    idx = bm25_lib.BM25Index.build([], k1=0.5, b=0.3)
+    dev = DeviceBM25(idx, n_head=4, l_small=16, pool_mid=2, pool_small=4,
+                     q_block=4)
+    scores, ids = dev.search_batch(["anything"], k=5)
+    assert scores == [[]] and ids == [[]]

@@ -191,6 +191,10 @@ class DeviceBM25:
         self.tail_offsets = np.zeros(len(df) + 1, np.int64)
         np.cumsum(tail_counts, out=self.tail_offsets[1:])
         self.tail_df = tail_counts
+        # slot starts ride as int32 device scalars
+        assert self.tail_offsets[-1] < 2**31, (
+            "tail postings exceed int32 range — shard the corpus "
+            "(ShardedDeviceBM25) before the device path")
         jax.block_until_ready(self.head_dense)
 
     # ---- search ---------------------------------------------------------
@@ -265,6 +269,8 @@ class DeviceBM25:
         if nq == 0:
             return [], []
         k_eff = min(k, self.index.n_docs)
+        if k_eff == 0:  # empty corpus: nothing retrievable
+            return [[] for _ in queries], [[] for _ in queries]
         plan, overflow = self._plan(queries)
         head_w, ms, ml, mr, mq, ss, sl, sr, sq = plan
         qb = self.q_block
@@ -349,6 +355,11 @@ class ShardedDeviceBM25:
         self.pool_small = pool_small
         self.q_block = q_block
         self.rebuild()
+
+    @property
+    def n_docs(self) -> int:
+        """Duck-type parity with BM25Index / DeviceBM25."""
+        return self.index.n_docs
 
     def rebuild(self):
         from jax.sharding import PartitionSpec as P
@@ -572,7 +583,9 @@ class ShardedDeviceBM25:
         nq = len(queries)
         if nq == 0:
             return [], []
-        k_eff = min(k, max(self.index.n_docs, 1))
+        k_eff = min(k, self.index.n_docs)
+        if k_eff == 0:  # empty corpus: nothing retrievable
+            return [[] for _ in queries], [[] for _ in queries]
         plan, overflow = self._plan(queries)
         head_w, ms, ml, mr, mq, ss, sl, sr, sq = plan
         qb = self.q_block
