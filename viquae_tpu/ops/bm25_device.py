@@ -112,13 +112,16 @@ class DeviceBM25:
     """
 
     def __init__(self, index: bm25_lib.BM25Index, n_head: int = 512,
-                 l_small: int = 2048, pool_mid: int = 48,
-                 pool_small: int = 256, q_block: int = 128):
+                 l_small: int = 2048, pool_mid: int = 128,
+                 pool_small: int = 320, q_block: int = 128):
         """pool_mid/pool_small: PER-BLOCK slot pools shared by the
         q_block queries (a slot holds one (query, term) posting range;
-        one query may use several). Defaults fit 128-query Zipf blocks
-        (~38 mid + ~205 small terms) with headroom; a block whose pool
-        fills sends the unplaceable QUERIES to the host fallback."""
+        one query may use several). Defaults fit 128-query Zipf-8 blocks
+        — measured ~93 mid + ~141 small terms per block (take 5 found
+        the earlier 48-slot default overflowed 21% of queries to the
+        host fallback, which silently dominated e2e time) — with
+        headroom; a block whose pool fills sends the unplaceable QUERIES
+        to the host fallback."""
         self.index = index
         self.n_head = n_head
         self.l_small_cfg = l_small
@@ -343,7 +346,7 @@ class ShardedDeviceBM25:
 
     def __init__(self, index: bm25_lib.BM25Index, mesh_ctx=None,
                  n_head: int = 512, l_small: int = 2048,
-                 pool_mid: int = 48, pool_small: int = 256,
+                 pool_mid: int = 128, pool_small: int = 320,
                  q_block: int = 128):
         from viquae_tpu.core import mesh as meshlib
 
