@@ -542,13 +542,9 @@ def stage_hybrid(ctx: Ctx):
 
     def one_hybrid_pass():
         d_s, d_i = f_exact(params16, *p_args, kbt)  # async
-        bs, bi = bm25_dev.search_batch(bm25_queries, k=k)
-        b_s = np.full((q_pad, k), -np.inf, np.float32)
-        b_i = np.full((q_pad, k), np.iinfo(np.int32).max, np.int32)
-        for row, (ss, ii) in enumerate(zip(bs, bi)):
-            b_s[row, : len(ss)] = ss
-            b_i[row, : len(ii)] = ii
-        return fuse_hybrid(d_s, d_i, jnp.asarray(b_s), jnp.asarray(b_i))
+        # device-resident bm25 results: no pull-pad-reupload round-trip
+        b_s, b_i = bm25_dev.search_batch_device(bm25_queries, k=k)
+        return fuse_hybrid(d_s, d_i, b_s[:q_pad], b_i[:q_pad])
 
     out_h = one_hybrid_pass()
     sync(out_h)

@@ -268,3 +268,27 @@ def test_empty_corpus_returns_empty():
                      q_block=4)
     scores, ids = dev.search_batch(["anything"], k=5)
     assert scores == [[]] and ids == [[]]
+
+
+def test_search_batch_device_matches_host_convention(host_index,
+                                                     device_index):
+    """search_batch_device returns the framework pad convention on device
+    (-inf / int32-max), row-identical to search_batch incl. overflow
+    fallback rows."""
+    df = np.diff(host_index.offsets)
+    tails = [f"w{t}" for t in np.argsort(-df)
+             if device_index.head_pos[host_index.vocab[f"w{t}"]] < 0
+             and df[host_index.vocab[f"w{t}"]] > 0]
+    queries = _queries(host_index, n=5, seed=13)
+    queries.append(" ".join(tails[:23]))  # forces a host-fallback row
+    _, overflow = device_index._plan(queries)
+    assert overflow, "construction must include an overflow query"
+    l_s, l_i = device_index.search_batch(queries, k=10)
+    d_s, d_i = device_index.search_batch_device(queries, k=10)
+    d_s, d_i = np.asarray(d_s), np.asarray(d_i)
+    pad = np.iinfo(np.int32).max
+    for q in range(len(queries)):
+        keep = d_i[q] != pad
+        assert d_i[q][keep].tolist() == l_i[q]
+        np.testing.assert_allclose(d_s[q][keep], l_s[q], rtol=1e-6)
+        assert np.all(np.isneginf(d_s[q][~keep]))

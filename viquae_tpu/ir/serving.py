@@ -712,13 +712,28 @@ class HybridRetrievalPipeline(FusedRetrievalPipeline):
                     emb.params, *self._upload(emb.pack(list(chunk))),
                     self.index.matrix, n_rows,
                 )
-            # the dense program is now in flight; BM25 scoring (C++ on
-            # host) overlaps device compute
-            with self.timer.stage("bm25_host"):
-                b_s, b_i = self._bm25_arrays(chunk)
+            # the dense program is now in flight. Sparse leg: a DeviceBM25
+            # backend keeps its results ON DEVICE (no pull-pad-reupload);
+            # the host C++ scorer overlaps device compute instead
+            if hasattr(self.bm25, "search_batch_device"):
+                with self.timer.stage("bm25_device"):
+                    b_s, b_i = self.bm25.search_batch_device(
+                        list(chunk), k=self.k_bm25)
+                    b_s, b_i = b_s[: self.batch_size], b_i[: self.batch_size]
+                    if b_s.shape[0] < self.batch_size:  # q_block < batch
+                        pad = self.batch_size - b_s.shape[0]
+                        b_s = jnp.concatenate(
+                            [b_s, jnp.full((pad, b_s.shape[1]), -jnp.inf)])
+                        b_i = jnp.concatenate(
+                            [b_i, jnp.full((pad, b_i.shape[1]),
+                                           np.iinfo(np.int32).max,
+                                           jnp.int32)])
+            else:
+                with self.timer.stage("bm25_host"):
+                    b_s_np, b_i_np = self._bm25_arrays(chunk)
+                    b_s, b_i = jnp.asarray(b_s_np), jnp.asarray(b_i_np)
             with self.timer.stage("fuse_dispatch"):
                 scores16, idx = self._fuse_fn(
-                    d_scores, d_idx, jnp.asarray(b_s), jnp.asarray(b_i),
-                    jnp.int32(len(chunk)),
+                    d_scores, d_idx, b_s, b_i, jnp.int32(len(chunk)),
                 )
             yield start, len(chunk), scores16, idx

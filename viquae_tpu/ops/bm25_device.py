@@ -315,6 +315,70 @@ class DeviceBM25:
                 indices_batch[i] = fb_i[pos]
         return scores_batch, indices_batch
 
+    def search_batch_device(self, queries: Sequence[str], k: int = 100):
+        """Like :meth:`search_batch` but the results STAY on device in the
+        framework pad convention (score -inf, id int32-max for
+        not-retrieved) — (n_pad, k) f32 scores + int32 ids, ready for
+        `ops.fusion.fuse_topk`. Saves the pull-pad-reupload round-trip the
+        hybrid path otherwise pays per batch (~2 x Q x k x 8B over the
+        link). Overflow queries' host-fallback rows are scattered back in
+        with one small device update."""
+        nq = len(queries)
+        k_eff = min(k, self.index.n_docs)
+        if nq == 0 or k_eff == 0:
+            pad_rows = max(_round_up(max(nq, 1), self.q_block), 1)
+            return (jnp.full((pad_rows, max(k_eff, 1)), -jnp.inf),
+                    jnp.full((pad_rows, max(k_eff, 1)),
+                             jnp.iinfo(jnp.int32).max, jnp.int32))
+        plan, overflow = self._plan(queries)
+        head_w, ms, ml, mr, mq, ss, sl, sr, sq = plan
+        qb = self.q_block
+        outs = []
+        for blk, lo in enumerate(range(0, head_w.shape[0], qb)):
+            hi = lo + qb
+            outs.append(_bm25_block(
+                self.head_dense, self.tail_docs, self.tail_w,
+                jnp.asarray(head_w[lo:hi].astype(jnp.bfloat16)),
+                jnp.asarray(ms[blk]), jnp.asarray(ml[blk]),
+                jnp.asarray(mr[blk]), jnp.asarray(mq[blk]),
+                jnp.asarray(ss[blk]), jnp.asarray(sl[blk]),
+                jnp.asarray(sr[blk]), jnp.asarray(sq[blk]),
+                k=k_eff, l_mid=self.l_mid, l_small=self.l_small,
+                n_docs=self.index.n_docs))
+        fb = None
+        if overflow:
+            fb_s, fb_i = self.index.search_batch(
+                [queries[i] for i in overflow], k=k_eff)
+            fb_scores = np.full((len(overflow), k_eff), -np.inf,
+                                np.float32)
+            fb_ids = np.full((len(overflow), k_eff),
+                             np.iinfo(np.int32).max, np.int32)
+            for pos in range(len(overflow)):
+                fb_scores[pos, : len(fb_s[pos])] = fb_s[pos]
+                fb_ids[pos, : len(fb_i[pos])] = fb_i[pos]
+            fb = (jnp.asarray(np.asarray(overflow, np.int32)),
+                  jnp.asarray(fb_scores), jnp.asarray(fb_ids))
+        return _finalize_device(
+            tuple(s for s, _ in outs), tuple(i for _, i in outs), fb,
+            n_docs=self.index.n_docs)
+
+
+@partial(jax.jit, static_argnames=("n_docs",))
+def _finalize_device(score_blocks, id_blocks, fb, *, n_docs: int):
+    """Concatenate per-block results and apply the pad convention on
+    device: zero-score docs and padding columns become (-inf, int32-max);
+    overflow rows are replaced by their host-fallback results."""
+    scores = jnp.concatenate(score_blocks, axis=0)
+    ids = jnp.concatenate(id_blocks, axis=0).astype(jnp.int32)
+    valid = (scores > 0) & (ids < n_docs)
+    scores = jnp.where(valid, scores, -jnp.inf)
+    ids = jnp.where(valid, ids, jnp.iinfo(jnp.int32).max)
+    if fb is not None:
+        rows, fb_scores, fb_ids = fb
+        scores = scores.at[rows].set(fb_scores)
+        ids = ids.at[rows].set(fb_ids)
+    return scores, ids
+
 
 # --------------------------------------------------------------------------
 # KB-sharded device BM25 (multi-chip)
