@@ -998,6 +998,15 @@ def _is_oom(err_repr: str) -> bool:
             in err_repr or "Out of memory" in err_repr)
 
 
+def _is_compiler_crash(err_repr: str) -> bool:
+    """Remote-compile helper crash (HTTP 500 / INTERNAL): observed
+    DETERMINISTIC for some full-batch programs (round 4: the Q=1280
+    fusion program, 4/4) while the half-batch program compiles fine —
+    degrade like an OOM instead of burning both attempts on a replay."""
+    return ("remote_compile" in err_repr and "HTTP 500" in err_repr) or (
+        "tpu_compile_helper" in err_repr)
+
+
 def _reexec(extra_env: dict):
     """Fresh-process retry: exec replaces this process, so the exception
     traceback's multi-GB device buffers are freed, the PJRT client
@@ -1075,9 +1084,10 @@ def main():
             print(f"bench: stage {name} attempt {attempts} failed: "
                   f"{err[:500]}", file=sys.stderr, flush=True)
             extra = {}
-            if _is_oom(err) and not DEGRADED:
+            if (_is_oom(err) or _is_compiler_crash(err)) and not DEGRADED:
                 # degrade on the FIRST OOM: free HBM on this shared chip
-                # fluctuates; a lower but honest number beats no BENCH
+                # fluctuates; a lower but honest number beats no BENCH.
+                # Compiler crashes degrade too — see _is_compiler_crash
                 extra["VIQUAE_BENCH_HALF"] = "1"
             if attempts < 2 and time_left() > 240:
                 emit(cache, final=False,
