@@ -344,13 +344,19 @@ class Ctx:
 
             n_kb, k = self.n_kb, self.k
 
+            # DEGRADED halves the materialized score buffer too (chunks=2:
+            # (Q, N) bf16 3.8GB -> two 1.9GB slabs, result bit-identical —
+            # tests/test_mips.py::test_topk_fused_chunked_*)
+            fused_chunks = 2 if DEGRADED else 1
+
             @jax.jit
             def embed_and_search(params, ids, seg, pos, cr, cc, kbt):
                 # exact path: Pallas q-major fused scores+segmax kernel
                 # + one global selection
                 q = self.embed_packed(params, ids, seg, pos, cr, cc)
                 return mips_pallas.topk_fused(
-                    q, kbt, k, valid_rows=jnp.int32(n_kb))
+                    q, kbt, k, valid_rows=jnp.int32(n_kb),
+                    chunks=fused_chunks)
 
             @jax.jit
             def embed_and_search_approx(params, ids, seg, pos, cr, cc, kbt):

@@ -703,3 +703,66 @@ def test_dense_index_rows_128_aligned(devices):
         assert index.matrix.shape[0] % 128 == 0, mode
         s, i = index.search_batch(kb[:4], k=3)
         assert (np.asarray(i)[:, 0] == np.arange(4)).all()  # self-hit
+
+
+def test_topk_fused_chunked_matches_single(devices):
+    """chunks=2/3 must equal chunks=1 bitwise (ids AND scores), incl.
+    valid_rows handling across the slab boundary — the merge sorts by
+    (-score, global id), exactly finalize_topk's key. Scores near the
+    k-boundary are DISTINCT bf16-exact integers (<= 256 — CLAUDE.md:
+    fast-contract comparisons must avoid bf16 boundary ties)."""
+    from viquae_tpu.ops import mips_pallas
+
+    rng = np.random.default_rng(5)
+    padded = np.zeros((1024, 64), np.float32)
+    winners = rng.choice(900, size=40, replace=False)
+    values = rng.permutation(40) + 201.0  # distinct, bf16-exact
+    padded[winners, winners % 64] = values
+    padded[900:, 0] = 999.0  # poison beyond valid_rows
+    q = np.concatenate([np.ones((3, 64), np.float32),
+                        2 * np.ones((2, 64), np.float32)])
+    ref_s, ref_i = mips_pallas.topk_fused(
+        jnp.asarray(q), jnp.asarray(padded).T, 30,
+        valid_rows=jnp.int32(900))
+    assert np.asarray(ref_i).max() < 900
+    for chunks in (2, 3):
+        s, i = mips_pallas.topk_fused(
+            jnp.asarray(q), jnp.asarray(padded).T, 30,
+            valid_rows=jnp.int32(900), chunks=chunks)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(ref_i))
+        np.testing.assert_array_equal(np.asarray(s), np.asarray(ref_s))
+
+
+def test_topk_fused_chunked_ties_across_slabs(devices):
+    """Tied rows living in DIFFERENT slabs must still come back in
+    ascending-id order after the chunked merge."""
+    from viquae_tpu.ops import mips_pallas
+
+    kb = np.zeros((1024, 8), np.float32)
+    for r in (3, 700):           # slab 0 and slab 1 under chunks=2
+        kb[r, 1] = 2.0
+    for r in (200, 900):         # second tie group, one per slab
+        kb[r, 1] = 1.0
+    q = np.zeros((1, 8), np.float32)
+    q[0, 1] = 1.0
+    s, i = mips_pallas.topk_fused(jnp.asarray(q), jnp.asarray(kb).T, 4,
+                                  chunks=2)
+    np.testing.assert_array_equal(np.asarray(i)[0], [3, 700, 200, 900])
+    np.testing.assert_array_equal(np.asarray(s)[0], [2, 2, 1, 1])
+
+
+def test_topk_fused_chunked_k_exceeds_slab(devices):
+    """k larger than one slab's valid rows: pad sentinels must never leak
+    into the merged result when OTHER slabs still have real rows."""
+    from viquae_tpu.ops import mips_pallas
+
+    kb = _distinct_bf16_kb(100, 64, perm_seed=7)
+    padded = np.zeros((1024, 64), np.float32)
+    padded[:100] = kb
+    q = np.ones((2, 64), np.float32)
+    ref_s, ref_i = mips.exact_topk_numpy(q, kb, 80)
+    s, i = mips_pallas.topk_fused(
+        jnp.asarray(q), jnp.asarray(padded).T, 80,
+        valid_rows=jnp.int32(100), chunks=2)
+    np.testing.assert_array_equal(np.asarray(i), ref_i)
+    np.testing.assert_array_equal(np.asarray(s), ref_s)

@@ -143,30 +143,10 @@ def fused_score_segmax_qmajor(
     )(queries.astype(jnp.bfloat16), kb_t.astype(jnp.bfloat16), nv)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "tile"))
-def topk_fused(
-    queries: jnp.ndarray,
-    kb_t: jnp.ndarray,
-    k: int,
-    valid_rows: Optional[jnp.ndarray] = None,
-    tile: int = 512,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Exact bf16 MIPS top-k over a pre-transposed (d, N) KB.
-
-    The fastest exact path on one chip (54.1 ms vs 69.8 ms for XLA
-    topk_global at 1280 x 1.5M, k=100): fused kernel -> two-level select
-    over the maxima -> axis-1 candidate gather -> top-k + FAISS tie-order
-    sort. Same selection contract as ops.mips mode="fast"/topk_global
-    (reference: FAISS IndexFlatIP, meerqat/ir/search.py:207-249).
-    """
+def _topk_fused_single(queries, kb_t, k: int, nv, tile: int):
+    """One fused-kernel pass + selection tail over the full (d, N) slab."""
     q_count = queries.shape[0]
     n = kb_t.shape[1]
-    # valid_rows=None means EVERY column is a real KB row. If kb_t came
-    # from to_kernel_layout on a non-tile-aligned KB, the padded zero
-    # columns would be eligible hits (score 0.0 beats negative scores) —
-    # pass valid_rows=N whenever the layout may be padded. All production
-    # entry points (DenseIndex mode="fused", topk_sharded, serving) do.
-    nv = jnp.asarray(n if valid_rows is None else valid_rows)
     scores, segmax3 = fused_score_segmax_qmajor(queries, kb_t, nv, tile=tile)
     n_seg = n // _SEG
     segmax = jnp.moveaxis(segmax3, 0, 1).reshape(q_count, n_seg)
@@ -192,6 +172,62 @@ def topk_fused(
     # even when k exceeds one shard's row count)
     out_s, out_i = mips.finalize_topk(cand, cand_idx, k)
     return out_s.astype(jnp.float32), out_i
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile", "chunks"))
+def topk_fused(
+    queries: jnp.ndarray,
+    kb_t: jnp.ndarray,
+    k: int,
+    valid_rows: Optional[jnp.ndarray] = None,
+    tile: int = 512,
+    chunks: int = 1,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact bf16 MIPS top-k over a pre-transposed (d, N) KB.
+
+    The fastest exact path on one chip (54.1 ms vs 69.8 ms for XLA
+    topk_global at 1280 x 1.5M, k=100): fused kernel -> two-level select
+    over the maxima -> axis-1 candidate gather -> top-k + FAISS tie-order
+    sort. Same selection contract as ops.mips mode="fast"/topk_global
+    (reference: FAISS IndexFlatIP, meerqat/ir/search.py:207-249).
+
+    chunks > 1 processes the KB in that many column slabs (each a tile
+    multiple), merging per-slab top-k by (-score, global id): the
+    materialized score buffer shrinks from (Q, N) to (Q, N/chunks) —
+    e.g. 3.8GB -> 1.9GB at 1280 x 1.5M with chunks=2 — for HBM-squeezed
+    windows (the shared-chip round-4 finding). Result identical to
+    chunks=1 incl. tie order (the merge sort key matches finalize_topk's).
+    """
+    n = kb_t.shape[1]
+    # valid_rows=None means EVERY column is a real KB row. If kb_t came
+    # from to_kernel_layout on a non-tile-aligned KB, the padded zero
+    # columns would be eligible hits (score 0.0 beats negative scores) —
+    # pass valid_rows=N whenever the layout may be padded. All production
+    # entry points (DenseIndex mode="fused", topk_sharded, serving) do.
+    nv = jnp.asarray(n if valid_rows is None else valid_rows)
+    if chunks <= 1:
+        return _topk_fused_single(queries, kb_t, k, nv, tile)
+    n_tiles = n // tile
+    per = -(-n_tiles // chunks) * tile  # slab width, a tile multiple
+    parts_s, parts_i = [], []
+    int_max = jnp.iinfo(jnp.int32).max
+    for c in range(chunks):
+        lo = c * per
+        if lo >= n:
+            break
+        width = min(per, n - lo)
+        local_valid = jnp.clip(nv - lo, 0, width)
+        s, i = _topk_fused_single(
+            queries, jax.lax.slice_in_dim(kb_t, lo, lo + width, axis=1),
+            k, local_valid, tile)
+        # shift local ids to global; keep the pad sentinel unshifted
+        i = jnp.where(i == int_max, i, i + lo)
+        parts_s.append(s)
+        parts_i.append(i)
+    all_s = jnp.concatenate(parts_s, axis=1)
+    all_i = jnp.concatenate(parts_i, axis=1)
+    neg, idx = jax.lax.sort((-all_s, all_i), dimension=-1, num_keys=2)
+    return -neg[:, :k], idx[:, :k]
 
 
 # --------------------------------------------------------------------------
