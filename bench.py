@@ -60,6 +60,7 @@ import numpy as np
 NORTH_STAR_QPS = 10_000.0
 SMALL = bool(int(os.environ.get("BENCH_SMALL", "0")))
 DEGRADED = os.environ.get("VIQUAE_BENCH_HALF") == "1"
+CHUNKED = os.environ.get("VIQUAE_BENCH_CHUNKED") == "1"
 # generous per-stage cold-compile cost estimates; gate STARTING a stage
 # near the deadline (the watchdog still guards a stage that overruns)
 STAGE_EST_S = {
@@ -176,7 +177,9 @@ def _assemble(cache: StageCache, final: bool, note: str | None = None):
         details["degraded_half_batch"] = (
             "628 queries / 640-slot canvas on stages "
             f"{sorted(half_stages)} (full-batch attempt hit the "
-            "shared-chip HBM floor)")
+            "shared-chip HBM floor)"
+            + ("; + chunked fused scoring (deepest degrade level)"
+               if CHUNKED else ""))
     if cache.data["errors"]:
         details["stage_errors"] = dict(cache.data["errors"])
     pending = [n for n, _, _ in _active_stages()
@@ -344,10 +347,12 @@ class Ctx:
 
             n_kb, k = self.n_kb, self.k
 
-            # DEGRADED halves the materialized score buffer too (chunks=2:
-            # (Q, N) bf16 3.8GB -> two 1.9GB slabs, result bit-identical —
-            # tests/test_mips.py::test_topk_fused_chunked_*)
-            fused_chunks = 2 if DEGRADED else 1
+            # deepest degrade level halves the materialized score buffer
+            # too (chunks=2: (Q, N) bf16 -> two (Q, N/2) slabs, result
+            # bit-identical — tests/test_mips.py::test_topk_fused_chunked_*
+            # — at a measured 21% qps toll, so only when half batch alone
+            # still hits the HBM floor)
+            fused_chunks = 2 if CHUNKED else 1
 
             @jax.jit
             def embed_and_search(params, ids, seg, pos, cr, cc, kbt):
@@ -1090,12 +1095,22 @@ def main():
             print(f"bench: stage {name} attempt {attempts} failed: "
                   f"{err[:500]}", file=sys.stderr, flush=True)
             extra = {}
-            if (_is_oom(err) or _is_compiler_crash(err)) and not DEGRADED:
-                # degrade on the FIRST OOM: free HBM on this shared chip
+            if _is_oom(err) or _is_compiler_crash(err):
+                # escalating degrade ladder: free HBM on this shared chip
                 # fluctuates; a lower but honest number beats no BENCH.
-                # Compiler crashes degrade too — see _is_compiler_crash
-                extra["VIQUAE_BENCH_HALF"] = "1"
-            if attempts < 2 and time_left() > 240:
+                # Compiler crashes degrade too — see _is_compiler_crash.
+                # Level 1: half batch (628 queries). Level 2: + chunked
+                # fused scoring (score buffer 1.9GB instead of 3.8 — a
+                # measured 21% exact-qps toll, last resort only).
+                if not DEGRADED:
+                    extra["VIQUAE_BENCH_HALF"] = "1"
+                elif not CHUNKED:
+                    extra["VIQUAE_BENCH_HALF"] = "1"
+                    extra["VIQUAE_BENCH_CHUNKED"] = "1"
+            # an escalation is a NEW configuration — grant it an attempt
+            # beyond the plain-replay budget of 2
+            if (attempts < 2 or (extra.get("VIQUAE_BENCH_CHUNKED")
+                                 and attempts < 3)) and time_left() > 240:
                 emit(cache, final=False,
                      note=f"retrying stage {name} in a fresh process")
                 _reexec(extra)  # never returns
