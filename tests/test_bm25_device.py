@@ -292,3 +292,22 @@ def test_search_batch_device_matches_host_convention(host_index,
         assert d_i[q][keep].tolist() == l_i[q]
         np.testing.assert_allclose(d_s[q][keep], l_s[q], rtol=1e-6)
         assert np.all(np.isneginf(d_s[q][~keep]))
+
+
+def test_sharded_search_batch_device_matches_lists(host_index):
+    from viquae_tpu.core import mesh as meshlib
+    from viquae_tpu.ops.bm25_device import ShardedDeviceBM25
+
+    ctx = meshlib.make_mesh(data=2, kb=4)
+    sharded = ShardedDeviceBM25(host_index, mesh_ctx=ctx, n_head=16,
+                                l_small=64, pool_mid=6, pool_small=16,
+                                q_block=8)
+    queries = _queries(host_index, n=6, seed=17)
+    l_s, l_i = sharded.search_batch(queries, k=10)
+    d_s, d_i = sharded.search_batch_device(queries, k=10)
+    d_s, d_i = np.asarray(d_s), np.asarray(d_i)
+    pad = np.iinfo(np.int32).max
+    for q in range(len(queries)):
+        keep = d_i[q] != pad
+        assert d_i[q][keep].tolist() == l_i[q]
+        np.testing.assert_allclose(d_s[q][keep], l_s[q], rtol=1e-6)

@@ -686,3 +686,45 @@ class ShardedDeviceBM25:
                 scores_batch[i] = fb_s[pos]
                 indices_batch[i] = fb_i[pos]
         return scores_batch, indices_batch
+
+    def search_batch_device(self, queries: Sequence[str], k: int = 100):
+        """Device-resident results in the framework pad convention —
+        same contract as :meth:`DeviceBM25.search_batch_device` (results
+        replicated across the mesh after the all-gather merge)."""
+        nq = len(queries)
+        k_eff = min(k, self.index.n_docs)
+        if nq == 0 or k_eff == 0:
+            pad_rows = max(_round_up(max(nq, 1), self.q_block), 1)
+            return (jnp.full((pad_rows, max(k_eff, 1)), -jnp.inf),
+                    jnp.full((pad_rows, max(k_eff, 1)),
+                             jnp.iinfo(jnp.int32).max, jnp.int32))
+        plan, overflow = self._plan(queries)
+        head_w, ms, ml, mr, mq, ss, sl, sr, sq = plan
+        qb = self.q_block
+        fn = self._block_fn(k_eff)
+        outs = []
+        for blk, lo in enumerate(range(0, head_w.shape[0], qb)):
+            hi = lo + qb
+            outs.append(fn(
+                self.head_dense, self.tail_docs, self.tail_w,
+                jnp.asarray(head_w[lo:hi].astype(jnp.bfloat16)),
+                jnp.asarray(ms[blk]), jnp.asarray(ml[blk]),
+                jnp.asarray(mr[blk]), jnp.asarray(mq[blk]),
+                jnp.asarray(ss[blk]), jnp.asarray(sl[blk]),
+                jnp.asarray(sr[blk]), jnp.asarray(sq[blk])))
+        fb = None
+        if overflow:
+            fb_s, fb_i = self.index.search_batch(
+                [queries[i] for i in overflow], k=k_eff)
+            fb_scores = np.full((len(overflow), k_eff), -np.inf,
+                                np.float32)
+            fb_ids = np.full((len(overflow), k_eff),
+                             np.iinfo(np.int32).max, np.int32)
+            for pos in range(len(overflow)):
+                fb_scores[pos, : len(fb_s[pos])] = fb_s[pos]
+                fb_ids[pos, : len(fb_i[pos])] = fb_i[pos]
+            fb = (jnp.asarray(np.asarray(overflow, np.int32)),
+                  jnp.asarray(fb_scores), jnp.asarray(fb_ids))
+        return _finalize_device(
+            tuple(s for s, _ in outs), tuple(i for _, i in outs), fb,
+            n_docs=self.index.n_docs)
