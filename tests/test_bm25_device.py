@@ -311,3 +311,26 @@ def test_sharded_search_batch_device_matches_lists(host_index):
         keep = d_i[q] != pad
         assert d_i[q][keep].tolist() == l_i[q]
         np.testing.assert_allclose(d_s[q][keep], l_s[q], rtol=1e-6)
+
+
+def test_searcher_seam_sharded_device_flag(host_index):
+    """device='sharded' behind the IndexKind.BM25 seam builds a
+    ShardedDeviceBM25 over the ambient kb mesh."""
+    import datasets
+
+    from viquae_tpu.core import mesh as meshlib
+    from viquae_tpu.ir.search import IndexKind, KnowledgeBase
+    from viquae_tpu.ops.bm25_device import ShardedDeviceBM25
+
+    texts = _synth_corpus(n_docs=60, vocab=60, seed=9)
+    ctx = meshlib.make_mesh(data=2, kb=4)
+    kb = KnowledgeBase(datasets.Dataset.from_dict({"passage": texts}),
+                       mesh_ctx=ctx)
+    kb.add_or_load_index(column="passage", index_name="sparse",
+                         kind=IndexKind.BM25, k1=0.5, b=0.3,
+                         device="sharded", n_head=8, l_small=32,
+                         pool_mid=4, pool_small=8, q_block=4)
+    backend = kb.indexes["sparse"].backend
+    assert isinstance(backend, ShardedDeviceBM25)
+    scores, ids = kb.search_batch("sparse", [texts[5][:40]], k=5)
+    assert ids[0], "non-empty retrieval through the sharded seam"

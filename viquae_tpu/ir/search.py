@@ -235,7 +235,13 @@ class KnowledgeBase:
                     )
                     if save_path:
                         backend.save(save_path)
-                if device:
+                if device == "sharded":
+                    # postings partitioned over the `kb` mesh axis
+                    from viquae_tpu.ops.bm25_device import ShardedDeviceBM25
+
+                    backend = ShardedDeviceBM25(
+                        backend, mesh_ctx=self.mesh_ctx, **device_kwargs)
+                elif device:
                     from viquae_tpu.ops.bm25_device import DeviceBM25
 
                     backend = DeviceBM25(backend, **device_kwargs)
