@@ -536,11 +536,16 @@ def stage_hybrid(ctx: Ctx):
     bm25_index.search_batch(bm25_queries, k=k)
     bm25_qps = n_queries / (time.time() - t0)
 
-    # device index: per-posting weights + ~520MB one-time upload
+    # device index: per-posting weights + ~520MB one-time upload.
+    # q_block 512 amortizes the head-matrix read + per-block transfer
+    # overhead (1.6x vs 128 at batch 1280, scripts/exp_bm25_qblock.py);
+    # degraded mode keeps 128 — the (q_block, n_docs) f32 score block is
+    # 3GB at 512 x 1.5M, exactly what a squeezed-HBM window can't spare
+    q_block = 128 if DEGRADED else 512
     t0 = time.time()
-    bm25_dev = DeviceBM25(bm25_index)
+    bm25_dev = DeviceBM25(bm25_index, q_block=q_block)
     dev_build_s = time.time() - t0
-    bm25_dev.search_batch(bm25_queries[:128], k=k)  # compile
+    bm25_dev.search_batch(bm25_queries[:q_block], k=k)  # compile
     t0 = time.time()
     bm25_dev.search_batch(bm25_queries, k=k)
     bm25_dev_qps = n_queries / (time.time() - t0)
@@ -573,8 +578,9 @@ def stage_hybrid(ctx: Ctx):
                        f"{os.cpu_count()} host core(s)",
         "bm25_device_qps": round(bm25_dev_qps, 1),
         "bm25_device_config": "TPU head-matmul(512)+tiered tail "
-                              f"gather/scatter, build {dev_build_s:.0f}s "
-                              "one-time (ops/bm25_device.py)",
+                              f"gather/scatter, q_block={q_block}, build "
+                              f"{dev_build_s:.0f}s one-time "
+                              "(ops/bm25_device.py)",
         "hybrid_qps": round(hybrid_qps, 1),
         "hybrid_config": "dense pallas-exact + device bm25 + device "
                          "gzmuv fusion [.7,.3], all on-chip",

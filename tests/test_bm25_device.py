@@ -334,3 +334,20 @@ def test_searcher_seam_sharded_device_flag(host_index):
     assert isinstance(backend, ShardedDeviceBM25)
     scores, ids = kb.search_batch("sparse", [texts[5][:40]], k=5)
     assert ids[0], "non-empty retrieval through the sharded seam"
+
+
+def test_pools_scale_with_q_block(host_index):
+    """Default pools scale with q_block (a bigger block holds
+    proportionally more (query, term) pairs); results agree with a
+    small-block scorer on the same corpus."""
+    big = DeviceBM25(host_index, n_head=16, l_small=64, q_block=256)
+    assert big.pool_mid == 256 and big.pool_small == 640
+    small = DeviceBM25(host_index, n_head=16, l_small=64, q_block=128)
+    assert small.pool_mid == 128 and small.pool_small == 320
+    queries = _queries(host_index, n=12, seed=7)
+    s_big, i_big = big.search_batch(queries, k=10)
+    s_small, i_small = small.search_batch(queries, k=10)
+    for a, b in zip(i_big, i_small):
+        assert a == b
+    for a, b in zip(s_big, s_small):
+        np.testing.assert_allclose(a, b, rtol=1e-6)

@@ -112,21 +112,32 @@ class DeviceBM25:
     """
 
     def __init__(self, index: bm25_lib.BM25Index, n_head: int = 512,
-                 l_small: int = 2048, pool_mid: int = 128,
-                 pool_small: int = 320, q_block: int = 128):
+                 l_small: int = 2048, pool_mid: int = None,
+                 pool_small: int = None, q_block: int = 128):
         """pool_mid/pool_small: PER-BLOCK slot pools shared by the
         q_block queries (a slot holds one (query, term) posting range;
-        one query may use several). Defaults fit 128-query Zipf-8 blocks
-        — measured ~93 mid + ~141 small terms per block (take 5 found
-        the earlier 48-slot default overflowed 21% of queries to the
-        host fallback, which silently dominated e2e time) — with
-        headroom; a block whose pool fills sends the unplaceable QUERIES
-        to the host fallback."""
+        one query may use several). Defaults SCALE WITH q_block from the
+        measured 128-query Zipf-8 density — ~93 mid + ~141 small terms
+        per 128 queries (take 5 found a 48-slot pool overflowed 21% of
+        queries to the host fallback, which silently dominated e2e
+        time) — with headroom; a block whose pool fills sends the
+        unplaceable QUERIES to the host fallback.
+
+        q_block: queries scored per device program. Per-block costs (the
+        head matrix read, selection, and the tunnel's per-transfer
+        overhead) amortize with larger blocks: 512 measured 1.6x the
+        e2e throughput of 128 at batch 1280 (scripts/exp_bm25_qblock.py,
+        interleaved, identical top-100). The scatter's padded lanes and
+        the (q_block, n_docs) f32 score block (3GB at 512 x 1.5M) scale
+        WITH the block, so small serving batches and HBM-squeezed
+        windows want 128 (see docs/SERVING.md crossover table)."""
         self.index = index
         self.n_head = n_head
         self.l_small_cfg = l_small
-        self.pool_mid = pool_mid
-        self.pool_small = pool_small
+        scale = max(1, -(-q_block // 128))
+        self.pool_mid = pool_mid if pool_mid is not None else 128 * scale
+        self.pool_small = (pool_small if pool_small is not None
+                           else 320 * scale)
         self.q_block = q_block
         self.rebuild()
 
@@ -410,7 +421,7 @@ class ShardedDeviceBM25:
 
     def __init__(self, index: bm25_lib.BM25Index, mesh_ctx=None,
                  n_head: int = 512, l_small: int = 2048,
-                 pool_mid: int = 128, pool_small: int = 320,
+                 pool_mid: int = None, pool_small: int = None,
                  q_block: int = 128):
         from viquae_tpu.core import mesh as meshlib
 
@@ -418,8 +429,12 @@ class ShardedDeviceBM25:
         self.ctx = mesh_ctx or meshlib.current()
         self.n_head = n_head
         self.l_small_cfg = l_small
-        self.pool_mid = pool_mid
-        self.pool_small = pool_small
+        # pools scale with q_block like DeviceBM25 (measured Zipf-8
+        # density is per-query, so slots are too)
+        scale = max(1, -(-q_block // 128))
+        self.pool_mid = pool_mid if pool_mid is not None else 128 * scale
+        self.pool_small = (pool_small if pool_small is not None
+                           else 320 * scale)
         self.q_block = q_block
         self.rebuild()
 
