@@ -61,6 +61,20 @@ def test_request_retries_transient_statuses_then_succeeds():
     assert len(session.calls) == 3
 
 
+def test_request_429_honors_retry_after(monkeypatch):
+    """429 sleeps the server's Retry-After when sent, else the Wikidata
+    60s compute-limit cool-down (reference wiki.py:581-583)."""
+    sleeps = []
+    monkeypatch.setattr(wiki.time, "sleep", sleeps.append)
+    with_header = FakeResponse(429)
+    with_header.headers = {"Retry-After": "7"}
+    session = FakeSession([with_header, FakeResponse(429),
+                           FakeResponse(200, {"ok": True})])
+    response = wiki.request("http://fake/sparql", session, max_tries=3)
+    assert response.json() == {"ok": True}
+    assert sleeps == [7, wiki.WIKIDATA_COMPUTE_LIMIT]
+
+
 def test_request_gives_up_after_max_tries():
     session = FakeSession([FakeResponse(500)] * 3)
     with pytest.raises(requests.HTTPError):

@@ -454,7 +454,15 @@ def request(url: str, session=None, tries: int = 0, max_tries: int = 2,
     session = session or requests.Session()
     try:
         response = session.get(url, **kwargs)
-        if response.status_code in (429, 500, 502, 503) and tries < max_tries:
+        if response.status_code == 429 and tries < max_tries:
+            # honor Retry-After like the reference (wiki.py:581-583); the
+            # Wikidata query service grants 60s compute per 60s window, so
+            # fall back to that cool-down when no header is sent
+            retry_after = getattr(response, "headers", {}).get("Retry-After")
+            time.sleep(int(retry_after) if retry_after
+                       else WIKIDATA_COMPUTE_LIMIT)
+            return request(url, session, tries + 1, max_tries, backoff, **kwargs)
+        if response.status_code in (500, 502, 503) and tries < max_tries:
             time.sleep(backoff ** (tries + 1))
             return request(url, session, tries + 1, max_tries, backoff, **kwargs)
         response.raise_for_status()
