@@ -7,6 +7,7 @@ error-tolerance semantics through injected fake sessions instead —
 the behaviors the reference implements at meerqat/data/wiki.py:562-588
 and kilt2vqa.py:671-695.
 """
+import json
 import warnings
 
 import pytest
@@ -434,6 +435,86 @@ def test_update_from_commons_rest_gates_entities(capsys):
     assert "images" not in out["Q2"] and "images" not in out["Q3"]
     assert "1 entities out of 3" in capsys.readouterr().out
     assert "Category:Ada Lovelace" in session.calls[0][0]
+
+
+# --------------------------------------------------------------------------
+# `wiki` CLI (parity reference wiki.py docopt dispatch :940-1042)
+# --------------------------------------------------------------------------
+def _cli(argv):
+    from viquae_tpu.cli import main as cli_main
+    cli_main(argv)
+
+
+def test_cli_wiki_heuristics_and_filter(tmp_path, capsys):
+    subset = tmp_path / "meerqat_test"
+    subset.mkdir()
+    Q = "http://www.wikidata.org/entity/"
+    entities = {
+        "Q1": {"entityLabel": {"value": "Ada"}, "instanceof": {Q + "Q5": {}},
+               "gender": {"value": "f"},
+               "date_of_death": {"value": "1852-11-27T00:00:00Z"},
+               "images": {"File:Ada portrait.jpg":
+                          {"categories": ["Category:Ada things"]}}},
+        "Q2": {"instanceof": {Q + "Q11424": {}}},  # film (abstract here)
+        "Q3": {"instanceof": {Q + "Q5": {}}},      # alive human
+    }
+    (subset / "entities.json").write_text(json.dumps(entities))
+
+    _cli(["wiki", "heuristics", str(subset), "--heuristics", "title"])
+    out = json.loads((subset / "entities.json").read_text())
+    image = out["Q1"]["images"]["File:Ada portrait.jpg"]
+    assert image["heuristics"] == {"title": True}
+
+    abstract = tmp_path / "abstract_entities.csv"
+    abstract.write_text("uri,label\n" + Q + "Q11424,film\n")
+    _cli(["wiki", "filter", str(subset), "--abstract", str(abstract),
+          "--deceased", "1900"])
+    out = json.loads((subset / "entities.json").read_text())
+    # Q2 dropped by the negative filter, Q3 by the deceased filter
+    assert set(out) == {"Q1"}
+    assert "entities" in capsys.readouterr().out
+
+
+def test_cli_wiki_positive_filter_keeps_people(tmp_path):
+    subset = tmp_path / "s"
+    subset.mkdir()
+    Q = "http://www.wikidata.org/entity/"
+    entities = {
+        "Q1": {"instanceof": {Q + "Q99": {}}, "occupation": {Q + "Q36180": {}}},
+        "Q2": {"instanceof": {Q + "Q811979": {}}},  # concrete class
+        "Q3": {"instanceof": {Q + "Q99": {}}},      # neither -> dropped
+    }
+    (subset / "entities.json").write_text(json.dumps(entities))
+    concrete = tmp_path / "concrete_entities.csv"
+    concrete.write_text("uri,label\n" + Q + "Q811979,structure\n")
+    _cli(["wiki", "filter", str(subset), "--concrete", str(concrete)])
+    out = json.loads((subset / "entities.json").read_text())
+    assert set(out) == {"Q1", "Q2"}
+
+
+def test_cli_wiki_live_action_through_injected_transport(tmp_path,
+                                                         monkeypatch):
+    """`wiki entities` drives update_from_data + set_reference_images and
+    writes back entities.json (reference wiki.py:958-961)."""
+    subset = tmp_path / "s"
+    subset.mkdir()
+    (subset / "entities.json").write_text(json.dumps(
+        {"Q1": {"n_questions": 1}}))
+    bindings = [{
+        "entity": {"value": "http://www.wikidata.org/entity/Q1"},
+        "entityLabel": {"value": "Ada Lovelace"},
+        "instanceof": {"value": "http://www.wikidata.org/entity/Q5"},
+        "instanceofLabel": {"value": "human"},
+        "image": {"value": "Ada.jpg"},
+    }]
+    session = FakeSession([
+        _sparql_response(bindings)])
+    monkeypatch.setattr(wiki, "request",
+                        lambda url, s=None, **kw: session.get(url, **kw))
+    _cli(["wiki", "entities", str(subset)])
+    out = json.loads((subset / "entities.json").read_text())
+    assert out["Q1"]["entityLabel"]["value"] == "Ada Lovelace"
+    assert out["Q1"]["reference_image"] == "Ada.jpg"
 
 
 def test_save_image_writes_skips_and_caps(tmp_path):

@@ -212,6 +212,90 @@ def cmd_wikidump(args):
     }))
 
 
+def _read_class_csv(path) -> set:
+    """First column (a class URI) of a concrete/abstract_entities.csv
+    (header skipped — reference wiki.py:1022-1028)."""
+    lines = Path(path).read_text().split("\n")[1:]
+    return {line.split(",")[0] for line in lines if line}
+
+
+def cmd_wiki(args):
+    """Wikidata/Commons entity pipeline over a subset directory holding
+    the reference's file layout: entities.json, depictions.json,
+    feminine_labels.json, {n|all}_superclasses.json (parity
+    reference wiki.py:104-133 docopt CLI + :940-1042 dispatch). The live
+    actions need an egress-enabled host; heuristics/filter are offline."""
+    from viquae_tpu.data import wiki
+
+    subset = Path(args.subset)
+    entities_path = subset / "entities.json"
+    depictions_path = subset / "depictions.json"
+    entities = json.loads(entities_path.read_text())
+    out_path = entities_path
+    action = args.action
+    if action == "entities":
+        output = wiki.update_from_data(entities, skip=args.skip)
+        output = wiki.set_reference_images(output)
+        wiki.print_stats(output)
+    elif action == "feminine":
+        output = wiki.query_feminine_labels(entities)
+        out_path = subset / "feminine_labels.json"
+    elif action == "depicted":
+        # attributes of every entity DEPICTED in the subset's images, then
+        # the prominence heuristic (result is entity-dependent, so it is
+        # saved into entities.json — reference wiki.py:976-990)
+        depictions = json.loads(depictions_path.read_text())
+        depicted = {wiki.uri_to_qid(uri): {"n_questions": 0}
+                    for uris in depictions.values() for uri in uris}
+        depicted = wiki.update_from_data(depicted)
+        depicted.update(entities)
+        output = wiki.depiction_instanceof_heuristic(depictions, depicted)
+        wiki.print_stats(output)
+    elif action == "superclasses":
+        output = wiki.query_superclasses(entities, n_levels=args.n)
+        out_path = subset / f"{args.n if args.n else 'all'}_superclasses.json"
+    elif action == "sparql-depicts":
+        output = wiki.update_from_commons_sparql(entities)
+        wiki.print_stats(output)
+    elif action == "sparql-depicted":
+        depictions = {wiki.uri_to_qid(uri): []
+                      for entity in entities.values()
+                      for uri in entity.get("depictions", {})}
+        output = wiki.query_depicted_entities(depictions)
+        out_path = depictions_path
+    elif action == "rest":
+        output = wiki.update_from_commons_rest(
+            entities, max_images=args.max_images,
+            max_categories=args.max_categories)
+        wiki.print_stats(output)
+    elif action == "heuristics":
+        heuristics = (set(args.heuristics) if args.heuristics
+                      else wiki.VALID_IMAGE_HEURISTICS)
+        output = wiki.image_heuristic(entities, heuristics)
+        wiki.print_stats(output)
+    elif action == "filter":
+        superclasses = {}
+        if args.superclass:
+            superclasses = json.loads(
+                (subset / f"{args.superclass}_superclasses.json").read_text())
+        if args.concrete:  # --positive: keep concrete classes + people
+            entities = wiki.keep_classes(
+                entities, _read_class_csv(args.concrete), superclasses)
+        to_exclude = {wiki.QID_URI_PREFIX + qid for qid in args.classes}
+        if args.abstract:  # --negative: drop abstract classes
+            to_exclude |= _read_class_csv(args.abstract)
+        if to_exclude:
+            entities = wiki.exclude_classes(entities, to_exclude,
+                                            superclasses)
+        if args.deceased is not None:
+            entities = wiki.remove_alive_humans(
+                entities, year_threshold=args.deceased)
+        output = entities
+        wiki.print_stats(output)
+    out_path.write_text(json.dumps(output))
+    print(f"saved {action} output to {out_path}")
+
+
 def _iter_wit_rows(paths):
     import csv
     import gzip
@@ -765,6 +849,34 @@ def register_aux(sub, add_config_arg, add_config_positional):
     p.add_argument("--num-shards", type=int)
     p.add_argument("--shard-index", type=int)
     p.set_defaults(fn=cmd_kilt2vqa)
+
+    p = sub.add_parser(
+        "wiki", help="Wikidata/Commons entity pipeline over a subset dir")
+    p.add_argument("action", choices=[
+        "entities", "feminine", "depicted", "superclasses",
+        "sparql-depicts", "sparql-depicted", "rest", "heuristics", "filter",
+    ])
+    p.add_argument("subset", help="directory holding entities.json (+ "
+                                  "depictions.json for depicted actions)")
+    p.add_argument("--skip", help="only query entities missing this "
+                                  "attribute (entities action resume)")
+    p.add_argument("--n", type=int, help="superclass levels (default all)")
+    p.add_argument("--max-images", type=int, default=1000)
+    p.add_argument("--max-categories", type=int, default=100)
+    p.add_argument("--heuristics", nargs="*",
+                   help="subset of {categories,description,depictions,title}")
+    p.add_argument("--superclass",
+                   help="superclass level used by filter (int or 'all'; "
+                        "reads {level}_superclasses.json from the subset)")
+    p.add_argument("--concrete",
+                   help="concrete_entities.csv -> positive filter")
+    p.add_argument("--abstract",
+                   help="abstract_entities.csv -> negative filter")
+    p.add_argument("--deceased", type=int,
+                   help="drop humans alive or deceased after this year")
+    p.add_argument("classes", nargs="*", default=[],
+                   help="extra QIDs to exclude (filter action)")
+    p.set_defaults(fn=cmd_wiki)
 
     p = sub.add_parser(
         "sentences", help="sentence-segment a text column (ICT input)")

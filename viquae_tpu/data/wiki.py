@@ -391,11 +391,19 @@ def exclude_classes(entities: Dict[str, dict], classes_to_exclude: Set[str],
 
 
 def keep_classes(entities: Dict[str, dict], classes_to_keep: Set[str],
-                 superclasses: Optional[Dict[str, Iterable[str]]] = None
+                 superclasses: Optional[Dict[str, Iterable[str]]] = None,
+                 attributes_to_keep: Iterable[str] = ("gender", "occupation")
                  ) -> Dict[str, dict]:
+    """Positive class filter. Like the reference (wiki.py:820-831), an
+    entity with any non-empty attribute in ``attributes_to_keep``
+    (gender P21 / occupation P106 by default — i.e. people) is kept
+    regardless of its classes."""
     superclasses = superclasses or {}
     out = {}
     for qid, entity in entities.items():
+        if any(entity.get(attr) for attr in attributes_to_keep):
+            out[qid] = entity
+            continue
         classes = _entity_classes(entity)
         expanded = set(classes)
         for c in classes:
