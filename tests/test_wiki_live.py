@@ -103,6 +103,28 @@ def test_request_connection_error_then_recovery():
     assert wiki.request("http://fake/x", session).json() == {"ok": 1}
 
 
+def test_request_429_http_date_retry_after(monkeypatch):
+    """RFC 7231 allows an HTTP-date Retry-After; fall back to the Wikidata
+    cool-down instead of crashing on int()."""
+    sleeps = []
+    monkeypatch.setattr(wiki.time, "sleep", sleeps.append)
+    with_date = FakeResponse(429)
+    with_date.headers = {"Retry-After": "Wed, 21 Oct 2026 07:28:00 GMT"}
+    session = FakeSession([with_date, FakeResponse(200, {"ok": True})])
+    assert wiki.request("http://fake/sparql", session).json() == {"ok": True}
+    assert sleeps == [wiki.WIKIDATA_COMPUTE_LIMIT]
+
+
+def test_query_sparql_entities_raises_when_every_batch_fails():
+    """A totally failed harvest must NOT return [] — cmd_wiki would
+    rewrite entities.json as a silent no-op reported as success."""
+    session = FakeSession([requests.exceptions.ConnectionError("down")] * 9)
+    with pytest.raises(RuntimeError, match="refusing"):
+        wiki.query_sparql_entities("SELECT %s", "http://fake/sparql",
+                                   ["Q1", "Q2", "Q3"], batch_size=1,
+                                   session=session)
+
+
 def test_query_sparql_entities_batches_and_concatenates():
     q = "SELECT ?x WHERE { VALUES ?e { %s } }"
     session = FakeSession([
@@ -389,6 +411,28 @@ def test_query_commons_subcategories_walk_dedup_and_filters():
     assert categories["Category:Root"] is True
     assert categories["Category:Child"] is True
     assert len(session.calls) == 4  # 2 listings + 2 image fetches, no relist
+
+
+def test_query_commons_subcategories_sibling_order():
+    """Siblings must be walked in listing order (the reference's in-order
+    recursion, wiki.py:590-668) — under capped budgets the harvested SET
+    depends on visit order."""
+    session = FakeSession([
+        _members({"title": "Category:A", "type": "subcat"},
+                 {"title": "Category:B", "type": "subcat"},
+                 {"title": "Category:C", "type": "subcat"}),
+        _members(),  # A listed first
+        _members(),  # then B
+        _members(),  # then C
+    ])
+    categories, images = {}, {}
+    wiki.query_commons_subcategories("Category:Root", categories, images,
+                                     session=session)
+    listed = [kwargs_url for kwargs_url, _ in session.calls[1:]]
+    assert [("Category:A" in u, "Category:B" in u, "Category:C" in u)
+            for u in listed] == [(True, False, False),
+                                 (False, True, False),
+                                 (False, False, True)]
 
 
 def test_query_commons_subcategories_image_budget():

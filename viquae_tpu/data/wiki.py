@@ -467,8 +467,13 @@ def request(url: str, session=None, tries: int = 0, max_tries: int = 2,
             # Wikidata query service grants 60s compute per 60s window, so
             # fall back to that cool-down when no header is sent
             retry_after = getattr(response, "headers", {}).get("Retry-After")
-            time.sleep(int(retry_after) if retry_after
-                       else WIKIDATA_COMPUTE_LIMIT)
+            # RFC 7231 allows Retry-After to be an HTTP-date, not just
+            # delta-seconds; fall back to the Wikidata cool-down on non-ints
+            try:
+                delay = int(retry_after) if retry_after else WIKIDATA_COMPUTE_LIMIT
+            except ValueError:
+                delay = WIKIDATA_COMPUTE_LIMIT
+            time.sleep(delay)
             return request(url, session, tries + 1, max_tries, backoff, **kwargs)
         if response.status_code in (500, 502, 503) and tries < max_tries:
             time.sleep(backoff ** (tries + 1))
@@ -518,6 +523,15 @@ def query_sparql_entities(query: str, endpoint: str, wikidata_ids,
             response.json().get("results", {}).get("bindings", [])
         )
     if skipped:
+        if skipped == len(ids) and ids:
+            # every batch failed — this is not harvest robustness, it is a
+            # dead endpoint / no-egress host; a silent empty result would let
+            # callers overwrite entities.json with a no-op "success"
+            raise RuntimeError(
+                f"all {len(ids)} QIDs failed ({skipped} skipped in every "
+                "batch) — endpoint unreachable or query rejected; refusing "
+                "to return an empty harvest"
+            )
         warnings.warn(f"skipped {skipped}/{len(ids)} QIDs in failed batches")
     return results
 
@@ -680,6 +694,9 @@ def query_commons_subcategories(category: str, categories: Dict[str, bool],
     :func:`query_image`) until the image or category budget is spent
     (parity reference wiki.py:590-668; this version is iterative and
     never lists the same category twice — the reference's recursion can).
+    Subcategories are pushed in reverse so the LIFO stack visits siblings
+    in the reference's in-order recursion order — under capped budgets the
+    harvested SET depends on visit order, not just dedup semantics.
 
     ``categories`` maps each DISCOVERED category to True once its members
     have been listed; ``images`` maps file titles to :func:`query_image`
@@ -702,6 +719,7 @@ def query_commons_subcategories(category: str, categories: Dict[str, bool],
             continue
         categories[cat] = True
         n_listed += 1
+        subcats = []
         for member in members:
             title = member["title"]
             if member["type"] == "file" and max_images > 0:
@@ -713,7 +731,8 @@ def query_commons_subcategories(category: str, categories: Dict[str, bool],
             elif member["type"] == "subcat":
                 if title not in categories:
                     categories[title] = False
-                    stack.append(title)
+                    subcats.append(title)
+        stack.extend(reversed(subcats))
         if len(images) > max_images:
             break
         if max_images > 0 and n_listed > max_categories:

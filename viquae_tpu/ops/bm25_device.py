@@ -43,7 +43,7 @@ remains the exact oracle; `BM25Index.search_batch` is unchanged.
 from __future__ import annotations
 
 from functools import partial
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -112,8 +112,8 @@ class DeviceBM25:
     """
 
     def __init__(self, index: bm25_lib.BM25Index, n_head: int = 512,
-                 l_small: int = 2048, pool_mid: int = None,
-                 pool_small: int = None, q_block: int = 128):
+                 l_small: int = 2048, pool_mid: Optional[int] = None,
+                 pool_small: Optional[int] = None, q_block: int = 128):
         """pool_mid/pool_small: PER-BLOCK slot pools shared by the
         q_block queries (a slot holds one (query, term) posting range;
         one query may use several). Defaults SCALE WITH q_block from the
@@ -421,7 +421,7 @@ class ShardedDeviceBM25:
 
     def __init__(self, index: bm25_lib.BM25Index, mesh_ctx=None,
                  n_head: int = 512, l_small: int = 2048,
-                 pool_mid: int = None, pool_small: int = None,
+                 pool_mid: Optional[int] = None, pool_small: Optional[int] = None,
                  q_block: int = 128):
         from viquae_tpu.core import mesh as meshlib
 
