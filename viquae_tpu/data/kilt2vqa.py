@@ -137,6 +137,35 @@ class GazetteerNER:
         "will", "would", "yes", "you",
     }
     _POSSESSIVE_SUFFIXES = ("'s", "’s")
+    # closed class of nationality/ethnic adjectives (demonyms): the ONLY
+    # capitalized words the determiner-phrase expansion may swallow — a dep
+    # parse includes "Russian" in the subtree of "the celebrated Russian
+    # novel War and Peace" (meerqat/data/kilt2vqa.py:157-227); any other
+    # capitalized word may be a distinct entity and must end the phrase.
+    # A demonym that is itself a KB title is also excluded at match time.
+    _DEMONYMS = frozenset("""
+        afghan african albanian algerian american angolan arab arabic
+        argentine argentinian armenian asian australian austrian
+        azerbaijani bahraini bangladeshi basque bavarian belarusian
+        belgian bolivian bosnian brazilian british bulgarian burmese
+        byzantine cambodian canadian catalan chilean chinese colombian
+        congolese croatian cuban czech danish dominican dutch ecuadorian
+        egyptian emirati english estonian ethiopian european filipino
+        finnish flemish florentine french galician georgian german
+        ghanaian greek guatemalan haitian hispanic honduran hungarian
+        icelandic indian indonesian iranian iraqi irish israeli italian
+        jamaican japanese jordanian kazakh kenyan korean kurdish kuwaiti
+        laotian latin latvian lebanese libyan lithuanian macedonian
+        malagasy malaysian maltese mexican moldovan mongolian moroccan
+        neapolitan nepalese nicaraguan nigerian nordic norwegian omani
+        ottoman pakistani palestinian panamanian paraguayan parisian
+        persian peruvian polish portuguese prussian qatari roman romanian
+        russian rwandan salvadoran saudi scandinavian scottish senegalese
+        serbian sicilian singaporean slovak slovenian somali soviet
+        spanish sudanese swedish swiss syrian taiwanese tanzanian thai
+        tibetan tunisian turkish ugandan ukrainian uruguayan uzbek
+        venetian venezuelan vietnamese welsh yemeni zambian zimbabwean
+    """.split())
 
     def __init__(self, titles, max_ngram: int = 8,
                  expand_determiner_phrase: bool = True,
@@ -162,6 +191,15 @@ class GazetteerNER:
             if word.endswith(suffix) and len(word) > len(suffix):
                 return word[: -len(suffix)]
         return None
+
+    def _is_phrase_modifier(self, word: str) -> bool:
+        """A token the determiner-phrase expansion may walk over: any
+        lowercase word, or a capitalized demonym that is not itself a KB
+        title ("the celebrated Russian novel …")."""
+        if word.islower():
+            return True
+        lower = word.lower()
+        return lower in self._DEMONYMS and (lower,) not in self.entries
 
     def __call__(self, text: str) -> List[Tuple[str, int, int, str]]:
         tokens = [(m.group(), m.start(), m.end())
@@ -222,7 +260,7 @@ class GazetteerNER:
                 # famous painting Mona Lisa") — a dep parse has no cap, but
                 # longer runs risk swallowing clause boundaries
                 j = first - 1
-                while (j >= 0 and tokens[j][0].islower()
+                while (j >= 0 and self._is_phrase_modifier(tokens[j][0])
                        and first - j <= 4
                        and tokens[j][0].lower() not in self._DETERMINERS
                        and tokens[j][0].lower() not in self._PREPOSITIONS):
