@@ -341,9 +341,11 @@ def test_pools_scale_with_q_block(host_index):
     proportionally more (query, term) pairs); results agree with a
     small-block scorer on the same corpus."""
     big = DeviceBM25(host_index, n_head=16, l_small=64, q_block=256)
-    assert big.pool_mid == 256 and big.pool_small == 640
+    assert big.pool_mid == 1088 and big.pool_small == 576
     small = DeviceBM25(host_index, n_head=16, l_small=64, q_block=128)
-    assert small.pool_mid == 128 and small.pool_small == 320
+    assert small.pool_mid == 704 and small.pool_small == 384
+    assert big.pool_mid > small.pool_mid
+    assert big.pool_small > small.pool_small
     queries = _queries(host_index, n=12, seed=7)
     s_big, i_big = big.search_batch(queries, k=10)
     s_small, i_small = small.search_batch(queries, k=10)
@@ -351,3 +353,60 @@ def test_pools_scale_with_q_block(host_index):
         assert a == b
     for a, b in zip(s_big, s_small):
         np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
+def test_split_slots_match_unsplit(host_index):
+    """A tiny l_mid cap forces wide terms to SPLIT across consecutive
+    slots; scores must match an unsplit scorer on the same corpus (adds
+    are additive — only f32 summation order can differ)."""
+    # n_head=0 leaves even the widest terms in the tail (df ~hundreds at
+    # this fixture), so l_mid=128 forces multi-chunk splits
+    unsplit = DeviceBM25(host_index, n_head=0, l_small=64, l_mid=1 << 20,
+                         q_block=8)
+    split = DeviceBM25(host_index, n_head=0, l_small=64, l_mid=128,
+                       q_block=8)
+    assert split.l_mid == 128
+    assert unsplit.l_mid > split.l_mid, "fixture corpus too small to split"
+    queries = _queries(host_index, n=16, seed=11)
+    s_u, i_u = unsplit.search_batch(queries, k=10)
+    s_s, i_s = split.search_batch(queries, k=10)
+    assert split.last_overflow == 0, "split pools must absorb the chunks"
+    for a, b in zip(i_u, i_s):
+        assert a == b
+    for a, b in zip(s_u, s_s):
+        np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
+def test_split_slots_sharded_matches_single_device(host_index):
+    """Sharded split slots (same slot index on every shard, per-shard
+    sub-ranges) must agree with the single-device split scorer."""
+    from viquae_tpu.core import mesh as meshlib
+
+    from viquae_tpu.ops.bm25_device import ShardedDeviceBM25
+
+    ctx = meshlib.make_mesh(data=2, kb=4)
+    single = DeviceBM25(host_index, n_head=16, l_small=64, l_mid=128,
+                        q_block=8)
+    sharded = ShardedDeviceBM25(host_index, mesh_ctx=ctx, n_head=16,
+                                l_small=64, l_mid=128, q_block=8)
+    assert sharded.l_mid <= 128
+    queries = _queries(host_index, n=16, seed=13)
+    s_1, i_1 = single.search_batch(queries, k=10)
+    s_n, i_n = sharded.search_batch(queries, k=10)
+    for a, b in zip(i_1, i_n):
+        assert a == b
+    for a, b in zip(s_1, s_n):
+        np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
+def test_last_overflow_counter(host_index):
+    """last_overflow reports the host-fallback query count per call —
+    the bench labels the overflow rate next to the throughput."""
+    dev = DeviceBM25(host_index, n_head=16, l_small=64, pool_mid=2,
+                     pool_small=2, q_block=8)
+    queries = _queries(host_index, n=16, seed=17)
+    dev.search_batch(queries, k=10)
+    assert dev.last_overflow > 0
+    roomy = DeviceBM25(host_index, n_head=16, l_small=64, q_block=8)
+    roomy.search_batch(queries, k=10)
+    assert roomy.last_overflow == 0

@@ -18,9 +18,11 @@ per 128-query block at 1.5M docs / 86M postings, a 4.3x over the host):
   densified into an (n_head, D_pad) bf16 matrix ONCE; a query block scores
   them with a single MXU matmul (12 ms for 128 x 512 x 1.5M).
 - **Tail terms**: kept as CSR (docs int32 + weights bf16, term-major).
-  Each tail term of each query becomes a (start, len) range placed in a
-  PER-BLOCK slot pool (df-tiered: mid slots sized to the largest tail
-  posting list, small slots to `l_small`), gathered with vmapped
+  Each tail term of each query becomes one or more (start, len) ranges
+  placed in a PER-BLOCK slot pool (two tiers: `l_small`- and `l_mid`-cap
+  slots; a term wider than `l_mid` SPLITS across consecutive slots — the
+  round-5 change that cut static scatter lanes 15.1M -> 4.3M per
+  512-query block at 1.5M docs), gathered with vmapped
   `dynamic_slice` (contiguous — an element-wise gather of the same
   postings costs 867 ms) and scatter-added with explicit (row, doc)
   index pairs into the f32 score block. Scatter cost is linear in
@@ -112,16 +114,26 @@ class DeviceBM25:
     """
 
     def __init__(self, index: bm25_lib.BM25Index, n_head: int = 512,
-                 l_small: int = 2048, pool_mid: Optional[int] = None,
+                 l_small: int = 512, l_mid: int = 2048,
+                 pool_mid: Optional[int] = None,
                  pool_small: Optional[int] = None, q_block: int = 128):
         """pool_mid/pool_small: PER-BLOCK slot pools shared by the
         q_block queries (a slot holds one (query, term) posting range;
         one query may use several). Defaults SCALE WITH q_block from the
-        measured 128-query Zipf-8 density — ~93 mid + ~141 small terms
-        per 128 queries (take 5 found a 48-slot pool overflowed 21% of
-        queries to the host fallback, which silently dominated e2e
-        time) — with headroom; a block whose pool fills sends the
-        unplaceable QUERIES to the host fallback.
+        measured Zipf-8 slot density with headroom (take 5 found a
+        48-slot pool overflowed 21% of queries to the host fallback,
+        which silently dominated e2e time); a block whose pool fills
+        sends the unplaceable QUERIES to the host fallback.
+
+        l_mid CAPS the mid-slot width: a term whose posting list exceeds
+        it is SPLIT across consecutive slots (same row/qtf, consecutive
+        starts — scatter-adds are additive, so scores are unchanged up
+        to f32 summation order). Splitting decouples slot width from the
+        corpus' max tail df: at 1.5M docs the widest tail term is ~15k
+        postings, and unsplit slots padded EVERY mid term to it — 15.1M
+        static scatter lanes per 512-query block vs 4.3M split (the
+        scatter cost is linear in padded lanes: ~14 ms + ~1.1e-5
+        ms/lane, round-4 take 3).
 
         q_block: queries scored per device program. Per-block costs (the
         head matrix read, selection, and the tunnel's per-transfer
@@ -134,11 +146,17 @@ class DeviceBM25:
         self.index = index
         self.n_head = n_head
         self.l_small_cfg = l_small
-        scale = max(1, -(-q_block // 128))
-        self.pool_mid = pool_mid if pool_mid is not None else 128 * scale
+        self.l_mid_cfg = l_mid
+        # measured split-slot usage per 128 Zipf-8 queries at 1.5M docs:
+        # ~318 mid / ~169 small (mean), ~372 / ~188 (max) — defaults
+        # carry ~1.8x headroom at q_block=128 and ~1.4x at 512 (larger
+        # blocks smooth per-block variance)
+        self.pool_mid = (pool_mid if pool_mid is not None
+                         else _round_up(3 * q_block + 320, 64))
         self.pool_small = (pool_small if pool_small is not None
-                           else 320 * scale)
+                           else _round_up(3 * q_block // 2 + 160, 64))
         self.q_block = q_block
+        self.last_overflow = 0  # queries host-fallbacked by the last call
         self.rebuild()
 
     @property
@@ -164,7 +182,12 @@ class DeviceBM25:
         n_docs = index.n_docs
         self.d_pad = _round_up(n_docs + 1, LANE)
         tail_df = np.where(self.is_head, 0, df)
-        self.l_mid = max(LANE, _round_up(int(tail_df.max(initial=0)), LANE))
+        # mid slots are capped at l_mid_cfg; wider terms split across
+        # consecutive slots (see __init__) — slot width no longer scales
+        # with the corpus' widest tail term
+        self.l_mid = max(LANE, min(
+            _round_up(int(tail_df.max(initial=0)), LANE),
+            _round_up(self.l_mid_cfg, LANE)))
         self.l_small = min(self.l_small_cfg, self.l_mid)
 
         # per-posting weights w(t, d) = idf * tf / (tf + norm_d)
@@ -244,12 +267,22 @@ class DeviceBM25:
                 pos = self.head_pos[tid]
                 if pos >= 0:
                     head_terms.append((pos, qtf))
-                elif self.tail_df[tid] == 0:
                     continue
-                elif self.tail_df[tid] <= self.l_small:
-                    smalls.append((tid, qtf))
-                else:
-                    mids.append((tid, qtf))
+                d = int(self.tail_df[tid])
+                if d == 0:
+                    continue
+                # split wide terms into l_mid-cap chunks (consecutive
+                # starts; adds are additive so splitting is score-exact
+                # up to f32 summation order); a remainder <= l_small
+                # takes a small slot
+                off = int(self.tail_offsets[tid])
+                while d > self.l_small:
+                    take = min(d, self.l_mid)
+                    mids.append((off, take, qtf))
+                    off += take
+                    d -= take
+                if d > 0:
+                    smalls.append((off, d, qtf))
             # small terms also fit mid slots — spill before giving up
             free_s = p_s - small_used[blk]
             free_m = p_m - mid_used[blk]
@@ -260,17 +293,17 @@ class DeviceBM25:
                 continue
             for pos, qtf in head_terms:
                 head_w[i, pos] = qtf
-            for tid, qtf in mids:
+            for off, length, qtf in mids:
                 s = mid_used[blk]
-                mid_start[blk, s] = self.tail_offsets[tid]
-                mid_len[blk, s] = self.tail_df[tid]
+                mid_start[blk, s] = off
+                mid_len[blk, s] = length
                 mid_row[blk, s] = row
                 mid_qtf[blk, s] = qtf
                 mid_used[blk] += 1
-            for tid, qtf in smalls:
+            for off, length, qtf in smalls:
                 s = small_used[blk]
-                small_start[blk, s] = self.tail_offsets[tid]
-                small_len[blk, s] = self.tail_df[tid]
+                small_start[blk, s] = off
+                small_len[blk, s] = length
                 small_row[blk, s] = row
                 small_qtf[blk, s] = qtf
                 small_used[blk] += 1
@@ -286,6 +319,7 @@ class DeviceBM25:
         if k_eff == 0:  # empty corpus: nothing retrievable
             return [[] for _ in queries], [[] for _ in queries]
         plan, overflow = self._plan(queries)
+        self.last_overflow = len(overflow)
         head_w, ms, ml, mr, mq, ss, sl, sr, sq = plan
         qb = self.q_block
         scores_out = np.zeros((head_w.shape[0], k_eff), np.float32)
@@ -342,6 +376,7 @@ class DeviceBM25:
                     jnp.full((pad_rows, max(k_eff, 1)),
                              jnp.iinfo(jnp.int32).max, jnp.int32))
         plan, overflow = self._plan(queries)
+        self.last_overflow = len(overflow)
         head_w, ms, ml, mr, mq, ss, sl, sr, sq = plan
         qb = self.q_block
         outs = []
@@ -420,8 +455,9 @@ class ShardedDeviceBM25:
     """
 
     def __init__(self, index: bm25_lib.BM25Index, mesh_ctx=None,
-                 n_head: int = 512, l_small: int = 2048,
-                 pool_mid: Optional[int] = None, pool_small: Optional[int] = None,
+                 n_head: int = 512, l_small: int = 512,
+                 l_mid: int = 2048, pool_mid: Optional[int] = None,
+                 pool_small: Optional[int] = None,
                  q_block: int = 128):
         from viquae_tpu.core import mesh as meshlib
 
@@ -429,13 +465,15 @@ class ShardedDeviceBM25:
         self.ctx = mesh_ctx or meshlib.current()
         self.n_head = n_head
         self.l_small_cfg = l_small
-        # pools scale with q_block like DeviceBM25 (measured Zipf-8
-        # density is per-query, so slots are too)
-        scale = max(1, -(-q_block // 128))
-        self.pool_mid = pool_mid if pool_mid is not None else 128 * scale
+        self.l_mid_cfg = l_mid
+        # pools scale with q_block like DeviceBM25 (same split-slot
+        # density; a chunk occupies the same slot index on every shard)
+        self.pool_mid = (pool_mid if pool_mid is not None
+                         else _round_up(3 * q_block + 320, 64))
         self.pool_small = (pool_small if pool_small is not None
-                           else 320 * scale)
+                           else _round_up(3 * q_block // 2 + 160, 64))
         self.q_block = q_block
+        self.last_overflow = 0
         self.rebuild()
 
     @property
@@ -500,9 +538,11 @@ class ShardedDeviceBM25:
         self.tail_len = np.diff(bounds).reshape(n_dev, len(df)).astype(
             np.int32)
         self.tail_df_total = np.where(self.is_head, 0, df)
-        # per-shard slot caps from ACTUAL per-shard maxima
-        self.l_mid = max(LANE, _round_up(
-            int(self.tail_len.max(initial=0)), LANE))
+        # per-shard slot caps from ACTUAL per-shard maxima, capped at
+        # l_mid_cfg (wider per-shard slices split across slots)
+        self.l_mid = max(LANE, min(
+            _round_up(int(self.tail_len.max(initial=0)), LANE),
+            _round_up(self.l_mid_cfg, LANE)))
         self.l_small = min(self.l_small_cfg, self.l_mid)
         # a shard's small-slot cap must hold its slice of any small term:
         # a term is "small" by its TOTAL df, already >= any shard slice
@@ -628,12 +668,28 @@ class ShardedDeviceBM25:
                 pos = self.head_pos[tid]
                 if pos >= 0:
                     head_terms.append((pos, qtf))
-                elif self.tail_df_total[tid] == 0:
                     continue
-                elif self.tail_df_total[tid] <= self.l_small:
-                    smalls.append((tid, qtf))
-                else:
-                    mids.append((tid, qtf))
+                if self.tail_df_total[tid] == 0:
+                    continue
+                starts = self.tail_start[:, tid]
+                lens = self.tail_len[:, tid]
+                width = int(lens.max(initial=0))
+                # split wide per-shard slices into l_mid-cap chunks; a
+                # chunk occupies the SAME slot index on every shard with
+                # a per-shard (start+j*cap, clip(len-j*cap, 0, cap))
+                # sub-range (len 0 where the shard's slice is shorter)
+                j = 0
+                while width > self.l_small:
+                    c_len = np.clip(lens - j * self.l_mid, 0, self.l_mid)
+                    mids.append((starts + j * self.l_mid,
+                                 c_len.astype(np.int32), qtf))
+                    j += 1
+                    width -= self.l_mid
+                if width > 0:
+                    c_len = np.clip(lens - j * self.l_mid, 0,
+                                    self.l_small)
+                    smalls.append((starts + j * self.l_mid,
+                                   c_len.astype(np.int32), qtf))
             free_s = p_s - small_used[blk]
             free_m = p_m - mid_used[blk]
             while len(smalls) > free_s and len(mids) < free_m:
@@ -643,17 +699,17 @@ class ShardedDeviceBM25:
                 continue
             for pos, qtf in head_terms:
                 head_w[i, pos] = qtf
-            for tid, qtf in mids:
+            for starts, lens, qtf in mids:
                 s = mid_used[blk]
-                mid_start[blk, :, s] = self.tail_start[:, tid]
-                mid_len[blk, :, s] = self.tail_len[:, tid]
+                mid_start[blk, :, s] = starts
+                mid_len[blk, :, s] = lens
                 mid_row[blk, s] = row
                 mid_qtf[blk, s] = qtf
                 mid_used[blk] += 1
-            for tid, qtf in smalls:
+            for starts, lens, qtf in smalls:
                 s = small_used[blk]
-                small_start[blk, :, s] = self.tail_start[:, tid]
-                small_len[blk, :, s] = self.tail_len[:, tid]
+                small_start[blk, :, s] = starts
+                small_len[blk, :, s] = lens
                 small_row[blk, s] = row
                 small_qtf[blk, s] = qtf
                 small_used[blk] += 1
@@ -669,6 +725,7 @@ class ShardedDeviceBM25:
         if k_eff == 0:  # empty corpus: nothing retrievable
             return [[] for _ in queries], [[] for _ in queries]
         plan, overflow = self._plan(queries)
+        self.last_overflow = len(overflow)
         head_w, ms, ml, mr, mq, ss, sl, sr, sq = plan
         qb = self.q_block
         fn = self._block_fn(k_eff)
@@ -714,6 +771,7 @@ class ShardedDeviceBM25:
                     jnp.full((pad_rows, max(k_eff, 1)),
                              jnp.iinfo(jnp.int32).max, jnp.int32))
         plan, overflow = self._plan(queries)
+        self.last_overflow = len(overflow)
         head_w, ms, ml, mr, mq, ss, sl, sr, sq = plan
         qb = self.q_block
         fn = self._block_fn(k_eff)
