@@ -33,6 +33,10 @@ CHECKPOINTS = {
     "dpr_ctx": "facebook/dpr-ctx_encoder-single-nq-base",
     "clip": "openai/clip-vit-base-patch32",
     "vilt": "dandelin/vilt-b32-finetuned-vqa",
+    # the reference's released TriviaQA reader (EXPERIMENTS.rst: init for
+    # the ViQuAE rc fine-tune; docs/RUNBOOK_EGRESS.md step 2)
+    "reader": "PaulLerner/multi_passage_bert_triviaqa_without_viquae"
+              "_mean_pool_loss",
 }
 
 
@@ -147,6 +151,44 @@ def validate_clip(results):
     }
 
 
+def validate_reader(results):
+    import torch
+    from transformers import BertForQuestionAnswering
+
+    import jax.numpy as jnp
+    from viquae_tpu.models import qa
+
+    # snapshot to a local dir first when pulling from the hub is desired;
+    # a local save_pretrained dir works directly
+    path = CHECKPOINTS["reader"]
+    if not os.path.isdir(path):
+        from huggingface_hub import snapshot_download
+
+        path = snapshot_download(path)
+    params, cfg = qa.params_from_pretrained_dir(path)
+    model = BertForQuestionAnswering.from_pretrained(
+        CHECKPOINTS["reader"]).eval()
+    rng = np.random.default_rng(4)
+    vocab = model.config.vocab_size
+    n, m, L = 1, 2, 24
+    ids = rng.integers(999, min(9999, vocab), (n * m, L))
+    mask = np.ones((n * m, L), np.int64)
+    with torch.no_grad():
+        ref = model(input_ids=torch.tensor(ids),
+                    attention_mask=torch.tensor(mask))
+    out = qa.reader_apply(
+        params, cfg, jnp.asarray(ids, jnp.int32),
+        attention_mask=jnp.asarray(mask, jnp.int32), m_passages=m)
+    diff = float(np.abs(
+        np.asarray(out.start_logits).reshape(n * m, L)
+        - ref.start_logits.numpy()).max())
+    assert diff < 1e-3, f"reader start-logit diff {diff}"
+    results["reader"] = {
+        "checkpoint": CHECKPOINTS["reader"], "max_abs_diff": diff,
+        "start_logits_sha": checksum(out.start_logits),
+    }
+
+
 def validate_arcface(results, path):
     """path: local ms1mv3_arcface_r50_fp16/backbone.pth (insightface
     release; the reference's image/face_recognition.py:55-61 checkpoint)."""
@@ -198,7 +240,8 @@ def main():
 
     results: dict = {"timestamp": time.strftime("%Y-%m-%dT%H:%M:%S")}
     todo = args.models.split(",")
-    fns = {"bert": validate_bert, "dpr": validate_dpr, "clip": validate_clip}
+    fns = {"bert": validate_bert, "dpr": validate_dpr,
+           "clip": validate_clip, "reader": validate_reader}
     for name in todo:
         if name == "arcface":
             if args.arcface_path:

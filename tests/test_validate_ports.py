@@ -52,6 +52,13 @@ def checkpoint_root(tmp_path_factory):
                          image_size=32, patch_size=8),
         projection_dim=16,
     )).eval().save_pretrained(root / "clip")
+    from transformers import BertForQuestionAnswering
+
+    BertForQuestionAnswering(BertConfig(
+        vocab_size=1100, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=64,
+    )).eval().save_pretrained(root / "reader")
     return root
 
 
@@ -70,7 +77,8 @@ def test_validate_functions_pass_on_local_checkpoints(checkpoint_root):
     mod.validate_bert(results)
     mod.validate_dpr(results)
     mod.validate_clip(results)
-    for name in ("bert", "dpr", "clip"):
+    mod.validate_reader(results)
+    for name in ("bert", "dpr", "clip", "reader"):
         assert "error" not in results[name]
         assert results[name]["max_abs_diff"] < 1e-3, results[name]
     # checksums are deterministic — the regression-pin mechanism works

@@ -559,7 +559,8 @@ def cmd_stats(args):
 def cmd_train(args):
     from viquae_tpu.train.run import run_from_config
 
-    run_from_config(args.config, subcommand=args.subcommand)
+    run_from_config(args.config, subcommand=args.subcommand,
+                    ckpt_path=args.ckpt_path)
 
 
 def main(argv=None):
@@ -642,6 +643,10 @@ def main(argv=None):
     p = sub.add_parser("train", help="config-driven training")
     p.add_argument("subcommand", choices=["fit", "test"])
     _add_config_positional(p)
+    p.add_argument("--ckpt-path", dest="ckpt_path", default=None,
+                   help="checkpoint dir to restore for `test` (the "
+                        "reference's trainer test --ckpt_path); defaults "
+                        "to trainer.ckpt_dir's best/ then latest step")
     p.set_defaults(fn=cmd_train)
 
     from viquae_tpu.cli_aux import register_aux

@@ -59,6 +59,66 @@ def init(key, cfg: ReaderConfig) -> Dict[str, Any]:
     return params
 
 
+def params_from_hf(state_dict, cfg: ReaderConfig, prefix: str = ""
+                   ) -> Dict[str, Any]:
+    """Port a torch ``MultiPassageBERT`` / ``BertForQuestionAnswering``
+    state_dict (``bert.*`` encoder + ``qa_outputs`` span head, optional
+    ``score_proj_w``/``score_proj_b`` — reference models/qa.py:80-151) into
+    reader params. This is the egress-runbook entry point for loading the
+    reference's released reader checkpoints
+    (``PaulLerner/multi_passage_bert_triviaqa_without_viquae_mean_pool_loss``
+    and any locally fine-tuned ViQuAE reader) — docs/RUNBOOK_EGRESS.md."""
+    import numpy as np
+
+    def get(name):
+        t = state_dict[prefix + name]
+        return jnp.asarray(np.asarray(
+            t.detach().cpu().numpy() if hasattr(t, "detach") else t
+        ))
+
+    params: Dict[str, Any] = {
+        "bert": bert.params_from_hf(state_dict, cfg.bert,
+                                    prefix=prefix + "bert."),
+        "qa_outputs": {"kernel": get("qa_outputs.weight").T,
+                       "bias": get("qa_outputs.bias")},
+    }
+    if cfg.fuse_ir_score and (prefix + "score_proj_w") in state_dict:
+        # absent when fine-tuning the fused variant from a non-fused
+        # checkpoint — the caller seeds fresh identity params then
+        params["score_proj_w"] = get("score_proj_w")
+        params["score_proj_b"] = get("score_proj_b")
+    return params
+
+
+def params_from_pretrained_dir(path, cfg: Optional[ReaderConfig] = None
+                               ) -> Tuple[Dict[str, Any], ReaderConfig]:
+    """Load an HF ``save_pretrained`` reader dir (config.json +
+    pytorch_model.bin / model.safetensors) and port it. Returns
+    ``(params, cfg)``; when ``cfg`` is None the BertConfig is derived from
+    the dir's config.json so any released checkpoint ports unmodified."""
+    import os
+
+    from transformers import AutoConfig
+
+    hf_cfg = AutoConfig.from_pretrained(str(path))
+    if cfg is None:
+        cfg = ReaderConfig(bert=bert.BertConfig.from_hf(
+            hf_cfg, add_pooler=False))
+    # raw state-dict load (not BertForQuestionAnswering.from_pretrained):
+    # the fused variant's score_proj_w/b are unexpected keys to HF and
+    # would be silently dropped by from_pretrained
+    bin_path = os.path.join(str(path), "pytorch_model.bin")
+    if os.path.exists(bin_path):
+        import torch
+
+        sd = torch.load(bin_path, map_location="cpu", weights_only=True)
+    else:
+        from safetensors.torch import load_file
+
+        sd = load_file(os.path.join(str(path), "model.safetensors"))
+    return params_from_hf(sd, cfg), cfg
+
+
 def reader_apply(
     params,
     cfg: ReaderConfig,

@@ -24,6 +24,7 @@ mirroring `python -m meerqat.train.trainer fit --config=...`
 """
 from __future__ import annotations
 
+import dataclasses
 from pathlib import Path
 from typing import Iterable, Optional
 
@@ -68,13 +69,36 @@ def build_trainee(config: dict, tokenizer=None):
         from viquae_tpu.models import bert, qa
         import jax
 
-        bert_cfg = bert.BertConfig(
-            **config.pop("bert_config", {}), add_pooler=False
-        )
-        cfg = qa.ReaderConfig(
-            bert=bert_cfg, fuse_ir_score=config.pop("fuse_ir_score", False)
-        )
-        params = qa.init(jax.random.key(config.pop("seed", 0)), cfg)
+        pretrained = config.pop("pretrained", None)
+        fuse_ir_score = config.pop("fuse_ir_score", False)
+        if pretrained is not None:
+            # HF save_pretrained dir of a MultiPassageBERT /
+            # BertForQuestionAnswering checkpoint (the reference inits the
+            # ViQuAE reader from the released TriviaQA reader —
+            # EXPERIMENTS.rst fine-tuning step; docs/RUNBOOK_EGRESS.md).
+            # bert_config overrides still apply on top of the dir's config.
+            from transformers import AutoConfig
+
+            hf_cfg = AutoConfig.from_pretrained(str(pretrained))
+            base = dataclasses.asdict(
+                bert.BertConfig.from_hf(hf_cfg, add_pooler=False))
+            base.update(config.pop("bert_config", {}))
+            cfg = qa.ReaderConfig(bert=bert.BertConfig(**base),
+                                  fuse_ir_score=fuse_ir_score)
+            params, cfg = qa.params_from_pretrained_dir(pretrained, cfg)
+            if fuse_ir_score and "score_proj_w" not in params:
+                # fine-tuning the fused variant FROM a non-fused checkpoint
+                import jax.numpy as jnp
+
+                params["score_proj_w"] = jnp.ones((1, 1))
+                params["score_proj_b"] = jnp.zeros((1,))
+            config.pop("seed", None)
+        else:
+            bert_cfg = bert.BertConfig(
+                **config.pop("bert_config", {}), add_pooler=False
+            )
+            cfg = qa.ReaderConfig(bert=bert_cfg, fuse_ir_score=fuse_ir_score)
+            params = qa.init(jax.random.key(config.pop("seed", 0)), cfg)
         return trainee_lib.ReaderTrainee(
             cfg, params, tokenizer, **config
         )
@@ -149,18 +173,22 @@ def build_collator(config: dict, tokenizer, trainee_kind: str):
     return collator, dataset, eval_dataset, batch_size
 
 
-def run_from_config(config_path, subcommand: str = "fit") -> dict:
+def run_from_config(config_path, subcommand: str = "fit",
+                    ckpt_path=None) -> dict:
     import jax
 
     from viquae_tpu.train import optim
     from viquae_tpu.train.trainer import Trainer, TrainerConfig
 
     config = load_config(config_path)
+    if ckpt_path is not None:
+        config["ckpt_path"] = ckpt_path
     seed = config.get("seed", 42)
 
     tokenizer = _build_tokenizer(config["data"].pop("tokenizer"))
     trainee_cfg = dict(config["trainee"])
     trainee_kind = trainee_cfg["kind"]
+    trainee_cfg_had_pretrained = "pretrained" in trainee_cfg
     trainee = build_trainee(trainee_cfg, tokenizer=tokenizer)
     collator, dataset, eval_dataset, batch_size = build_collator(
         dict(config["data"]), tokenizer, trainee_kind
@@ -226,7 +254,29 @@ def run_from_config(config_path, subcommand: str = "fit") -> dict:
                 trainee.export(export, params=trainer.state["params"])
         elif subcommand == "test" and hasattr(trainee, "test"):
             # full test protocol (reader: metrics.json/predictions.json,
-            # parity with the reference's `trainer test`)
+            # parity with the reference's `trainer test --ckpt_path=...`).
+            # Restore order: explicit `ckpt_path` > ckpt_dir/best (the
+            # monitor-kept checkpoint) > latest ckpt_dir step; a missing
+            # checkpoint is an error — silently testing random-init params
+            # would report garbage metrics as if they were the run's.
+            from viquae_tpu.train import checkpoint as ckpt_lib
+
+            ckpt_path = config.get("ckpt_path")
+            if not ckpt_path and trainer_cfg.ckpt_dir:
+                best = Path(trainer_cfg.ckpt_dir) / "best"
+                if ckpt_lib.all_steps(best):
+                    ckpt_path = best
+                elif ckpt_lib.all_steps(trainer_cfg.ckpt_dir):
+                    ckpt_path = trainer_cfg.ckpt_dir
+            if ckpt_path:
+                trainer.state, _ = ckpt_lib.restore_state(
+                    ckpt_path, trainer.state)
+            elif not trainee_cfg_had_pretrained:
+                raise FileNotFoundError(
+                    "train test: no checkpoint found (set `ckpt_path`, "
+                    "populate trainer.ckpt_dir, or init the trainee from "
+                    "`pretrained:`)"
+                )
             log_dir = (config.get("export") or trainer_cfg.ckpt_dir
                        or ".")
             result = trainee.test(
