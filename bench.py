@@ -35,13 +35,18 @@ Recovery contract (VERDICT r4 item 1 — one bad HBM window must not be
 permanently recorded as the round's number):
 - before each HBM-heavy stage, PROBE the window (largest single bf16
   allocation that succeeds + a fixed host-matmul canary); a dirty probe
-  DEFERS the stage to the back of the queue (up to 3 times, waiting out
+  DEFERS the stage to the back of the queue (up to 8 times, waiting out
   co-tenant pressure) instead of degrading, while deadline headroom
-  lasts;
+  lasts — in DEGRADED runs too, against a halved threshold;
+- an OOM whose pre-probe read a WEDGED window (<1GB free: even tiny
+  programs fail — observed live 2026-08-20) consumes NO attempt and
+  never escalates the degrade ladder: the run re-execs, sleeps 60s with
+  the chip released, and retries (bounded by deadline + a global cap);
 - after all stages land, remaining deadline is spent RE-RUNNING
-  half-batch stages at full batch (VIQUAE_BENCH_RECOVER=a,b rides the
-  exec; one attempt per stage, best honest result kept — a failed
-  recovery keeps the degraded number);
+  half-batch AND fully-errored stages at full batch
+  (VIQUAE_BENCH_RECOVER=a,b rides the exec; one attempt per stage, best
+  honest result kept — a failed recovery keeps the degraded number, and
+  a dirty recovery probe WAITS instead of burning the attempt);
 - every stage's probe state is recorded in the JSON under
   "stage_health" ({degraded, free_hbm_gb, canary_ms, recovered}) so a
   squeezed number is labeled, not silent.
@@ -49,7 +54,9 @@ permanently recorded as the round's number):
 Env knobs: BENCH_SMALL=1 (tiny shapes), BENCH_PLATFORM=cpu (functional
 smoke), VIQUAE_BENCH_BUDGET (total seconds, default 2250),
 VIQUAE_BENCH_STAGES=a,b (subset), VIQUAE_BENCH_CACHE_DIR,
-VIQUAE_BENCH_FAKE_OOM=<stage> (drill: inject one RESOURCE_EXHAUSTED).
+VIQUAE_BENCH_FAKE_OOM=<stage> (drill: inject one RESOURCE_EXHAUSTED),
+VIQUAE_BENCH_FAKE_PROBE="v1:t1,v2" (drill: probe reads v1 GB until t1
+seconds into the run, then v2), VIQUAE_BENCH_DEFER_WAIT (seconds).
 
 Parity keys (labels say exactly what was measured):
 - approx_r_at_20_vs_exact_fullkb: lax.approx_max_k top-20 vs exact top-20,
@@ -91,9 +98,14 @@ FINAL_MARGIN_S = 60
 # score block; fusion rides the exact program; train: ~2GB remat peaks)
 STAGE_MIN_PROBE_GB = {
     "exact": 4, "fusion": 4, "hybrid": 4, "parity": 4, "train": 2,
+    "reader": 1, "image_chain": 1,
 }
-MAX_DEFERS = 3
-DEFER_WAIT_S = 60.0
+MAX_DEFERS = 8
+DEFER_WAIT_S = float(os.environ.get("VIQUAE_BENCH_DEFER_WAIT", "60"))
+# a probe below this is a WEDGED window (observed 2026-08-20: even the
+# tiny reader program OOMs; an OOM then says nothing about the program)
+WEDGE_GB = 1.0
+MAX_WEDGE_WAITS = 30  # global, across execs; deadline is the real bound
 # recovery order: headline first, then the stages the round is judged on
 RECOVER_ORDER = ["exact", "hybrid", "fusion", "train", "reader",
                  "image_chain", "parity"]
@@ -199,6 +211,15 @@ class StageCache:
     def health(self, name) -> dict:
         return self.data.get("health", {}).get(name, {})
 
+    def wedge_waits(self) -> int:
+        return self.data.get("wedge_waits", 0)
+
+    def bump_wedge(self) -> int:
+        n = self.wedge_waits() + 1
+        self.data["wedge_waits"] = n
+        self._save()
+        return n
+
     def recover_attempts(self, name) -> int:
         return self.data.get("recover", {}).get(name, 0)
 
@@ -242,6 +263,8 @@ def _assemble(cache: StageCache, final: bool, note: str | None = None):
         details["stage_health"] = health
     if cache.data["errors"]:
         details["stage_errors"] = dict(cache.data["errors"])
+    if cache.wedge_waits():
+        details["wedge_waits"] = cache.wedge_waits()
     pending = [n for n, _, _ in _active_stages()
                if not cache.done(n) and n not in cache.data["errors"]]
     if pending:
@@ -282,8 +305,9 @@ def sync(x):
 
 # probes are meaningful only on the real chip: the cpu-platform smoke and
 # drill modes must not try to allocate 8GB of host RAM on this small VM
-PROBE_ENABLED = (not SMALL and not os.environ.get("BENCH_PLATFORM")
-                 and not os.environ.get("VIQUAE_BENCH_DRILL"))
+PROBE_ENABLED = (os.environ.get("VIQUAE_BENCH_FAKE_PROBE") is not None
+                 or (not SMALL and not os.environ.get("BENCH_PLATFORM")
+                     and not os.environ.get("VIQUAE_BENCH_DRILL")))
 
 
 def probe_free_hbm(jax, jnp, sizes_gb=(8.0, 6.0, 5.0, 4.0, 3.0, 2.0)):
@@ -291,6 +315,15 @@ def probe_free_hbm(jax, jnp, sizes_gb=(8.0, 6.0, 5.0, 4.0, 3.0, 2.0)):
     GB (descending ladder; free HBM on the shared chip FLUCTUATES —
     CLAUDE.md round-3/4). A failed alloc raises RESOURCE_EXHAUSTED as a
     normal python exception and costs only the attempt."""
+    fake = os.environ.get("VIQUAE_BENCH_FAKE_PROBE")
+    if fake:
+        # drill hook: "v1:t1,v2" — probe reads v1 GB until t1 seconds
+        # into the run, then v2 (a wedge that clears; rides execs)
+        first, after = fake.split(",", 1)
+        v1, t1 = first.split(":")
+        start = DEADLINE - float(os.environ.get("VIQUAE_BENCH_BUDGET",
+                                                "2250"))
+        return float(v1 if time.time() - start < float(t1) else after)
     for gb in sizes_gb:
         n = int(gb * (1 << 30) // 2)
         try:
@@ -1133,6 +1166,16 @@ def main():
     cache = StageCache()
     _CACHE = cache
 
+    # wedged-window wait, requested by the previous exec's OOM handler:
+    # sleep BEFORE the PJRT client initializes so the chip is not held
+    # while waiting out co-tenant pressure
+    wedge_sleep = os.environ.pop("VIQUAE_BENCH_SLEEP", None)
+    if wedge_sleep:
+        dt = min(float(wedge_sleep), max(0.0, time_left() - 180))
+        print(f"bench: wedged window — sleeping {dt:.0f}s before retry "
+              f"(t_left={time_left():.0f}s)", file=sys.stderr, flush=True)
+        time.sleep(dt)
+
     import jax
 
     # persistent compilation cache: first-ever compile over the tunneled TPU
@@ -1192,7 +1235,12 @@ def main():
             canary = host_canary_ms()
             cache.put_health(name, {"free_hbm_gb": free_gb,
                                     "canary_ms": round(canary, 1)})
-            if free_gb < need_gb and not DEGRADED:
+            # a degraded run needs roughly half the headroom; still defer
+            # when even that is missing (2026-08-20: a wedged window fails
+            # EVERY size — degrading must not disable waiting it out)
+            need_now = need_gb if not DEGRADED else max(
+                WEDGE_GB, need_gb / 2)
+            if free_gb < need_now:
                 # dirty window: DEFER rather than degrade while deadline
                 # headroom exists — co-tenant HBM pressure on this shared
                 # chip comes and goes within minutes (round-4 lesson)
@@ -1203,11 +1251,14 @@ def main():
                         + FINAL_MARGIN_S):
                     defers[name] = n_defer + 1
                     print(f"bench: stage {name} deferred (probe "
-                          f"{free_gb}GB < {need_gb}GB, defer "
+                          f"{free_gb}GB < {need_now}GB, defer "
                           f"{n_defer + 1}/{MAX_DEFERS})", file=sys.stderr,
                           flush=True)
-                    if not queue:  # nothing else to run — wait the window
-                        time.sleep(DEFER_WAIT_S)
+                    # wait the window out; brief pause even when other
+                    # stages remain (they are usually gated too — without
+                    # a pause a fully-dirty window busy-probes)
+                    time.sleep(DEFER_WAIT_S if not queue
+                               else DEFER_WAIT_S / 6)
                     queue.append((name, fn, est))
                     continue
                 print(f"bench: stage {name} proceeding despite dirty "
@@ -1222,11 +1273,33 @@ def main():
             details = fn(ctx)
         except Exception as e:  # noqa: BLE001
             err = repr(e)
+            oomish = _is_oom(err) or _is_compiler_crash(err)
+            # WEDGED window: the stage's own pre-probe already read ~zero
+            # free HBM, so this OOM carries no information about the
+            # program — wait it out in a fresh process (attempt NOT
+            # consumed, degrade ladder NOT escalated) while deadline
+            # headroom exists. Probing here instead would be misled by
+            # this very exception's still-referenced device buffers.
+            pre_gb = cache.health(name).get("free_hbm_gb")
+            rest_est = sum(e_ for _, _, e_ in queue) + est
+            if (oomish and pre_gb is not None and pre_gb < WEDGE_GB
+                    and cache.wedge_waits() < MAX_WEDGE_WAITS
+                    and time_left() > rest_est + DEFER_WAIT_S
+                    + FINAL_MARGIN_S):
+                n = cache.bump_wedge()
+                print(f"bench: stage {name} OOM in a wedged window "
+                      f"(pre-probe {pre_gb}GB) — wedge wait "
+                      f"{n}/{MAX_WEDGE_WAITS}", file=sys.stderr,
+                      flush=True)
+                emit(cache, final=False,
+                     note=f"wedged window: waiting {DEFER_WAIT_S:.0f}s "
+                          f"before retrying {name}")
+                _reexec({"VIQUAE_BENCH_SLEEP": str(DEFER_WAIT_S)})
             attempts = cache.bump_attempts(name)
             print(f"bench: stage {name} attempt {attempts} failed: "
                   f"{err[:500]}", file=sys.stderr, flush=True)
             extra = {}
-            if _is_oom(err) or _is_compiler_crash(err):
+            if oomish:
                 # escalating degrade ladder: free HBM on this shared chip
                 # fluctuates; a lower but honest number beats no BENCH.
                 # Compiler crashes degrade too — see _is_compiler_crash.
@@ -1252,35 +1325,44 @@ def main():
         emit(cache, final=False)
 
     # every stage has landed or permanently failed: spend remaining
-    # deadline recovering half-batch stages at FULL batch (VERDICT r4
-    # item 1b — the bench must recover, not just survive). The recovery
+    # deadline recovering at FULL batch (VERDICT r4 item 1b — the bench
+    # must recover, not just survive). Recoverable: stages that landed
+    # half-batch AND stages that errored out entirely (a wedged window
+    # that cleared late must not leave permanent nulls). The recovery
     # runs in a fresh process with the degrade flags dropped so the OOM'd
     # parent's buffers and the half-batch ctx are gone.
-    if DEGRADED:
-        est_by_name = {n: e for n, _, e in _active_stages()}
-        todo = [n for n in RECOVER_ORDER
-                if (rec := cache.stage(n)) and rec.get("half")
-                and cache.recover_attempts(n) == 0]
-        todo += [n for n in est_by_name
-                 if n not in RECOVER_ORDER
-                 and (rec := cache.stage(n)) and rec.get("half")
-                 and cache.recover_attempts(n) == 0]
-        min_est = min((est_by_name.get(n, 240) for n in todo),
-                      default=0)
-        if todo and time_left() > min_est + FINAL_MARGIN_S + 60:
-            emit(cache, final=False,
-                 note=f"recovery pass: re-running {todo} at full batch")
-            _reexec({"VIQUAE_BENCH_RECOVER": ",".join(todo)},
-                    drop=("VIQUAE_BENCH_HALF", "VIQUAE_BENCH_CHUNKED"))
+    est_by_name = {n: e for n, _, e in _active_stages()}
+
+    def _recoverable(n):
+        if cache.recover_attempts(n) > 0:
+            return False
+        rec = cache.stage(n)
+        if rec is not None:
+            return bool(rec.get("half"))
+        return n in cache.data["errors"]
+
+    todo = [n for n in RECOVER_ORDER
+            if n in est_by_name and _recoverable(n)]
+    todo += [n for n in est_by_name
+             if n not in RECOVER_ORDER and _recoverable(n)]
+    min_est = min((est_by_name.get(n, 240) for n in todo),
+                  default=0)
+    if todo and time_left() > min_est + FINAL_MARGIN_S + 60:
+        emit(cache, final=False,
+             note=f"recovery pass: re-running {todo} at full batch")
+        _reexec({"VIQUAE_BENCH_RECOVER": ",".join(todo)},
+                drop=("VIQUAE_BENCH_HALF", "VIQUAE_BENCH_CHUNKED"))
 
     emit(cache, final=True)
 
 
 def _recovery_pass(cache: StageCache, ctx: Ctx):
-    """Re-run previously half-batch stages at FULL batch, one attempt
-    each, keeping whichever honest result exists: success replaces the
-    degraded record (half=False, recovered=True); any failure keeps it.
-    Never re-enters the degrade ladder — a recovery OOM is final."""
+    """Re-run half-batch AND fully-errored stages at FULL batch, one
+    attempt each, keeping whichever honest result exists: success
+    replaces the degraded/errored record (recovered=True); any failure
+    keeps it. Never re-enters the degrade ladder — a recovery OOM is
+    final. A dirty probe WAITS (deadline permitting) rather than burning
+    the stage's single recovery attempt."""
     import jax
     import jax.numpy as jnp
 
@@ -1293,16 +1375,25 @@ def _recovery_pass(cache: StageCache, ctx: Ctx):
             print(f"bench: recovery of {name} skipped (deadline)",
                   file=sys.stderr, flush=True)
             continue
-        cache.bump_recover(name)
         need_gb = STAGE_MIN_PROBE_GB.get(name)
         if need_gb and PROBE_ENABLED:
-            free_gb = probe_free_hbm(jax, jnp)
-            cache.put_health(name, {"recover_free_hbm_gb": free_gb})
+            while True:
+                free_gb = probe_free_hbm(jax, jnp)
+                cache.put_health(name, {"recover_free_hbm_gb": free_gb})
+                if free_gb >= need_gb:
+                    break
+                if time_left() < est + DEFER_WAIT_S + FINAL_MARGIN_S:
+                    break
+                print(f"bench: recovery of {name} waiting out a "
+                      f"squeezed window ({free_gb}GB)", file=sys.stderr,
+                      flush=True)
+                time.sleep(DEFER_WAIT_S)
             if free_gb < need_gb:
                 print(f"bench: recovery of {name} skipped (window still "
                       f"squeezed: {free_gb}GB)", file=sys.stderr,
                       flush=True)
                 continue
+        cache.bump_recover(name)
         try:
             print(f"bench: recovery stage {name} at full batch "
                   f"(t_left={time_left():.0f}s)", file=sys.stderr,
@@ -1313,8 +1404,8 @@ def _recovery_pass(cache: StageCache, ctx: Ctx):
             details = fn(ctx)
         except Exception as e:  # noqa: BLE001
             print(f"bench: recovery of {name} failed (keeping the "
-                  f"degraded result): {repr(e)[:300]}", file=sys.stderr,
-                  flush=True)
+                  f"degraded/errored record): {repr(e)[:300]}",
+                  file=sys.stderr, flush=True)
             gc.collect()
             continue
         cache.put(name, details, recovered=True)

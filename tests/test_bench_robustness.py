@@ -30,6 +30,9 @@ def _env(tmp_path, **extra):
     env.pop("VIQUAE_BENCH_CHUNKED", None)
     env.pop("VIQUAE_BENCH_RECOVER", None)
     env.pop("VIQUAE_BENCH_FAKE_OOM_RECOVER", None)
+    env.pop("VIQUAE_BENCH_SLEEP", None)
+    env.pop("VIQUAE_BENCH_FAKE_PROBE", None)
+    env.pop("VIQUAE_BENCH_DEFER_WAIT", None)
     env.update(
         BENCH_PLATFORM="cpu",
         BENCH_SMALL="1",
@@ -85,10 +88,44 @@ def test_failed_recovery_keeps_the_degraded_result(tmp_path):
     result = _last_json(proc.stdout)
     assert result["value"] == 123.0
     assert "degraded_half_batch" in result["details"]
-    assert "keeping the degraded result" in proc.stderr
+    assert "keeping the degraded/errored record" in proc.stderr
     assert result["details"]["stage_health"]["exact"]["degraded"] is True
     # exactly ONE recovery attempt — no ladder re-entry
     assert proc.stderr.count("recovery stage exact") == 1
+
+
+def test_wedged_window_waits_without_burning_attempts(tmp_path):
+    """An OOM whose pre-probe read a WEDGED window (<1GB free: even tiny
+    programs fail) must NOT consume an attempt or escalate the degrade
+    ladder — the run sleeps in a fresh process and retries once the
+    window clears (observed live 2026-08-20: a ~12-minute total wedge).
+
+    Drill: the fake probe reads 0GB for the first 45s of the run, then
+    8GB. Deferrals re-probe and exhaust within the wedge (8 x 1s), the
+    stage proceeds-despite-dirty, and the injected OOM (attempts==0)
+    fires with a wedged pre-probe -> wedge-wait cycles (attempt NOT
+    consumed). Once the window clears the OOM fires one final time with
+    a clean pre-probe — that one burns the attempt and degrades, and the
+    recovery pass restores the full-batch number."""
+    proc = subprocess.run(
+        [sys.executable, BENCH],
+        env=_env(tmp_path, VIQUAE_BENCH_STAGES="exact",
+                 VIQUAE_BENCH_FAKE_OOM="exact",
+                 VIQUAE_BENCH_FAKE_PROBE="0:45,8",
+                 VIQUAE_BENCH_DEFER_WAIT="1",
+                 VIQUAE_BENCH_BUDGET="240"),
+        capture_output=True, text=True, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    result = _last_json(proc.stdout)
+    assert result["value"] == 123.0
+    assert "wedge wait" in proc.stderr
+    assert "wedged window — sleeping" in proc.stderr
+    assert result["details"].get("wedge_waits", 0) >= 1
+    # the wedge-phase OOM escalated nothing; the clean-window OOM
+    # degraded once and the recovery pass restored full batch
+    assert "degraded_half_batch" not in result["details"]
+    assert result["details"]["stage_health"]["exact"]["recovered"] is True
 
 
 def test_kill_9_mid_run_leaves_parseable_tail(tmp_path):
