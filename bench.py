@@ -136,14 +136,21 @@ def _cache_dir() -> str:
 
 
 def _git_sha() -> str:
+    # pinned into the env at first start so exec retries keep reading the
+    # SAME cache file even if HEAD moves mid-run (a commit landing while
+    # the bench runs must not orphan completed stages)
+    if "VIQUAE_BENCH_SHA" in os.environ:
+        return os.environ["VIQUAE_BENCH_SHA"]
     try:
-        return subprocess.run(
+        sha = subprocess.run(
             ["git", "rev-parse", "--short", "HEAD"],
             cwd=os.path.dirname(os.path.abspath(__file__)),
             capture_output=True, text=True, timeout=10,
         ).stdout.strip() or "nosha"
     except Exception:  # noqa: BLE001
-        return "nosha"
+        sha = "nosha"
+    os.environ["VIQUAE_BENCH_SHA"] = sha
+    return sha
 
 
 class StageCache:
