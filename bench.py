@@ -317,13 +317,27 @@ PROBE_ENABLED = (os.environ.get("VIQUAE_BENCH_FAKE_PROBE") is not None
                      and not os.environ.get("VIQUAE_BENCH_DRILL")))
 
 
-def probe_free_hbm(jax, jnp, sizes_gb=(8.0, 6.0, 5.0, 4.0, 3.0, 2.0)):
+def probe_free_hbm(jax, jnp,
+                   sizes_gb=(8.0, 6.0, 5.0, 4.0, 3.0, 2.0, 1.0, 0.5),
+                   hang_guard_s=180.0):
     """Largest single bf16 device allocation that currently succeeds, in
     GB (descending ladder; free HBM on the shared chip FLUCTUATES —
     CLAUDE.md round-3/4). A failed alloc raises RESOURCE_EXHAUSTED as a
-    normal python exception and costs only the attempt."""
+    normal python exception and costs only the attempt.
+
+    The ladder reaches 0.5GB so 1-2GB windows are distinguishable from a
+    true wedge (the reader/image_chain 1GB gates and WEDGE_GB depend on
+    that resolution).
+
+    Hang guard: the worst wedge mode (observed 2026-08-20) HANGS the
+    alloc inside native PJRT instead of failing it — no python exception
+    ever surfaces, and the stage watchdog would burn the whole budget.
+    A daemon timer treats a probe stuck >hang_guard_s as a wedged
+    window: count a wedge wait and exec a fresh process that sleeps
+    first (execve from the timer thread tears down the stuck native
+    call with the rest of the process)."""
     fake = os.environ.get("VIQUAE_BENCH_FAKE_PROBE")
-    if fake:
+    if fake and fake != "hang":
         # drill hook: "v1:t1,v2" — probe reads v1 GB until t1 seconds
         # into the run, then v2 (a wedge that clears; rides execs)
         first, after = fake.split(",", 1)
@@ -331,19 +345,50 @@ def probe_free_hbm(jax, jnp, sizes_gb=(8.0, 6.0, 5.0, 4.0, 3.0, 2.0)):
         start = DEADLINE - float(os.environ.get("VIQUAE_BENCH_BUDGET",
                                                 "2250"))
         return float(v1 if time.time() - start < float(t1) else after)
-    for gb in sizes_gb:
-        n = int(gb * (1 << 30) // 2)
-        try:
-            buf = jnp.zeros((n,), jnp.bfloat16)
-            sync(buf)
-            del buf
-            gc.collect()
-            return float(gb)
-        except Exception as e:  # noqa: BLE001
-            if not _is_oom(repr(e)):
-                raise
-            gc.collect()
-    return 0.0
+    hang_guard_s = float(os.environ.get("VIQUAE_BENCH_PROBE_GUARD",
+                                        hang_guard_s))
+
+    def _hang():
+        print("bench: HBM probe stuck >"
+              f"{hang_guard_s:.0f}s (hang-wedged tunnel)",
+              file=sys.stderr, flush=True)
+        cache = _CACHE
+        if cache is not None:
+            n = cache.bump_wedge()
+            if n >= MAX_WEDGE_WAITS or time_left() < 300:
+                emit(cache, final=False,
+                     note="probe hang at wedge cap/deadline; emitting "
+                          "best available")
+                os._exit(0)
+        sys.stderr.flush()
+        sys.stdout.flush()
+        env = dict(os.environ,
+                   VIQUAE_BENCH_SLEEP=str(DEFER_WAIT_S),
+                   VIQUAE_BENCH_DEADLINE=str(DEADLINE))
+        os.execve(sys.executable,
+                  [sys.executable, os.path.abspath(__file__)], env)
+
+    guard = threading.Timer(hang_guard_s, _hang)
+    guard.daemon = True
+    guard.start()
+    try:
+        if fake == "hang":  # drill: a native alloc hang, forever
+            time.sleep(1e6)
+        for gb in sizes_gb:
+            n = int(gb * (1 << 30) // 2)
+            try:
+                buf = jnp.zeros((n,), jnp.bfloat16)
+                sync(buf)
+                del buf
+                gc.collect()
+                return float(gb)
+            except Exception as e:  # noqa: BLE001
+                if not _is_oom(repr(e)):
+                    raise
+                gc.collect()
+        return 0.0
+    finally:
+        guard.cancel()
 
 
 def host_canary_ms() -> float:
@@ -451,7 +496,10 @@ class Ctx:
         gc.collect()
 
     def kb_row(self):
-        """Fresh row-major (N, d) KB — same seed/values as kbt's source."""
+        """Fresh row-major (N, d) KB. NOT the same values as kbt():
+        kbt generates directly in (d, N) layout, so the same seed yields
+        a DIFFERENT draw — never cross-compare kb_row-based top-k with
+        kbt-based top-k (each stage's parity is self-contained)."""
         jax, jnp = self.jax, self.jnp
         kb = jax.random.normal(
             jax.random.fold_in(self.key, 1), (self.n_kb, self.dim),
@@ -698,9 +746,15 @@ def stage_hybrid(ctx: Ctx):
         out_h = one_hybrid_pass()
     sync(out_h)
     hybrid_qps = n_queries / ((time.time() - t0) / h_reps)
+    # overflowed queries fall back to the host scorer INSIDE the timed
+    # loop: label the rate next to the throughput (round-4 lesson — a
+    # retuned pool can deflate qps and inflate parity silently)
+    overflow = int(bm25_dev.last_overflow)
     del out_h, bm25_dev
     return {
         "bm25_qps": round(bm25_qps, 1),
+        "bm25_device_overflow": f"{overflow}/{n_queries} queries "
+                                "host-fallbacked in the last pass",
         "bm25_config": f"{ctx.n_kb} Zipf passages, 400k vocab, C++ "
                        "MaxScore, b=0.3 k1=0.5, k=100, "
                        f"{os.cpu_count()} host core(s)",
@@ -1203,8 +1257,21 @@ def main():
     # code where no python exception can interrupt — fail FAST (emitting
     # whatever the stage cache already holds) so the driver sees a result
     def _init_watchdog():
-        print("bench: TPU backend init exceeded budget (tunnel down?); "
-              "exiting", file=sys.stderr, flush=True)
+        print("bench: TPU backend init exceeded budget (tunnel down or "
+              "hang-wedged)", file=sys.stderr, flush=True)
+        # same rescue as a probe hang: retry in a fresh sleeping process
+        # while wedge/deadline budget allows (observed 2026-08-20: the
+        # wedge can hang jax.devices() itself), else emit and exit
+        if (_CACHE is not None and _CACHE.wedge_waits() < MAX_WEDGE_WAITS
+                and time_left() > 600 + 300):
+            _CACHE.bump_wedge()
+            sys.stderr.flush()
+            sys.stdout.flush()
+            env = dict(os.environ,
+                       VIQUAE_BENCH_SLEEP=str(DEFER_WAIT_S),
+                       VIQUAE_BENCH_DEADLINE=str(DEADLINE))
+            os.execve(sys.executable,
+                      [sys.executable, os.path.abspath(__file__)], env)
         if _CACHE is not None and _CACHE.data["stages"]:
             emit(_CACHE, final=False, note="backend init timed out")
         os._exit(3)

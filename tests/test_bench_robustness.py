@@ -33,6 +33,8 @@ def _env(tmp_path, **extra):
     env.pop("VIQUAE_BENCH_SLEEP", None)
     env.pop("VIQUAE_BENCH_FAKE_PROBE", None)
     env.pop("VIQUAE_BENCH_DEFER_WAIT", None)
+    env.pop("VIQUAE_BENCH_PROBE_GUARD", None)
+    env.pop("VIQUAE_BENCH_SHA", None)
     env.update(
         BENCH_PLATFORM="cpu",
         BENCH_SMALL="1",
@@ -126,6 +128,31 @@ def test_wedged_window_waits_without_burning_attempts(tmp_path):
     # degraded once and the recovery pass restored full batch
     assert "degraded_half_batch" not in result["details"]
     assert result["details"]["stage_health"]["exact"]["recovered"] is True
+
+
+def test_probe_hang_guard_execs_and_finally_emits(tmp_path):
+    """The worst wedge mode HANGS the alloc inside native PJRT (no
+    exception ever surfaces). The probe's daemon-timer guard must count a
+    wedge wait and exec a fresh sleeping process; once the wedge cap or
+    deadline nears, it must emit the best-available JSON and exit 0
+    rather than burn the rest of the budget silently."""
+    proc = subprocess.run(
+        [sys.executable, BENCH],
+        env=_env(tmp_path, VIQUAE_BENCH_STAGES="exact",
+                 VIQUAE_BENCH_FAKE_PROBE="hang",
+                 VIQUAE_BENCH_PROBE_GUARD="2",
+                 VIQUAE_BENCH_DEFER_WAIT="1",
+                 VIQUAE_BENCH_BUDGET="330"),
+        capture_output=True, text=True, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "HBM probe stuck" in proc.stderr
+    assert "wedged window — sleeping" in proc.stderr  # the exec'd child
+    result = _last_json(proc.stdout)
+    # the probe never yields, so no stage can land — but the tail is a
+    # parseable labeled result, not silence
+    assert result["details"].get("wedge_waits", 0) >= 1
+    assert "probe hang" in result["details"].get("note", "")
 
 
 def test_kill_9_mid_run_leaves_parseable_tail(tmp_path):

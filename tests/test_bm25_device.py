@@ -190,9 +190,12 @@ def test_searcher_seam_device_flag(host_index, tmp_path):
     kb = KnowledgeBase(datasets.Dataset.from_dict({"passage": texts}))
     kb.add_or_load_index(column="passage", index_name="sparse",
                          kind=IndexKind.BM25, k1=0.5, b=0.3, device=True,
-                         n_head=8, l_small=32, q_block=4)
+                         n_head=8, l_small=32, l_mid=64, q_block=4)
     backend = kb.indexes["sparse"].backend
     assert isinstance(backend, DeviceBM25)
+    # every device tunable must be whitelisted through the seam (l_mid
+    # was once silently dropped / crashed the host build)
+    assert backend.l_mid_cfg == 64
     scores, ids = kb.search_batch("sparse", [texts[0][:40]], k=5)
     assert ids[0], "non-empty retrieval through the seam"
 

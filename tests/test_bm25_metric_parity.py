@@ -149,8 +149,8 @@ def _run_parity(n_docs, n_queries, q_block, vocab=400_000):
 def _assert_within(host_m, dev_m, bound, label):
     for m in METRICS:
         delta = abs(dev_m[m] - host_m[m])
-        # epsilon: one query flipping P@1 at these sample sizes
-        eps = 1.5 / max(len(host_m), 1)  # placeholder replaced below
+        # acceptance = calibrated tie-noise bound + a fixed 0.02 band
+        # (~5 P@1 flips at 256 queries) — matches the PARITY.md table
         assert delta <= bound[m] + 0.02, (
             label, m, f"host {host_m[m]:.4f} dev {dev_m[m]:.4f} "
             f"delta {delta:.4f} > tie-noise {bound[m]:.4f}+0.02")

@@ -204,6 +204,41 @@ def test_train_test_restores_checkpoint(rc_workspace, tmp_path):
     assert json.loads(proc.stdout)["pass"] is True
 
 
+def test_train_fit_ckpt_path_resumes(rc_workspace, tmp_path):
+    """`fit --ckpt-path` resumes training from the latest saved step
+    (reference parity: Lightning trainer fit --ckpt_path), rather than
+    silently training from scratch."""
+    import yaml
+
+    from viquae_tpu.train.run import run_from_config
+
+    ws = rc_workspace
+    cfg = _rc_config(ws, tmp_path)
+    cfg_path = tmp_path / "rc.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    r1 = run_from_config(cfg_path, subcommand="fit")
+    assert r1["final_step"] == 2
+
+    cfg2 = _rc_config(ws, tmp_path)
+    cfg2["trainer"]["max_steps"] = 4
+    cfg2_path = tmp_path / "rc_resume.yaml"
+    cfg2_path.write_text(yaml.safe_dump(cfg2))
+    r2 = run_from_config(cfg2_path, subcommand="fit",
+                         ckpt_path=str(tmp_path / "ckpts"))
+    # resumed at step 2: only steps 3..4 were trained this run
+    assert r2["final_step"] == 4
+    assert all(h["step"] > 2 for h in r2["history"])
+
+    # a ckpt_path with no steps must raise, not train from scratch
+    cfg3 = _rc_config(ws, tmp_path)
+    cfg3["trainer"].pop("ckpt_dir")
+    cfg3_path = tmp_path / "rc_bad.yaml"
+    cfg3_path.write_text(yaml.safe_dump(cfg3))
+    with pytest.raises(ValueError, match="no checkpoint steps"):
+        run_from_config(cfg3_path, subcommand="fit",
+                        ckpt_path=str(tmp_path / "empty_ckpts"))
+
+
 def test_train_test_without_checkpoint_raises(rc_workspace, tmp_path):
     import yaml
 

@@ -206,7 +206,7 @@ def _build_hybrid_pipeline(config, embedder, batch_size, k,
         from viquae_tpu.ops.bm25_device import DeviceBM25
 
         dev_kwargs = {key: bcfg[key]
-                      for key in ("n_head", "l_small", "pool_mid",
+                      for key in ("n_head", "l_small", "l_mid", "pool_mid",
                                   "pool_small", "q_block") if key in bcfg}
         bm = DeviceBM25(bm, **dev_kwargs)
     index = _build_dense_index(config.pop("index"),
@@ -644,9 +644,11 @@ def main(argv=None):
     p.add_argument("subcommand", choices=["fit", "test"])
     _add_config_positional(p)
     p.add_argument("--ckpt-path", dest="ckpt_path", default=None,
-                   help="checkpoint dir to restore for `test` (the "
-                        "reference's trainer test --ckpt_path); defaults "
-                        "to trainer.ckpt_dir's best/ then latest step")
+                   help="checkpoint dir: `test` restores it for eval "
+                        "(default: trainer.ckpt_dir best/ then latest); "
+                        "`fit` RESUMES training from its latest step "
+                        "(the reference's trainer {fit,test} "
+                        "--ckpt_path)")
     p.set_defaults(fn=cmd_train)
 
     from viquae_tpu.cli_aux import register_aux

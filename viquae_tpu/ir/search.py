@@ -223,7 +223,7 @@ class KnowledgeBase:
                 device = index_kwargs.pop("device", False)
                 device_kwargs = {
                     key_: index_kwargs.pop(key_)
-                    for key_ in ("n_head", "l_small", "pool_mid",
+                    for key_ in ("n_head", "l_small", "l_mid", "pool_mid",
                                  "pool_small", "q_block")
                     if key_ in index_kwargs
                 }

@@ -98,10 +98,10 @@ def params_from_pretrained_dir(path, cfg: Optional[ReaderConfig] = None
     the dir's config.json so any released checkpoint ports unmodified."""
     import os
 
-    from transformers import AutoConfig
-
-    hf_cfg = AutoConfig.from_pretrained(str(path))
     if cfg is None:
+        from transformers import AutoConfig
+
+        hf_cfg = AutoConfig.from_pretrained(str(path))
         cfg = ReaderConfig(bert=bert.BertConfig.from_hf(
             hf_cfg, add_pooler=False))
     # raw state-dict load (not BertForQuestionAnswering.from_pretrained):

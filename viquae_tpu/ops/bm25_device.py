@@ -544,8 +544,10 @@ class ShardedDeviceBM25:
             _round_up(int(self.tail_len.max(initial=0)), LANE),
             _round_up(self.l_mid_cfg, LANE)))
         self.l_small = min(self.l_small_cfg, self.l_mid)
-        # a shard's small-slot cap must hold its slice of any small term:
-        # a term is "small" by its TOTAL df, already >= any shard slice
+        # small-slot safety: _plan classifies by MAX PER-SHARD width and
+        # emits l_mid chunks until that width is <= l_small, so every
+        # remainder chunk's per-shard slice fits the small cap by
+        # construction (split-slot planning, round 5)
         shard_bounds = np.searchsorted(t_shard,
                                        np.arange(n_dev + 1, dtype=np.int64))
         per_shard_n = np.diff(shard_bounds)

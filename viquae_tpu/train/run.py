@@ -209,6 +209,28 @@ def run_from_config(config_path, subcommand: str = "fit",
             )
     tx = optim.make_optimizer(params, **opt_cfg)
     trainer_cfg = TrainerConfig(seed=seed, **config.get("trainer", {}))
+    fit_resume = False
+    if subcommand == "fit" and config.get("ckpt_path"):
+        # reference parity: Lightning's `trainer fit --ckpt_path=...`
+        # RESUMES training. Map onto the trainer's tested resume path:
+        # restore the latest step under that dir and keep checkpointing
+        # there (meerqat train docs; train/trainer.py fit(resume=True)).
+        import dataclasses as _dc
+
+        from viquae_tpu.train import checkpoint as ckpt_lib
+
+        fit_dir = config["ckpt_path"]
+        if trainer_cfg.ckpt_dir and trainer_cfg.ckpt_dir != fit_dir:
+            raise ValueError(
+                f"--ckpt-path {fit_dir!r} conflicts with "
+                f"trainer.ckpt_dir {trainer_cfg.ckpt_dir!r}; resume uses "
+                "one checkpoint dir")
+        if not ckpt_lib.all_steps(fit_dir):
+            raise ValueError(
+                f"--ckpt-path {fit_dir!r} holds no checkpoint steps to "
+                "resume from")
+        trainer_cfg = _dc.replace(trainer_cfg, ckpt_dir=fit_dir)
+        fit_resume = True
     collate_fn = collator.collate_fn
     if trainer_cfg.grad_accum > 1:
         # ALWAYS collate per-microbatch (data.microbatch_collate), packed
@@ -248,6 +270,7 @@ def run_from_config(config_path, subcommand: str = "fit",
                 _batches(dataset, collate_fn, batch_size,
                          shuffle_seed=seed),
                 eval_batches=eval_batches,
+                resume=fit_resume,
             )
             export = config.get("export")
             if export and hasattr(trainee, "export"):
