@@ -94,7 +94,11 @@ def test_wtl_filter():
     run_a = Run({"q1": {"d1": 1.0}, "q2": {"d9": 1.0}, "q3": {"d3": 1.0}}, name="A")
     run_b = Run({"q1": {"d1": 1.0}, "q2": {"d2": 1.0}, "q3": {"d9": 1.0}}, name="B")
     assert wtl_filter.select_ids(qrels, run_a, run_b, "win") == {"q3"}
-    assert wtl_filter.select_ids(qrels, run_a, run_b, "loose") == {"q2"}
+    # two-run "loose" is the COMPLEMENT of (B strictly beats A) — ties
+    # and A-wins kept (reference meerqat/viz/wtl_filter.py:59 code, not
+    # its docstring)
+    assert wtl_filter.select_ids(qrels, run_a, run_b, "loose") == {
+        "q1", "q3"}
     assert wtl_filter.select_ids(qrels, run_a, run_b, "intersection") == {"q1"}
     assert wtl_filter.select_ids(qrels, run_a, run_b, "union") == {"q1", "q2", "q3"}
     assert wtl_filter.select_ids(qrels, run_a, run_b, "nunion") == set()

@@ -130,7 +130,17 @@ def encyclopedic_vqa_evaluation_function(example: dict,
     """Official EVQA scoring (meerqat/data/evqa.py:389+): Exact Match
     first; only when EM fails fall back to BEM (for single-answer
     questions EM is strictly stricter than BEM, so this equals pure BEM
-    but much faster)."""
+    but much faster). '|'-joined reference alternatives take the MAX of
+    the full EM+BEM score per alternative (the reference's
+    evaluate_example loops the whole function over reference_list) —
+    BEM must never see the joined string."""
+    if (example.get("question_type") != "multi_answer"
+            and "|" in example.get("reference", "")):
+        return max(
+            encyclopedic_vqa_evaluation_function(
+                {**example, "reference": r}, bem_scoring_function)
+            for r in example["reference"].split("|")
+        )
     if evaluate_example(example, exact_match_scoring_function):
         return 1.0
     return float(bem_scoring_function(example))

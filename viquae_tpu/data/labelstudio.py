@@ -21,14 +21,16 @@ def merge_completions(paths: Sequence) -> List[dict]:
     for path in paths:
         for task in load_completions(path):
             task_id = task.get("id")
+            # legacy Label Studio exports carry per-task "completions"
+            # instead of "annotations" — normalize so duplicate-task
+            # merging never drops an annotator's work
+            anns = task.get("annotations") or task.get("completions") or []
             if task_id in by_id:
-                by_id[task_id].setdefault("annotations", [])
-                by_id[task_id]["annotations"].extend(
-                    task.get("annotations", [])
-                )
+                by_id[task_id]["annotations"].extend(anns)
             else:
                 task = dict(task)
-                task.setdefault("annotations", [])
+                task.pop("completions", None)
+                task["annotations"] = list(anns)
                 by_id[task_id] = task
     return list(by_id.values())
 
@@ -75,7 +77,11 @@ def annotator_agreement(tasks: Sequence[dict]) -> Dict[str, float]:
             discard = False
             for result in annotation.get("result", []):
                 value = result.get("value", {})
-                if value.get("choices"):
+                # SAME discard definition as retrieve_vqa (from_name
+                # gated): agreement must be computed on the decision the
+                # dataset build actually uses
+                if (result.get("from_name", "") in ("discard", "validity")
+                        and value.get("choices")):
                     choice = value["choices"][0].lower()
                     if "discard" in choice or "invalid" in choice:
                         discard = True

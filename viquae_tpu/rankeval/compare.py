@@ -45,6 +45,13 @@ class Report:
     max_p: float
 
     def to_dict(self) -> dict:
+        reserved = {"metrics", "model_names", "max_p"}
+        clash = reserved & set(self.model_names)
+        if clash:
+            # a run named "metrics" etc. would silently clobber the key
+            raise ValueError(
+                f"run name(s) {sorted(clash)} collide with reserved "
+                "report keys; rename the run(s)")
         return {
             "metrics": self.metrics,
             "model_names": self.model_names,

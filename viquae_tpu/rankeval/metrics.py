@@ -121,11 +121,39 @@ def evaluate(
     metrics: Union[str, Iterable[str]] = DEFAULT_METRICS,
     q_ids: Optional[Sequence[str]] = None,
 ) -> Union[float, Dict[str, float]]:
-    """Mean metric value(s) over the qrels' queries (ranx.evaluate parity)."""
+    """Mean metric value(s) over the qrels' queries (ranx.evaluate parity).
+
+    The padded (Q, k) relevance matrix is built ONCE at the largest
+    requested cutoff and column-sliced per metric — the O(Q*k) python
+    judgment-lookup loop dominates on this 1-core VM and is identical
+    across metrics (rows are rank-ordered, so rel[:, :k] at a smaller k
+    equals a fresh build at that k)."""
     single = isinstance(metrics, str)
     metric_list: List[str] = [metrics] if single else list(metrics)
+    if q_ids is None:
+        q_ids = list(qrels.keys())
+    k_full = k_vec = None
+    parsed = []
+    for m in metric_list:
+        name, k = parse_metric(m)
+        if k is None:
+            # cutoff-less: each query's OWN retrieved count (ranx)
+            if k_full is None:
+                k_full = max((len(r) for r in run.values()),
+                             default=0) or 1
+                run_d = run.to_dict()
+                k_vec = np.asarray(
+                    [len(run_d.get(str(q), {})) for q in q_ids],
+                    np.float64)
+            parsed.append((m, name, k_full, k_vec))
+        else:
+            parsed.append((m, name, k, None))
+    k_max = max(p[2] for p in parsed)
+    rel, n_rel, ideal = relevance_matrix(qrels, run, k_max, q_ids=q_ids)
     out = {
-        m: float(per_query_scores(qrels, run, m, q_ids=q_ids).mean())
-        for m in metric_list
+        m: float(_scores_from_rel(
+            name, rel[:, :k_eff], n_rel, k_eff,
+            ideal=ideal[:, :k_eff], k_vec=kv).mean())
+        for m, name, k_eff, kv in parsed
     }
     return out[metric_list[0]] if single else out

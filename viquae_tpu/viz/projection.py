@@ -65,7 +65,7 @@ def plot_embeddings(
     ax.set_title(title or f"{method} projection")
     if output:
         fig.savefig(output, dpi=150, bbox_inches="tight")
-        plt.close(fig)
+    plt.close(fig)  # unconditionally: library callers would leak figures
     return xy
 
 

@@ -26,7 +26,12 @@ def select_ids(qrels: Qrels, run_a: Run, run_b: Optional[Run] = None,
     wins_b = get_wins(qrels, run_b, k_b) if run_b is not None else set()
     choices = {
         "win": wins_a - wins_b,
-        "loose": wins_b - wins_a if run_b is not None else all_ids - wins_a,
+        # two-run "loose" keeps the COMPLEMENT of (B strictly beats A) —
+        # ties and A-wins included (reference switch_filter:
+        # meerqat/viz/wtl_filter.py:59 `id_ not in runB_wins-runA_wins`;
+        # its docstring says otherwise, the code is the contract)
+        "loose": (all_ids - (wins_b - wins_a)
+                  if run_b is not None else all_ids - wins_a),
         "intersection": wins_a & wins_b,
         "union": wins_a | wins_b,
         "nunion": all_ids - (wins_a | wins_b),
@@ -41,4 +46,5 @@ def filter_dataset(dataset, qrels: Qrels, run_a: Run,
                    run_b: Optional[Run] = None, filter: str = "win",
                    k_a: int = 1, k_b: int = 1):
     keep = select_ids(qrels, run_a, run_b, filter=filter, k_a=k_a, k_b=k_b)
-    return dataset.filter(lambda item: item["id"] in keep)
+    # qrels/run keys are always strings; datasets may carry int ids
+    return dataset.filter(lambda item: str(item["id"]) in keep)
