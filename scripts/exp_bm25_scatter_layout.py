@@ -70,10 +70,11 @@ def make_lanes(rng, n_parts=1, sorted_ids=True):
             ids = np.where(fill, ids, D - 1 if n_parts == 1
                            else lo + d_part - 1)
             rows = rng.integers(0, Q, size=(n_slots, 1)).astype(np.int32)
-            out.append((ids, vals, np.broadcast_to(rows, ids.shape).copy()))
-        ids = np.concatenate([o[0] for o in out], 0)
-        vals = np.concatenate([o[1] for o in out], 0)
-        rows = np.concatenate([o[2] for o in out], 0)
+            rows = np.broadcast_to(rows, ids.shape)
+            out.append((ids.ravel(), vals.ravel(), rows.ravel()))
+        ids = np.concatenate([o[0] for o in out])
+        vals = np.concatenate([o[1] for o in out])
+        rows = np.concatenate([o[2] for o in out])
         parts.append((jnp.asarray(ids), jnp.asarray(vals),
                       jnp.asarray(rows)))
     return parts

@@ -96,6 +96,13 @@ def _bm25_block(head_dense, tail_docs, tail_w, head_w,
 
     ids_m, vals_m = pool(mid_start, mid_len, mid_qtf, l_mid)
     ids_s, vals_s = pool(small_start, small_len, small_qtf, l_small)
+    # materialize the gathered operands BEFORE the scatter: XLA otherwise
+    # fuses the slice-gather + mask into the scatter's operand computation
+    # and the scatter slows ~4x (round-5 exp_bm25_scatter_layout: the same
+    # lanes scatter+select in 85 ms from literal arrays vs ~162 ms fused;
+    # the barrier costs one ~45MB HBM round-trip, bitwise-identical out)
+    ids_m, vals_m, ids_s, vals_s = jax.lax.optimization_barrier(
+        (ids_m, vals_m, ids_s, vals_s))
     # 2D scatter: (row, doc) per lane; two calls cost the same as one
     # fused (take 4: 29.1 vs 27.8 ms)
     scores = scores.at[mid_row[:, None], ids_m].add(vals_m)
@@ -605,6 +612,9 @@ class ShardedDeviceBM25:
 
             ids_m, vals_m = pool(ms, ml, mq, l_mid)
             ids_s, vals_s = pool(ss, sl, sq, l_small)
+            # same anti-fusion barrier as _bm25_block (see there)
+            ids_m, vals_m, ids_s, vals_s = jax.lax.optimization_barrier(
+                (ids_m, vals_m, ids_s, vals_s))
             scores = scores.at[mr[:, None], ids_m].add(vals_m)
             scores = scores.at[sr[:, None], ids_s].add(vals_s)
             s, i = mips._select_topk(scores, k, "fast")
