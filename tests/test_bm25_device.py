@@ -413,3 +413,35 @@ def test_last_overflow_counter(host_index):
     roomy = DeviceBM25(host_index, n_head=16, l_small=64, q_block=8)
     roomy.search_batch(queries, k=10)
     assert roomy.last_overflow == 0
+
+
+def test_scatter_operands_behind_opt_barrier(host_index, device_index):
+    """The tail scatter's gathered operands must stay materialized behind
+    an optimization barrier in the COMPILED program: XLA otherwise fuses
+    the slice-gather + mask into the scatter's operand computation and
+    the scatter slows ~4x on TPU (round-5 exp_bm25_scatter_layout —
+    85 ms vs ~162 ms for the same 4.3M lanes). The guard asserts the
+    barrier at the StableHLO level — what this module controls; the CPU
+    backend is free to elide it from its own scheduled HLO."""
+    import jax.numpy as jnp
+
+    from viquae_tpu.ops import bm25_device
+
+    dev = device_index
+    queries = _queries(host_index, n=8, seed=19)
+    plan, _ = dev._plan(queries)
+    head_w, ms, ml, mr, mq, ss, sl, sr, sq = plan
+    lowered = bm25_device._bm25_block.lower(
+        dev.head_dense, dev.tail_docs, dev.tail_w,
+        jnp.asarray(head_w.astype(jnp.bfloat16)),
+        jnp.asarray(ms[0]), jnp.asarray(ml[0]),
+        jnp.asarray(mr[0]), jnp.asarray(mq[0]),
+        jnp.asarray(ss[0]), jnp.asarray(sl[0]),
+        jnp.asarray(sr[0]), jnp.asarray(sq[0]),
+        k=10, l_mid=dev.l_mid, l_small=dev.l_small,
+        n_docs=dev.index.n_docs)
+    hlo = lowered.as_text()
+    assert "stablehlo.optimization_barrier" in hlo, (
+        "anti-fusion barrier missing from the lowered BM25 block — "
+        "TPU XLA will fuse the gather into the scatter (~4x slower)")
+    assert hlo.count("scatter") >= 2, "expected the two tier scatters"
